@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + materialize via a
+count-style action that forces every operator but doesn't serialize the
+full result to the driver). A warmup run of the flagship amortizes JVM
+and code-gen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: scan-heavy, join-heavy, agg-heavy, window, and the
+# north-star pipeline ops — the queries whose plans represent the
+# engine's hot paths. Extended as milestones land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from karna_spark.queries import REGISTRY
+    from karna_spark.session import get_spark
+
+    spark = get_spark(app_name="karna_spark_bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # Warm pass: JVM JIT + whole-stage-codegen compilation are one-time
+    # session costs, not per-query costs on a long-lived cluster —
+    # steady-state latency is the honest number.
+    for name in names:
+        run(name)
+
+    per_query = {name: run(name) for name in names}
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

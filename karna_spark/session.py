@@ -1,0 +1,93 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference (elliot14A/karna) declares only a capability surface —
+"query tabular files ... using SQL" (reference README.md:2) — with no
+engine code; this module is where the Spark-native engine pins the
+execution posture: AQE on (runtime re-planning, skew-join handling,
+partition coalescing), Arrow transfer for the Python boundary, UTC
+session timezone so results are comparable across engines.
+
+Local test mode runs ``local[N]`` (one JVM); at cluster scale the same
+builder is used with ``master`` left to spark-submit. Every config here
+is a public Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, all overridable:
+# - AQE re-plans shuffles at runtime (coalesces small partitions, splits
+#   skewed ones, demotes sort-merge to broadcast when a side turns out
+#   small). This is the main "survives 100× scale-up" lever.
+# - shuffle.partitions is a *starting* parallelism; AQE coalesces down.
+#   On a real cluster this should be ~2-3× total cores; locally ~cores.
+# - maxPartitionBytes 128m keeps scan partitions executor-memory-sized.
+_SCALE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Parquet pushdown is on by default; pinned here as documentation of
+    # the contract the query layer relies on (SURVEY.md §4).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Local parallelism: $SPARK_GRAFT_CPUS if set, else host cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "karna_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master=None`` honors an ambient cluster (spark-submit) and falls
+    back to ``local[N]`` for standalone runs — the same code path the
+    driver and tests use.
+    """
+    cores = default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cores}]")
+    confs = dict(_SCALE_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    # Local mode: the driver JVM is the only executor; give it headroom
+    # but only when we are the ones creating the session.
+    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    confs.setdefault("spark.ui.enabled", "false")
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to an existing session.
+
+    The driver may hand us an already-built SparkSession (see
+    ``__spark_entry__.entry``); static confs (driver memory, master)
+    can't change post-hoc, but the SQL confs that shape plans can.
+    """
+    for k, v in _SCALE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep its value
+    return spark
