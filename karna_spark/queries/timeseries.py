@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone."""
+"""Time-series inventory rows (SURVEY.md §2.9 T1-T3 batch, §2.3 J8
+as-of join, §2.7 F3 datetime functions) over the events/orders tables.
+
+Batch event-time semantics: ``F.window`` works identically in batch and
+Structured Streaming, so these queries are the batch twins of the
+streaming module. Timestamps cross the engine boundary as
+second-truncated strings (see parity.py); sub-second arithmetic happens
+in µs integers on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karna_spark.operators.asof import asof_join
+from karna_spark.queries.parity import ts_str
+from karna_spark.queries.registry import register_query, table
+
+
+# ---------------------------------------------------------------- T1
+@register_query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags="T1 A1 F3",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: 1-hour tumbling windows — `F.window` (the same operator
+    Structured Streaming uses) grouped with event_type. Plain hash
+    aggregation: partial per partition, one shuffle on (window, type)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            ts_str(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- T2
+@register_query(
+    "sliding_window_agg",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '15 minutes' AS window_start,
+             value
+      FROM events, UNNEST([0, 1, 2, 3]) AS g(k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start_s,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+    FROM slid
+    GROUP BY 1
+    """,
+    tags="T2 A1",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 1-hour windows sliding every 15 min — each event lands in 4
+    windows. Spark expands via the built-in `window` generator; the
+    oracle reproduces the expansion with UNNEST (hour/15min divide
+    evenly, so every event is in exactly 4 buckets and Spark's
+    epoch-aligned starts coincide with time_bucket's)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            ts_str(F.col("w.start"), "window_start_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- T3 / W5
+@register_query(
+    "session_window_agg",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM tagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) - epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+                AS DOUBLE) / 1000000.0 AS duration_s
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    tags="T3 W5",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (batch): session-level windows — one row per (user, session)
+    with start/size/duration. Streaming twin: F.session_window with a
+    watermark (karna_spark.streaming)."""
+    from karna_spark.operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    stats = session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        ts_str("session_start", "session_start"),
+        "n_events",
+        # No rounding: duration is exact-µs-integer / 1e6 — the same
+        # IEEE division on both engines (rounding would *introduce*
+        # half-boundary divergence on values like x.97275).
+        F.col("duration_s").alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------- J8
+@register_query(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS view_ts,
+           v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value
+                    FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= v.ts
+    """,
+    tags="J8",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: for every purchase, the user's most recent prior view.
+    Implemented with the union+window as-of operator
+    (karna_spark.operators.asof — one shuffle, no row explosion);
+    oracle is DuckDB's native ASOF JOIN."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        value_cols=["view_value"],
+        matched_ts_col="matched_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str("matched_ts", "view_ts"),
+        "view_value",
+    )
+
+
+# ---------------------------------------------------------------- F3
+@register_query(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sun0,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS unix_s
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+    tags="F3 P2",
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the datetime extraction/truncation/arithmetic family.
+    Spark's dayofweek is 1=Sunday; DuckDB's dow is 0=Sunday — aligned
+    by subtracting 1. unix time via µs integers on both sides."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        ts_str(F.date_trunc("month", F.col("o_orderdate")), "month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("date").alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000)
+        .cast("bigint")
+        .alias("unix_s"),
+    )

@@ -1,1 +1,189 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function inventory rows (SURVEY.md §2.5 W1-W5).
+
+Every window here partitions by a key — at scale that is one shuffle
+per distinct partitioning, and Catalyst collapses multiple window
+expressions over the same (partition, order) spec into a single Window
+operator (verify in the plan: one Window node per spec, not per
+column). Orderings always end in a unique key so results are
+deterministic under distributed execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from karna_spark.operators.sessionize import session_stats
+from karna_spark.queries.registry import register_query, table
+
+
+# ---------------------------------------------------------------- W1
+@register_query(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 4) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags="W1",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the five ranking functions over one shared window spec (one
+    shuffle + one sort total)."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+    )
+
+
+# ---------------------------------------------------------------- W2
+@register_query(
+    "window_offsets",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags="W2",
+)
+def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: analytic offsets per user timeline. Explicit ROWS frame so
+    both engines agree on first/nth_value visibility."""
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(wf).alias("first_type"),
+        F.nth_value("event_type", 2).over(wf).alias("second_type"),
+    )
+
+
+# ---------------------------------------------------------------- W3
+@register_query(
+    "window_running_aggs",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS running_total,
+           ROUND(AVG(value) OVER m, 4) AS moving_avg3,
+           COUNT(*) OVER w AS n_so_far
+    FROM events
+    WINDOW
+      w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      m AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags="W3",
+)
+def window_running_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running total (decimal-exact — running sums hit every prefix,
+    so order noise would compound) and a 3-row moving average."""
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 4).alias(
+            "running_total"
+        ),
+        F.round(F.avg("value").over(m), 4).alias("moving_avg3"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+# ---------------------------------------------------------------- W4
+@register_query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags="W4 W1",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-3 orders per customer. row_number + filter is the
+    shuffle-once idiom; Spark additionally pushes a per-partition
+    rank limit (WindowGroupLimit) before the shuffle, so the exchange
+    carries ≤3 rows per customer — exactly what you want at 100 TB."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- W5
+@register_query(
+    "sessionization",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM tagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags="W5",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: gap-based sessions (30 min) via the lag→flag→running-sum
+    idiom (karna_spark.operators.sessionize), rolled up per user."""
+    ev = table(spark, sf_dir, "events")
+    stats = session_stats(ev, "user_id", "ts", gap_seconds=1800)
+    return stats.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
