@@ -43,11 +43,13 @@ def _norm_cell(v):
     if isinstance(v, Decimal):
         v = float(v)
     if isinstance(v, float):
+        # repr-strict, like the driver: int 10612 vs float 10612.0 is a
+        # *type* mismatch and must fail here too.
         if math.isnan(v):
             return "NaN"
         if v == 0.0:
-            return 0.0  # -0.0 → 0.0
-        return v
+            v = 0.0  # -0.0 → 0.0
+        return repr(v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
     if isinstance(v, _dt.date):

@@ -65,8 +65,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1) AS price_r1,
-           floor(l_extendedprice) AS price_floor,
-           ceil(l_extendedprice) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            abs(l_quantity - 25.0) AS qty_dev,
            CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
