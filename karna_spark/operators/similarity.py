@@ -1,0 +1,263 @@
+"""Similarity search over embedding columns (north-star requirement;
+SURVEY.md §2.7 F8).
+
+- ``ann_bruteforce_topk``: exact top-k by cosine — broadcast the query
+  set, linear scan the corpus, per-query top-k via window. The
+  correctness baseline and the right answer whenever |queries| is
+  small: one pass over the data, no index, embarrassingly parallel.
+- ``random_hyperplane_buckets`` + ``ann_lsh_topk``: sign-LSH (SimHash
+  for vectors): bucket = sign bits under d random hyperplanes; search
+  only matching buckets. Sub-linear probe cost at the price of recall;
+  the scale path when both sides are large.
+- ``train_kmeans`` + ``ann_ivf_topk``: IVF — k-means coarse quantizer,
+  probe the ``nprobe`` nearest centroids. Training is plain DataFrame
+  iteration (explode → groupBy mean); assignment is a broadcast join.
+
+All math via karna_spark.functions.vector (codegen'd SQL lambdas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from karna_spark.functions.vector import cosine, l2_distance
+
+# ------------------------------------------------------------ brute force
+
+
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus
+    rows. Queries are broadcast (small side by contract); corpus is
+    scanned once; WindowGroupLimit prunes to k per query *before* the
+    final shuffle."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q), F.lit(True)).withColumn(
+        "cos", cosine(F.col("q_vec"), F.col("c_vec"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ------------------------------------------------------------- sign LSH
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (plain LCG — no RNG
+    dependency, reproducible across runs and engines)."""
+    planes: list[list[float]] = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int):
+    """Sign-LSH bucket id (0..2^n_planes-1): bit i = sign of
+    ⟨v, plane_i⟩. The planes become literal arrays in the expression,
+    evaluated fully inside codegen."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        arr = F.array(*[F.lit(x) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def random_hyperplane_buckets(
+    df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 42, out_col: str = "bucket"
+) -> DataFrame:
+    """Append a single-table sign-LSH bucket id. Vectors with high
+    cosine collide with probability (1 - θ/π)^n_planes."""
+    # Dimension resolved once at plan-build time (one-row take on a
+    # column-pruned scan).
+    dim = len(df.select(vec_col).first()[0])
+    return df.withColumn(out_col, _bucket_expr(vec_col, dim, n_planes, seed))
+
+
+def _multi_table_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+) -> DataFrame:
+    """Explode each row into ``n_tables`` (table_id, bucket) keys, one
+    per independent plane set — the amplification half of LSH."""
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _bucket_expr(vec_col, dim, n_planes, seed + 1000 * t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(*df.columns, F.col("tb.table_id"), F.col("tb.bucket"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via amplified sign-LSH: ``n_tables``
+    independent tables of ``n_planes`` hyperplanes each; a corpus row is
+    a candidate for a query iff they share a bucket in ANY table
+    (recall = 1-(1-p^m)^L for per-plane collision p = 1-θ/π). The
+    equi-join on (table_id, bucket) replaces the all-pairs scan: probe
+    cost ≈ L · corpus/2^m per query instead of the full corpus, and the
+    join shuffles on the bucket key, so it scales out. Candidates are
+    deduped across tables before the exact-cosine rank."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = _multi_table_buckets(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", dim, n_planes, n_tables, seed,
+    )
+    q = _multi_table_buckets(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", dim, n_planes, n_tables, seed,
+    )
+    cands = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def train_kmeans(
+    df: DataFrame, vec_col: str, k: int, iters: int = 5, id_col: str | None = None
+) -> DataFrame:
+    """Distributed k-means (Lloyd's) on an embedding column.
+
+    Init: k deterministic rows (hash-sampled). Each iteration:
+    broadcast centroids → argmin-distance assign → posexplode →
+    groupBy (cluster, dim) mean → collect_list back to arrays. All
+    shuffles are on (cluster, dim) — bounded by k·dim, not data size.
+    Returns (cluster_id, centroid  array<double>).
+    """
+    vecs = df.select(F.col(vec_col).alias("v"))
+    centroids = (
+        vecs.withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select(F.monotonically_increasing_id().alias("cluster_id"), F.col("v").alias("centroid"))
+        .select("cluster_id", F.transform("centroid", lambda x: x.cast("double")).alias("centroid"))
+    )
+    for _ in range(iters):
+        cent_rows = centroids.collect()  # k rows only — driver-safe
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cent_rows]
+        )
+        assigned = vecs.withColumn(
+            "cluster_id",
+            F.array_position(
+                F.transform(cent_arr, lambda c: l2_distance(F.col("v"), c)),
+                F.array_min(F.transform(cent_arr, lambda c: l2_distance(F.col("v"), c))),
+            ).cast("int")
+            - 1,
+        )
+        centroids = (
+            assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cluster_id", F.transform("dm", lambda s: s.getField("m")).alias("centroid")
+            )
+        )
+    return centroids
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: assign corpus rows to their nearest centroid once
+    (broadcast join), assign each query to its ``nprobe`` nearest
+    centroids, then exact-rank within the probed inverted lists."""
+    cent = centroids.select("cluster_id", F.col("centroid"))
+
+    def assign(df: DataFrame, id_col_: str, vcol: str, n: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cent), F.lit(True)).withColumn(
+            "dist", l2_distance(F.col(vcol), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col_).orderBy(F.col("dist").asc(), F.col("cluster_id").asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .select(*df.columns, F.col("cluster_id").alias(out))
+        )
+
+    c = assign(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+        1,
+        "bucket",
+    )
+    q = assign(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+        nprobe,
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines (north-star
+"text analysis": language-ID, quality scoring, token counting, document
+fingerprinting). All pure column expressions — per-document work is a
+narrow map over the scan, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker lexicons for the n-gram/stopword language heuristic. Real
+# pipelines learn these from labeled data; the heuristic structure
+# (argmax of marker-hit counts, deterministic tie-break) is what the
+# engine provides.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "les"],
+}
+
+# A compact stopword list for quality ratios.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+# BPE-ish tokenizer regex: word pieces OR single non-space symbols —
+# the shape (if not the exact merges) of GPT-style pre-tokenization.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    """How many tokens of ``text`` are in ``markers`` (bag count)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def lang_id(text: Column, langs: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language-ID: argmax of marker-hit counts with
+    deterministic tie-break (lexicographic lang code), 'und' when no
+    marker hits at all."""
+    langs = langs or LANG_MARKERS
+    scored = F.array(
+        *[
+            F.struct(marker_hits(text, ms).alias("hits"), F.lit(code).alias("code"))
+            for code, ms in sorted(langs.items())
+        ]
+    )
+    # First-wins argmax (strict > keeps the lexicographically smallest
+    # code on ties — deterministic across engines).
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("code")),
+        lambda acc, s: F.when(s.getField("hits") > acc.getField("hits"), s).otherwise(acc),
+    )
+    return F.when(best.getField("hits") <= 0, F.lit("und")).otherwise(best.getField("code"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Per-document quality signals: lengths, ratios, mean word
+    length — the classic cheap filters (C4/Gopher-style) a corpus
+    pipeline runs before anything expensive."""
+    w = words(text)
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(F.array(*[F.lit(s) for s in STOPWORDS]), F.lower(x))))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_alpha = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]"), 0))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len": (n_chars - (n_words - 1)).cast("double") / n_words,
+        "stopword_ratio": n_stop.cast("double") / n_words,
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)),
+        "alpha_ratio": n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: weighted blend of the feature
+    ratios (weights arbitrary but fixed — the point is a deterministic,
+    cheap, orderable score)."""
+    f = quality_features(text)
+    length_ok = F.when((f["n_words"] >= 5) & (f["n_words"] <= 100000), 1.0).otherwise(0.0)
+    return (
+        0.4 * length_ok
+        + 0.3 * F.least(f["alpha_ratio"] * 1.25, F.lit(1.0))
+        + 0.2 * F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+        + 0.1 * (1.0 - F.least(f["punct_ratio"] * 10.0, F.lit(1.0)))
+    )
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Token-count estimators: whitespace words, BPE-ish regex tokens,
+    and the chars/4 rule of thumb."""
+    return {
+        "ws_tokens": F.size(words(text)).cast("bigint"),
+        "re_tokens": F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)).cast("bigint"),
+        "approx_bpe_tokens": F.ceil(F.length(text) / 4.0).cast("bigint"),
+    }
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized, lowercased
+    text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def fingerprint_winnow(text: Column, shingle_n: int = 3, keep: int = 5) -> Column:
+    """Near-dup-stable fingerprint (winnowing flavor): md5 of the
+    ``keep`` smallest word-``shingle_n``-gram md5s. Documents differing
+    in a few words usually share the minimum shingle hashes, so the
+    fingerprint is robust to small edits while staying one short
+    string per doc."""
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.size(w) - shingle_n)
+    shingles = F.when(
+        F.size(w) >= shingle_n,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j + 1) for j in range(shingle_n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(text))  # short doc: the text itself is the shingle
+    hashes = F.array_sort(F.transform(shingles, lambda s: F.md5(s)))
+    return F.md5(F.concat_ws("", F.slice(hashes, 1, keep)))

@@ -1,1 +1,282 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis + multimodal + UDF-surface queries (north-star;
+operators in karna_spark.operators.text / .multimodal; SURVEY.md §2.7
+F9, §2.8 U1-U3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karna_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_media,
+    sample_frames,
+)
+from karna_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint_md5,
+    fingerprint_winnow,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from karna_spark.queries.registry import register_query, table
+
+
+def _sql_markers(code: str) -> str:
+    """DuckDB list literal of the marker lexicon for ``code``."""
+    items = ", ".join(f"'{m}'" for m in LANG_MARKERS[code])
+    return f"len(list_filter(string_split(text, ' '), w -> list_contains([{items}], lower(w))))"
+
+
+@register_query(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang AS label,
+             {_sql_markers("de")} AS h_de,
+             {_sql_markers("en")} AS h_en,
+             {_sql_markers("es")} AS h_es,
+             {_sql_markers("fr")} AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, label,
+           CASE
+             WHEN h_de <= 0 AND h_en <= 0 AND h_es <= 0 AND h_fr <= 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr'
+           END AS predicted
+    FROM h
+    """,
+    tags="F9",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: heuristic language-ID — argmax of marker-lexicon hit counts
+    with first-wins tie-break. (The fixture's lang labels are synthetic,
+    so this checks mechanism determinism, not accuracy.)"""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        lang_id(F.col("text")).alias("predicted"),
+    )
+
+
+@register_query(
+    "text_quality",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains([{", ".join(f"'{s}'" for s in STOPWORDS)}], lower(w))))
+               AS n_stop,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+           CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio
+    FROM f
+    """,
+    tags="F9 F1",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: cheap quality signals (C4/Gopher-style filters). Ratios are
+    exact rational arithmetic — identical doubles on both engines, no
+    rounding needed."""
+    docs = table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+    )
+
+
+@register_query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+    tags="F9",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: token counting — whitespace words, BPE-ish regex pieces,
+    chars/4 estimate."""
+    docs = table(spark, sf_dir, "documents")
+    tc = token_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        tc["ws_tokens"].alias("ws_tokens"),
+        tc["re_tokens"].alias("re_tokens"),
+        tc["approx_bpe_tokens"].alias("approx_bpe_tokens"),
+    )
+
+
+@register_query(
+    "text_fingerprint",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN
+               list_distinct(list_transform(generate_series(1, len(ws)-2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+             ELSE [text] END AS shingles,
+             text
+      FROM w
+    )
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_exact,
+           md5(array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:5], ''))
+             AS fp_winnow
+    FROM sh
+    """,
+    tags="F9 F7",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F7: document fingerprints — exact (normalized md5) and
+    edit-robust (min-5 shingle-hash winnowing)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_exact"),
+        fingerprint_winnow(F.col("text"), shingle_n=3, keep=5).alias("fp_winnow"),
+    )
+
+
+# ------------------------------------------------------------ multimodal
+@register_query(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags="U2 F7",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: opaque-binary metadata path — bytes are hashed and
+    sized JVM-side without decoding (dedup + size filters never touch a
+    codec). Fixture texts stand in as payload bytes; both engines hash
+    the same UTF-8 bytes."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    meta = attach_media_metadata(media, "payload", "doc_id")
+    return meta.select(
+        F.col("item_id").alias("doc_id"),
+        "n_bytes",
+        "sha256",
+    )
+
+
+@register_query("multimodal_decode_pipeline", oracle=None, tags="U2 U3")
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: the full decode pipeline through Arrow-batched
+    mapInPandas (deterministic fake decode standing in for the codec —
+    see operators.multimodal._decode_bytes). Rows-only for the driver;
+    the schema/batching plumbing is what's under test."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    return decode_media(media, fake=True)
+
+
+@register_query("multimodal_frame_sampling", oracle=None, tags="U2 F4")
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: 1→N frame-sampling expansion (posexplode of stride
+    offsets) — the row-shape video pipelines need, fully JVM-side."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "UTF-8").alias("media")
+    )
+    return sample_frames(media, every_n_bytes=64, max_frames=4)
+
+
+# ------------------------------------------------------------ UDF surface
+@register_query(
+    "udf_grouped_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_pop(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    """,
+    tags="U3 A5",
+)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: grouped-map pandas UDF (applyInPandas) — per-group z-score
+    normalization computed in vectorized pandas/numpy, the pattern for
+    per-group logic Spark expressions can't state. Arrow moves each
+    group as one batch; groups are the shuffle unit."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sigma = pdf["value"].std(ddof=0)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mu) / sigma).round(4),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id bigint, event_type string, zscore double"
+    )
+
+
+@register_query(
+    "udf_vectorized_scalar",
+    oracle="""
+    SELECT event_id,
+           ROUND(ln(1.0 + value * value), 4) AS log1p_sq
+    FROM events WHERE event_id % 20 = 0
+    """,
+    tags="U2",
+)
+def udf_vectorized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Arrow-vectorized scalar pandas UDF (numpy batch math). For a
+    function this simple the built-in expression is the right choice at
+    scale — the query exists to pin the pandas-UDF machinery's
+    correctness, and its docstring to say 'prefer F.* when you can'."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def log1p_sq(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.round(np.log1p(v * v), 4))
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    return ev.select("event_id", log1p_sq(F.col("value")).alias("log1p_sq"))

@@ -1,1 +1,119 @@
-"""Placeholder — populated in a later milestone."""
+"""Vector / similarity-search queries (north-star; SURVEY.md §2.7 F8,
+operators in karna_spark.operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karna_spark.functions.vector import cosine, dot, norm_l2
+from karna_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+from karna_spark.queries.registry import register_query, table
+
+
+@register_query(
+    "vector_ops",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))
+                 / len(embedding), 4) AS mean_sq,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+    """,
+    tags="F8",
+)
+def vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: vector math as SQL lambdas (dot/norm) — JVM-side, codegen'd,
+    no UDF. The same expressions power the dedup/similarity operators."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(norm_l2(v), 4).alias("l2_norm"),
+        F.round(dot(v, v) / F.size(v), 4).alias("mean_sq"),
+        F.size(v).alias("dim"),
+    )
+
+
+@register_query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags="F8 J5 W4",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: top-5 cosine neighbors for 10 query vectors.
+    Queries broadcast; the corpus is scanned once; WindowGroupLimit
+    caps the shuffle at k rows per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = ann_bruteforce_topk(emb, queries, "vec_id", "vec_id", "embedding", k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank"
+    )
+
+
+@register_query("similarity_topk_lsh", oracle=None, tags="F8 J9")
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: sign-LSH buckets (8 hyperplanes) probed for the
+    same 10 queries — the scale path when both sides are large (the
+    bucket equi-join replaces the full cross product). Rows-only for
+    the driver (the hyperplane constants have no SQL twin); recall vs
+    the brute-force baseline is unit-tested."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = ann_lsh_topk(emb, queries, "vec_id", "vec_id", "embedding", k=5, n_planes=8)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank"
+    )
+
+
+@register_query(
+    "similarity_threshold_search",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+      AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.15
+    """,
+    tags="F8 P2",
+)
+def similarity_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: all corpus vectors with cosine ≥ 0.15 to
+    one query vector — the filter-pushdown-friendly form of similarity
+    search (a scan + narrow predicate, no shuffle at all)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.lit(True))
+        .withColumn("cos_raw", cosine(F.col("embedding"), F.col("qv")))
+        .filter(F.col("cos_raw") >= 0.15)
+        .select("vec_id", F.round(F.col("cos_raw"), 4).alias("cos"))
+    )
