@@ -116,6 +116,28 @@ def register(
     return df
 
 
+def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table from ``sf_dir``.
+
+    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); the
+    supported path is the ``nanosAsLong`` conf + an explicit ns→µs
+    conversion — Spark timestamps are µs-precision, so sub-µs detail is
+    intentionally dropped (oracles truncate identically).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
 def load_fixture_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES
 ) -> dict[str, DataFrame]:
@@ -128,5 +150,7 @@ def load_fixture_tables(
     for name in tables:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
-            out[name] = register(spark, name, p, fmt="parquet")
+            df = read_fixture_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
     return out

@@ -1,0 +1,348 @@
+"""GraphQL front-end: GraphQL query text → Spark DataFrame plan.
+
+The reference declares GraphQL as one of its three query surfaces
+("query tabular files like CSV, TSV or parquet using SQL, GraphQL and
+Natural Language", reference README.md:2) with no implementation
+(karna-core/src/lib.rs:1-14 is the cargo template). This module is the
+Spark-native realization (SURVEY.md §2.10): parse with the public
+``graphql-core`` library, walk the selection set, and emit *declarative*
+DataFrame operations — Catalyst then owns pushdown, join strategy and
+limit fusion exactly as it does for the SQL surface.
+
+Mapping (hasura-inspired, all public GraphQL syntax):
+
+- root field           → registered table (catalog.FIXTURE_TABLES or
+                         any temp view)
+- scalar selections    → ``select`` (column pruning reaches the scan)
+- ``where:`` argument  → ``filter``; operators eq/neq/gt/gte/lt/lte/
+                         in_/like/isNull, combinators AND/OR/NOT
+- ``orderBy:``         → ``orderBy`` (list of {col: ASC|DESC})
+- ``limit:``/``offset:`` → ``limit``/``offset`` (Catalyst plans
+                         TakeOrderedAndProject when fused with orderBy)
+- nested many-to-one   → broadcast left join to the parent dimension;
+                         emitted as a struct column (API mode) or as
+                         flattened leaf columns (``flat=True``, the
+                         oracle-checkable mode)
+- nested one-to-many   → groupBy(parent keys) + sorted collect_list of
+                         structs (relay-style nesting)
+- ``<table>_aggregate(groupBy: [...])`` → groupBy + count/sum/avg/
+                         min/max sub-selections, flat output
+
+Scale: joins to dimension parents are explicitly ``F.broadcast`` —
+every relationship in REL_SCHEMA points at a dimension table orders of
+magnitude smaller than the fact side, so at 100 TB the plan stays
+shuffle-free for nesting; one-to-many nesting shuffles once on the
+parent key (unavoidable for the semantics). The translator itself is
+driver-side metadata work only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # public graphql-core; gated so the engine imports without it
+    from graphql import parse as gql_parse
+    from graphql.language import ast as gql_ast
+
+    HAVE_GRAPHQL = True
+except Exception:  # pragma: no cover
+    HAVE_GRAPHQL = False
+
+
+@dataclass(frozen=True)
+class ManyToOne:
+    """child.fk_col → parent_table.parent_col (dimension lookup)."""
+
+    fk_col: str
+    parent_table: str
+    parent_col: str
+
+
+@dataclass(frozen=True)
+class OneToMany:
+    """parent.parent_col ← child_table.child_col (fact expansion)."""
+
+    child_table: str
+    child_col: str
+    parent_col: str
+
+
+# Relationship vocabulary over the fixture star schema (FIXTURES.md).
+# Field name → relationship; resolved against the session catalog.
+REL_SCHEMA: dict[str, dict[str, ManyToOne | OneToMany]] = {
+    "nation": {
+        "region": ManyToOne("n_regionkey", "region", "r_regionkey"),
+        "customers": OneToMany("customer", "c_nationkey", "n_nationkey"),
+        "suppliers": OneToMany("supplier", "s_nationkey", "n_nationkey"),
+    },
+    "customer": {
+        "nation": ManyToOne("c_nationkey", "nation", "n_nationkey"),
+        "orders": OneToMany("orders", "o_custkey", "c_custkey"),
+    },
+    "supplier": {
+        "nation": ManyToOne("s_nationkey", "nation", "n_nationkey"),
+        "lineitems": OneToMany("lineitem", "l_suppkey", "s_suppkey"),
+    },
+    "orders": {
+        "customer": ManyToOne("o_custkey", "customer", "c_custkey"),
+        "lineitems": OneToMany("lineitem", "l_orderkey", "o_orderkey"),
+    },
+    "lineitem": {
+        "order": ManyToOne("l_orderkey", "orders", "o_orderkey"),
+        "part": ManyToOne("l_partkey", "part", "p_partkey"),
+        "supplier": ManyToOne("l_suppkey", "supplier", "s_suppkey"),
+    },
+    "part": {
+        "lineitems": OneToMany("lineitem", "l_partkey", "p_partkey"),
+    },
+}
+
+_COMPARISONS = {
+    "eq": lambda c, v: c == v,
+    "neq": lambda c, v: c != v,
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "in_": lambda c, v: c.isin(v),
+    "like": lambda c, v: c.like(v),
+    "isNull": lambda c, v: c.isNull() if v else c.isNotNull(),
+}
+
+
+class GraphQLError(ValueError):
+    pass
+
+
+def _value(node) -> object:
+    """GraphQL value AST → Python value."""
+    if isinstance(node, gql_ast.IntValueNode):
+        return int(node.value)
+    if isinstance(node, gql_ast.FloatValueNode):
+        return float(node.value)
+    if isinstance(node, gql_ast.StringValueNode):
+        return node.value
+    if isinstance(node, gql_ast.BooleanValueNode):
+        return node.value
+    if isinstance(node, gql_ast.NullValueNode):
+        return None
+    if isinstance(node, gql_ast.EnumValueNode):
+        return node.value
+    if isinstance(node, gql_ast.ListValueNode):
+        return [_value(v) for v in node.values]
+    if isinstance(node, gql_ast.ObjectValueNode):
+        return {f.name.value: _value(f.value) for f in node.fields}
+    raise GraphQLError(f"unsupported GraphQL value: {node!r}")
+
+
+def _where_expr(cond: dict) -> Column:
+    """``where:`` object → boolean Column. Keys are ANDed; AND/OR/NOT
+    combinators recurse."""
+    terms: list[Column] = []
+    for key, val in cond.items():
+        if key == "AND":
+            terms.extend(_where_expr(c) for c in val)
+        elif key == "OR":
+            ors = [_where_expr(c) for c in val]
+            acc = ors[0]
+            for o in ors[1:]:
+                acc = acc | o
+            terms.append(acc)
+        elif key == "NOT":
+            terms.append(~_where_expr(val))
+        else:  # column → {op: value, ...}
+            if not isinstance(val, dict):
+                raise GraphQLError(f"filter for {key!r} must be an operator object")
+            for op, v in val.items():
+                if op not in _COMPARISONS:
+                    raise GraphQLError(f"unknown operator {op!r} on {key!r}")
+                terms.append(_COMPARISONS[op](F.col(key), v))
+    if not terms:
+        return F.lit(True)
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc & t
+    return acc
+
+
+def _order_cols(order_by: list) -> list[Column]:
+    cols = []
+    for item in order_by:
+        for col, direction in item.items():
+            c = F.col(col)
+            cols.append(c.desc() if str(direction).upper() == "DESC" else c.asc())
+    return cols
+
+
+def _field_args(field) -> dict:
+    return {a.name.value: _value(a.value) for a in field.arguments or ()}
+
+
+def _read(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)
+
+
+def _translate_table_field(
+    spark: SparkSession, field, table: str, flat: bool
+) -> DataFrame:
+    """One root (or nested) table field → DataFrame."""
+    df = _read(spark, table)
+    args = _field_args(field)
+    if "where" in args:
+        df = df.filter(_where_expr(args["where"]))
+
+    rels = REL_SCHEMA.get(table, {})
+    out_cols: list[Column] = []
+    list_fields: list[tuple[str, OneToMany, object]] = []
+    for sel in field.selection_set.selections:
+        fname = sel.name.value
+        if sel.selection_set is None:  # scalar leaf
+            out_cols.append(F.col(fname))
+            continue
+        rel = rels.get(fname)
+        if rel is None:
+            raise GraphQLError(f"unknown relationship {table}.{fname}")
+        if isinstance(rel, ManyToOne):
+            parent_leafs = [
+                s.name.value for s in sel.selection_set.selections if s.selection_set is None
+            ]
+            nested_rels = [
+                s for s in sel.selection_set.selections if s.selection_set is not None
+            ]
+            parent = _read(spark, rel.parent_table)
+            # second-level many-to-one nesting (e.g. customer→nation→region)
+            for nsel in nested_rels:
+                nrel = REL_SCHEMA.get(rel.parent_table, {}).get(nsel.name.value)
+                if not isinstance(nrel, ManyToOne):
+                    raise GraphQLError(
+                        f"unsupported nesting {rel.parent_table}.{nsel.name.value}"
+                    )
+                nleafs = [
+                    s.name.value
+                    for s in nsel.selection_set.selections
+                    if s.selection_set is None
+                ]
+                gparent = _read(spark, nrel.parent_table).select(nrel.parent_col, *nleafs)
+                parent = parent.join(
+                    F.broadcast(gparent),
+                    parent[nrel.fk_col] == gparent[nrel.parent_col],
+                    "left",
+                ).drop(gparent[nrel.parent_col])
+                parent_leafs.extend(nleafs)
+            parent = parent.select(rel.parent_col, *parent_leafs)
+            # Dimension side is small by construction → broadcast: no
+            # shuffle of the (potentially 100 TB) child side.
+            df = df.join(
+                F.broadcast(parent), df[rel.fk_col] == parent[rel.parent_col], "left"
+            ).drop(parent[rel.parent_col])
+            if flat:
+                out_cols.extend(F.col(c) for c in parent_leafs)
+            else:
+                out_cols.append(F.struct(*[F.col(c) for c in parent_leafs]).alias(fname))
+        else:  # OneToMany → relay-style nested list
+            list_fields.append((fname, rel, sel))
+
+    if not list_fields:
+        out = df.select(*out_cols)
+    else:
+        # One-to-many nesting: one shuffle on the parent key, then the
+        # children arrive as a deterministic (sorted) array of structs.
+        out = df
+        scalar_names = [c for c in out.columns]
+        for fname, rel, sel in list_fields:
+            leafs = [
+                s.name.value for s in sel.selection_set.selections if s.selection_set is None
+            ]
+            child = _read(spark, rel.child_table).select(rel.child_col, *leafs)
+            child_agg = (
+                child.groupBy(rel.child_col)
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct(*[F.col(c) for c in leafs]))
+                    ).alias(fname)
+                )
+            )
+            out = out.join(
+                child_agg, out[rel.parent_col] == child_agg[rel.child_col], "left"
+            ).drop(child_agg[rel.child_col])
+        keep = [c for c in out_cols] + [F.col(f) for f, _, _ in list_fields]
+        out = out.select(*keep)
+
+    if "orderBy" in args:
+        out = out.orderBy(*_order_cols(args["orderBy"]))
+    if "offset" in args:
+        out = out.offset(int(args["offset"]))
+    if "limit" in args:
+        out = out.limit(int(args["limit"]))
+    return out
+
+
+_AGG_FNS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+
+
+def _translate_aggregate_field(spark: SparkSession, field, table: str) -> DataFrame:
+    """``<table>_aggregate(groupBy: [...])`` → groupBy + aggregates.
+
+    Catalyst compiles this to the standard partial/final hash aggregate
+    — map-side combine first, so the shuffle carries one row per
+    (partition, group), not per input row.
+    """
+    df = _read(spark, table)
+    args = _field_args(field)
+    if "where" in args:
+        df = df.filter(_where_expr(args["where"]))
+    group_cols = [str(c) for c in args.get("groupBy", [])]
+
+    aggs: list[Column] = []
+    for sel in field.selection_set.selections:
+        fname = sel.name.value
+        if fname == "count":
+            aggs.append(F.count(F.lit(1)).alias("count"))
+        elif fname in _AGG_FNS:
+            if sel.selection_set is None:
+                raise GraphQLError(f"{fname} needs a column selection set")
+            for leaf in sel.selection_set.selections:
+                col = leaf.name.value
+                aggs.append(_AGG_FNS[fname](F.col(col)).alias(f"{fname}_{col}"))
+        elif sel.selection_set is None and fname in group_cols:
+            continue  # group key re-selected — always emitted
+        else:
+            raise GraphQLError(f"unsupported aggregate selection {fname!r}")
+    if not aggs:
+        raise GraphQLError("aggregate field selects no aggregates")
+
+    if group_cols:
+        out = df.groupBy(*group_cols).agg(*aggs)
+    else:
+        out = df.agg(*aggs)
+    if "orderBy" in args:
+        out = out.orderBy(*_order_cols(args["orderBy"]))
+    if "limit" in args:
+        out = out.limit(int(args["limit"]))
+    return out
+
+
+def translate(spark: SparkSession, query_text: str, flat: bool = False) -> DataFrame:
+    """GraphQL query document → DataFrame (single root field).
+
+    ``flat=True`` flattens many-to-one nesting into leaf columns (the
+    shape plain SQL joins produce — used by the oracle-checked parity
+    queries); default emits nested structs/arrays (the API shape).
+    """
+    if not HAVE_GRAPHQL:  # pragma: no cover
+        raise GraphQLError("graphql-core not available in this environment")
+    doc = gql_parse(query_text)
+    ops = [d for d in doc.definitions if isinstance(d, gql_ast.OperationDefinitionNode)]
+    if len(ops) != 1 or ops[0].operation.value != "query":
+        raise GraphQLError("expected exactly one query operation")
+    roots = ops[0].selection_set.selections
+    if len(roots) != 1:
+        raise GraphQLError("expected exactly one root field")
+    root = roots[0]
+    name = root.name.value
+    if name.endswith("_aggregate"):
+        return _translate_aggregate_field(spark, root, name[: -len("_aggregate")])
+    return _translate_table_field(spark, root, name, flat)

@@ -1,0 +1,310 @@
+"""Natural-language front-end: NL question → SQL text → Spark.
+
+The reference declares Natural Language as its third query surface
+(reference README.md:2) with no implementation. Per SURVEY.md §2.10 the
+Spark-native realization is strictly text→text: a deterministic
+grammar-based translator over the registered-schema vocabulary emits an
+ANSI SQL string, and the unchanged SQL engine (``spark.sql``) executes
+it. No LLM dependency — translation is reproducible and offline-
+testable; an LLM backend could later produce the same SQL strings
+without touching the engine.
+
+Grammar (case-insensitive; <filters> may repeat, "and"-separated):
+
+  total|sum of|average|avg|mean|max|maximum|min|minimum
+        <measure> by <dim> in|from|for <table> [<filters>] [top N]
+  count of|how many|number of <table> [by <dim>] [<filters>]
+  [show|list] top N <table> by <measure> [ascending|descending] [<filters>]
+
+  filters:  where|whose|with <col> is|equals|= <value>
+            with|where <col> over|above|at least|greater than <num>
+            with|where <col> under|below|at most|less than <num>
+
+Column mention resolution: a phrase resolves to a column of the target
+table if, after lowercasing and removing spaces/underscores, it equals
+the column name or the column name minus its TPC-H-style prefix
+("total price" → totalprice → o_totalprice). Ambiguity is an error —
+the translator refuses rather than guesses.
+
+Scale: output is a SQL string; everything downstream is the ordinary
+Catalyst path (§3.2), so NL queries get pushdown/pruning/broadcast for
+free — the reason this layer stays text-only.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from karna_spark.catalog import FIXTURE_TABLES
+
+
+class NLError(ValueError):
+    pass
+
+
+# Table → columns vocabulary (FIXTURES.md). A live deployment would
+# read this from the session catalog; pinned here so translation is
+# testable without a SparkSession.
+TABLE_COLUMNS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
+_AGG_WORDS = {
+    "total": "SUM",
+    "sum of": "SUM",
+    "sum": "SUM",
+    "average": "AVG",
+    "avg": "AVG",
+    "mean": "AVG",
+    "maximum": "MAX",
+    "max": "MAX",
+    "minimum": "MIN",
+    "min": "MIN",
+}
+
+_TABLE_ALIASES = {name: name for name in FIXTURE_TABLES}
+_TABLE_ALIASES.update(
+    {
+        "order": "orders",
+        "customers": "customer",
+        "suppliers": "supplier",
+        "parts": "part",
+        "nations": "nation",
+        "regions": "region",
+        "lineitems": "lineitem",
+        "line items": "lineitem",
+        "event": "events",
+        "document": "documents",
+        "docs": "documents",
+        "embedding": "embeddings",
+    }
+)
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"[\s_]+", "", s.lower())
+
+
+def resolve_table(phrase: str) -> str:
+    t = _TABLE_ALIASES.get(phrase.strip().lower())
+    if not t:
+        raise NLError(f"unknown table {phrase!r}")
+    return t
+
+
+def resolve_column(table: str, phrase: str) -> str:
+    """Phrase → column of ``table``; exact (prefix-stripped) match only."""
+    want = _norm(phrase)
+    cols = TABLE_COLUMNS.get(table, ())
+    hits = []
+    for c in cols:
+        bare = c.split("_", 1)[1] if "_" in c else c
+        if want in (_norm(c), _norm(bare)):
+            hits.append(c)
+    if len(hits) == 1:
+        return hits[0]
+    if len(hits) > 1:
+        raise NLError(f"ambiguous column {phrase!r} in {table}: {hits}")
+    raise NLError(f"no column matching {phrase!r} in {table} (have {list(cols)})")
+
+
+@dataclass
+class NLQuery:
+    """Structured intermediate: what the grammar extracted."""
+
+    table: str
+    select: list[str] = field(default_factory=list)  # SQL select-list items
+    filters: list[str] = field(default_factory=list)  # SQL boolean exprs
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    limit: int | None = None
+
+    def to_sql(self) -> str:
+        sql = "SELECT " + ", ".join(self.select) + f" FROM {self.table}"
+        if self.filters:
+            sql += " WHERE " + " AND ".join(self.filters)
+        if self.group_by:
+            sql += " GROUP BY " + ", ".join(self.group_by)
+        if self.order_by:
+            sql += " ORDER BY " + ", ".join(self.order_by)
+        if self.limit is not None:
+            sql += f" LIMIT {self.limit}"
+        return sql
+
+
+def _sql_literal(raw: str) -> str:
+    raw = raw.strip().strip("'\"")
+    if re.fullmatch(r"-?\d+(\.\d+)?", raw):
+        return raw
+    return "'" + raw.replace("'", "''") + "'"
+
+
+_FILTER_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (
+        re.compile(
+            r"(?:where|whose|with)\s+(?P<col>[\w ]+?)\s+(?:is|equals|=)\s+(?P<val>'[^']*'|\"[^\"]*\"|\S+)",
+            re.IGNORECASE,
+        ),
+        "=",
+    ),
+    (
+        re.compile(
+            r"(?:where|with)\s+(?P<col>[\w ]+?)\s+(?:over|above|at least|greater than)\s+(?P<val>-?[\d.]+)",
+            re.IGNORECASE,
+        ),
+        ">=",
+    ),
+    (
+        re.compile(
+            r"(?:where|with)\s+(?P<col>[\w ]+?)\s+(?:under|below|at most|less than)\s+(?P<val>-?[\d.]+)",
+            re.IGNORECASE,
+        ),
+        "<=",
+    ),
+]
+
+
+def _parse_filters(rest: str, table: str) -> list[str]:
+    out: list[str] = []
+    text = rest
+    while True:
+        best = None
+        for pat, op in _FILTER_PATTERNS:
+            m = pat.search(text)
+            if m and (best is None or m.start() < best[0].start()):
+                best = (m, op)
+        if best is None:
+            break
+        m, op = best
+        col = resolve_column(table, m.group("col"))
+        out.append(f"{col} {op} {_sql_literal(m.group('val'))}")
+        text = text[: m.start()] + text[m.end() :]
+    return out
+
+
+_TOP_RE = re.compile(r"\btop\s+(\d+)\b", re.IGNORECASE)
+_AGG_RE = re.compile(
+    r"^(?P<agg>total|sum of|sum|average|avg|mean|maximum|max|minimum|min)\s+"
+    r"(?P<measure>[\w ]+?)\s+by\s+(?P<dim>[\w ]+?)\s+(?:in|from|for)\s+(?P<table>[\w ]+?)"
+    r"(?P<rest>\s+.*)?$",
+    re.IGNORECASE,
+)
+_COUNT_RE = re.compile(
+    r"^(?:count of|how many|number of)\s+(?P<table>[\w ]+?)"
+    r"(?:\s+by\s+(?P<dim>[\w ]+?))?(?P<rest>\s+(?:where|whose|with|top).*)?$",
+    re.IGNORECASE,
+)
+_TOPN_RE = re.compile(
+    r"^(?:show\s+|list\s+)?top\s+(?P<n>\d+)\s+(?P<table>[\w ]+?)\s+by\s+"
+    r"(?P<measure>[\w ]+?)(?:\s+(?P<dir>ascending|descending|asc|desc))?"
+    r"(?P<rest>\s+(?:where|whose|with).*)?$",
+    re.IGNORECASE,
+)
+
+
+def to_sql(question: str) -> str:
+    """Translate one NL question to a SQL string. Deterministic; raises
+    ``NLError`` on anything outside the grammar (never guesses).
+    Matching is case-insensitive; string literal *values* keep their
+    original case ('F' stays 'F')."""
+    q = re.sub(r"[?.!]+$", "", question.strip())
+    q = re.sub(r"\s+", " ", q)
+
+    m = _AGG_RE.match(q)
+    if m:
+        table = resolve_table(m.group("table"))
+        rest = m.group("rest") or ""
+        agg = _AGG_WORDS[m.group("agg").lower()]
+        measure = resolve_column(table, m.group("measure"))
+        dim = resolve_column(table, m.group("dim"))
+        alias = f"{agg.lower()}_{measure}"
+        nl = NLQuery(
+            table,
+            select=[dim, f"{agg}({measure}) AS {alias}"],
+            group_by=[dim],
+            filters=_parse_filters(_TOP_RE.sub("", rest), table),
+        )
+        top = _TOP_RE.search(rest)
+        if top:
+            nl.limit = int(top.group(1))
+            nl.order_by = [f"{alias} DESC", dim]
+        else:
+            nl.order_by = [dim]
+        return nl.to_sql()
+
+    m = _COUNT_RE.match(q)
+    if m:
+        table = resolve_table(m.group("table"))
+        rest = m.group("rest") or ""
+        nl = NLQuery(table, filters=_parse_filters(_TOP_RE.sub("", rest), table))
+        if m.group("dim"):
+            dim = resolve_column(table, m.group("dim"))
+            nl.select = [dim, "COUNT(*) AS count"]
+            nl.group_by = [dim]
+            top = _TOP_RE.search(rest)
+            if top:
+                nl.limit = int(top.group(1))
+                nl.order_by = ["count DESC", dim]
+            else:
+                nl.order_by = [dim]
+        else:
+            nl.select = ["COUNT(*) AS count"]
+        return nl.to_sql()
+
+    m = _TOPN_RE.match(q)
+    if m:
+        table = resolve_table(m.group("table"))
+        measure = resolve_column(table, m.group("measure"))
+        direction = "ASC" if (m.group("dir") or "desc").lower().startswith("asc") else "DESC"
+        pk = TABLE_COLUMNS[table][0]
+        nl = NLQuery(
+            table,
+            select=["*"],
+            filters=_parse_filters(m.group("rest") or "", table),
+            # unique-key tie-break → deterministic at any parallelism
+            order_by=[f"{measure} {direction}", pk],
+            limit=int(m.group("n")),
+        )
+        return nl.to_sql()
+
+    raise NLError(
+        f"question not in grammar: {question!r} — supported forms: "
+        "'total X by Y in T', 'count of T [by Y]', 'top N T by X'"
+    )
+
+
+def ask(spark: SparkSession, question: str) -> DataFrame:
+    """NL question → DataFrame via the SQL surface (tables must be
+    registered, e.g. ``catalog.load_fixture_tables``)."""
+    return spark.sql(to_sql(question))

@@ -23,6 +23,8 @@ from karna_spark.queries import (  # noqa: F401,E402
     dedup,
     vectors,
     frontends_q,
+    sources_q,
+    udx,
 )
 
 REGISTRY = registry.REGISTRY

@@ -1,1 +1,220 @@
-"""Placeholder — populated in a later milestone."""
+"""Front-end surfaces as oracle-checked queries (SURVEY.md §2.10, M5).
+
+The reference's single load-bearing sentence declares three query
+surfaces — SQL, GraphQL, Natural Language (reference README.md:2).
+Each entry here drives a full front-end round trip: surface text →
+translator → DataFrame plan → results, hash-compared against a
+hand-written DuckDB oracle. This is the round-trip test SURVEY.md §5.2
+calls for, run at driver level.
+
+All three surfaces converge on the same Catalyst lifecycle (§3.2), so
+the scale posture is inherited: broadcast dimension joins, partial
+aggregation, TakeOrderedAndProject for top-k — checked once in the
+relational core, reused here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from karna_spark.catalog import load_fixture_tables
+from karna_spark.queries.registry import register_query
+
+_NON_EVENT_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "documents",
+)
+
+
+def _fixtures(spark: SparkSession, sf_dir: str) -> None:
+    # events excluded: its ns-precision ts needs the registry's special
+    # reader (registry.table) and no front-end query here touches it.
+    load_fixture_tables(spark, sf_dir, _NON_EVENT_TABLES)
+
+
+# ---------------------------------------------------------------- SQL surface
+_SQL_TEXT = """
+SELECT
+  n_name,
+  o_orderpriority,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+GROUP BY n_name, o_orderpriority
+"""
+
+
+@register_query(
+    "frontend_sql_passthrough",
+    oracle=_SQL_TEXT,
+    tags="S6 P1 P2 J1 A1",
+)
+def frontend_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: identical text through karna's read-only SQL
+    surface and the DuckDB oracle — the purest statement of 'the SQL
+    surface is ANSI SQL'. Joins to nation/customer broadcast (dims);
+    the one shuffle is the group-by key."""
+    from karna_spark.frontends import sql as sql_fe
+
+    _fixtures(spark, sf_dir)
+    return sql_fe.execute(spark, _SQL_TEXT)
+
+
+# ------------------------------------------------------------ GraphQL surface
+_GQL_FILTER_JOIN = """
+query {
+  orders(
+    where: {o_totalprice: {gte: 200000}, o_orderstatus: {neq: "P"}},
+    orderBy: [{o_totalprice: DESC}, {o_orderkey: ASC}],
+    limit: 25
+  ) {
+    o_orderkey
+    o_orderstatus
+    o_totalprice
+    customer {
+      c_name
+      c_mktsegment
+      nation { n_name }
+    }
+  }
+}
+"""
+
+
+@register_query(
+    "frontend_graphql_filter_join",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, n_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice >= 200000 AND o_orderstatus <> 'P'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags="S6 P1 P2 J2 J7 O1 O3",
+)
+def frontend_graphql_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL front-end: where/orderBy/limit arguments + two-level
+    many-to-one nesting (orders→customer→nation), flattened to the
+    SQL-join shape for the oracle. Both dimension joins broadcast —
+    the fact side never shuffles; orderBy+limit fuses to a
+    TakeOrderedAndProject (top-k, no full sort at 100 TB)."""
+    from karna_spark.frontends.graphql import translate
+
+    _fixtures(spark, sf_dir)
+    return translate(spark, _GQL_FILTER_JOIN, flat=True)
+
+
+_GQL_AGGREGATE = """
+query {
+  part_aggregate(
+    groupBy: ["p_brand"],
+    where: {p_size: {lte: 40}},
+    orderBy: [{p_brand: ASC}]
+  ) {
+    count
+    sum { p_size }
+    min { p_retailprice }
+    max { p_retailprice }
+  }
+}
+"""
+
+
+@register_query(
+    "frontend_graphql_aggregate",
+    oracle="""
+    SELECT
+      p_brand,
+      COUNT(*) AS count,
+      CAST(SUM(p_size) AS BIGINT) AS sum_p_size,
+      MIN(p_retailprice) AS min_p_retailprice,
+      MAX(p_retailprice) AS max_p_retailprice
+    FROM part
+    WHERE p_size <= 40
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags="S6 A1 A2 P2",
+)
+def frontend_graphql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL aggregate field (hasura-style `<table>_aggregate`):
+    groupBy + count/sum/min/max sub-selections. sum over an integer
+    column and min/max (no arithmetic) keep values engine-exact.
+    Partial/final hash-agg → shuffle carries one row per group."""
+    from karna_spark.frontends.graphql import translate
+
+    _fixtures(spark, sf_dir)
+    return translate(spark, _GQL_AGGREGATE)
+
+
+# ------------------------------------------------- Natural-language surface
+_NL_AGG = "total quantity by return flag in lineitem with discount under 0.05"
+# → SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity FROM lineitem
+#   WHERE l_discount <= 0.05 GROUP BY l_returnflag ORDER BY l_returnflag
+# (l_quantity is whole-valued in the fixtures — SUM of whole doubles is
+# exact integer arithmetic below 2^53, order-independent.)
+
+_NL_COUNT = "count of orders by order status"
+_NL_TOPN = "top 15 customers by acctbal"
+
+
+@register_query(
+    "frontend_nl_aggregate",
+    oracle=(
+        "SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity FROM lineitem "
+        "WHERE l_discount <= 0.05 GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags="S6 A1 P2",
+)
+def frontend_nl_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, aggregate form: the grammar resolves 'quantity' /
+    'return flag' / 'discount' against the lineitem schema and emits
+    SQL; the oracle is the SQL the translator is expected to produce
+    (round-trip equality, SURVEY.md §5.2)."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, _NL_AGG)
+
+
+@register_query(
+    "frontend_nl_count",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS count FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    tags="S6 A1",
+)
+def frontend_nl_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, count form ('count of T by Y')."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, _NL_COUNT)
+
+
+@register_query(
+    "frontend_nl_topn",
+    oracle=(
+        "SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15"
+    ),
+    tags="S6 O1 O3",
+)
+def frontend_nl_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, top-N form — unique-key tie-break keeps the page
+    deterministic at any parallelism; plans as TakeOrderedAndProject."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, _NL_TOPN)

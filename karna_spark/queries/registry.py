@@ -63,31 +63,15 @@ def register_query(
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (parquet scan — schema from footer,
-    pushdown/pruning handled by Catalyst).
-
-    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); the
-    supported path is the ``nanosAsLong`` conf + an explicit ns→µs
-    conversion, giving the same µs-truncated TimestampType a ms/µs file
-    would yield. Spark timestamps are µs-precision — sub-µs detail is
-    intentionally dropped (and the oracle side truncates identically
-    via epoch_us / CAST(ts AS TIMESTAMP)).
+    pushdown/pruning handled by Catalyst; events ns-timestamp handling
+    lives in ``catalog.read_fixture_table``).
     """
     # The driver hands builders ITS session — pin the runtime confs the
     # engine's semantics depend on (UTC session tz above all: fixture
     # timestamps are naive/UTC, and TIMESTAMP_NTZ↔LTZ casts go through
     # the session zone).
+    from karna_spark.catalog import read_fixture_table
     from karna_spark.session import tune_session
 
     tune_session(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    return read_fixture_table(spark, sf_dir, name)

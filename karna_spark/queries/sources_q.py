@@ -1,0 +1,124 @@
+"""Sources & sinks as oracle-checked queries (SURVEY.md §2.1, M-io).
+
+The reference's data domain is "tabular files like CSV, TSV or parquet"
+(reference README.md:2) living in object storage (MinIO, reference
+docker-compose.yaml:21-40). Each entry here proves a reader/writer path
+end-to-end: export a fixture table through the engine's sink (S8), read
+it back through the engine's source (S1/S2/S3/S5), and hash-compare
+against the oracle reading the *original* parquet — i.e. the round trip
+must be lossless.
+
+Exports land under ``<repo>/.io_cache`` (gitignored); ``file://`` here,
+``s3a://`` in production — identical reader/writer code (S4 is a conf
+change, karna_spark/io/object_store.py).
+
+Scale notes: CSV/TSV inference costs one extra pass over the text —
+at 100 TB you pass an explicit schema (read_table(schema=...)); the
+partitioned-parquet entry writes the Hive layout partition pruning
+needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karna_spark.catalog import read_table
+from karna_spark.io.sinks import write_table
+from karna_spark.queries.registry import register_query, table
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".io_cache")
+
+
+def _export_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_CACHE, tag, name)
+
+
+@register_query(
+    "source_csv_roundtrip",
+    oracle="SELECT * FROM nation",
+    tags="S1 S8",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S8: nation → CSV export → CSV scan with header + type
+    inference. Lossless for int/string columns; proves the header,
+    quoting and inference defaults."""
+    out = _export_dir(sf_dir, "nation_csv")
+    write_table(table(spark, sf_dir, "nation"), out, fmt="csv")
+    return read_table(spark, out, fmt="csv")
+
+
+@register_query(
+    "source_tsv_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags="S2 S8",
+)
+def source_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S8: supplier → TSV export → tab-delimited scan. The 2-decimal
+    doubles (s_acctbal) round-trip exactly through decimal text."""
+    out = _export_dir(sf_dir, "supplier_tsv")
+    write_table(table(spark, sf_dir, "supplier"), out, fmt="tsv")
+    return read_table(spark, out, fmt="tsv").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@register_query(
+    "source_multifile_glob",
+    oracle="SELECT * FROM customer",
+    tags="S5 S3 S8",
+)
+def source_multifile_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: a 'table' as many files — customer written as 4 parquet parts,
+    read back via a glob over the part files. At 100 TB a table is
+    O(100k) objects behind exactly this code path."""
+    out = _export_dir(sf_dir, "customer_parts")
+    write_table(table(spark, sf_dir, "customer").repartition(4), out, fmt="parquet")
+    return read_table(spark, os.path.join(out, "part-*.parquet"), fmt="parquet")
+
+
+@register_query(
+    "source_partitioned_layout",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority,"
+    " o_orderstatus FROM orders WHERE o_orderstatus IN ('F', 'O')",
+    tags="S5 S8 S3",
+)
+def source_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S8: Hive-partitioned export (partitionBy o_orderstatus) +
+    partition-discovered read with a partition-pruning filter — the
+    layout/pruning pair that makes selective scans at 100 TB touch only
+    matching directories (verify: .explain shows PartitionFilters)."""
+    out = _export_dir(sf_dir, "orders_by_status")
+    write_table(
+        table(spark, sf_dir, "orders"), out, fmt="parquet", partition_by=["o_orderstatus"]
+    )
+    df = read_table(spark, out, fmt="parquet")
+    return df.filter(F.col("o_orderstatus").isin("F", "O")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+@register_query(
+    "sink_result_page",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 20 OFFSET 10
+    """,
+    tags="S7 O1 O2",
+)
+def sink_result_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: one stable result page (orderBy unique-key + offset + limit)
+    — the web/CLI serving shape. Catalyst fuses to a bounded top-k; the
+    driver never materializes more than the page."""
+    from karna_spark.io.sinks import page
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    return page(cust, [F.col("c_acctbal").desc(), F.col("c_custkey")], limit=20, offset=10)

@@ -1,0 +1,154 @@
+"""Unit tests for the three front-end surfaces (SURVEY.md §2.10, §5.2).
+
+Oracle parity for the front-ends is covered by the registry entries in
+karna_spark/queries/frontends_q.py; these tests cover what the oracle
+can't: nested (struct/array) GraphQL output shapes, translator error
+behavior, NL→SQL round-trip exactness, and the read-only SQL guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    from karna_spark.frontends.sql import session_with_fixtures
+
+    return session_with_fixtures(spark, SF_SMOKE)
+
+
+# ------------------------------------------------------------------ GraphQL
+def test_graphql_nested_struct_shape(fixtures):
+    from karna_spark.frontends.graphql import translate
+
+    df = translate(
+        fixtures,
+        """
+        query {
+          customer(where: {c_acctbal: {gte: 0}}, orderBy: [{c_custkey: ASC}], limit: 5) {
+            c_custkey
+            c_name
+            nation { n_name }
+          }
+        }
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["c_custkey", "c_name", "nation"]
+    # nested many-to-one is a struct with the selected leafs
+    assert rows[0]["nation"].__fields__ == ["n_name"]
+
+
+def test_graphql_one_to_many_list(fixtures):
+    from karna_spark.frontends.graphql import translate
+
+    df = translate(
+        fixtures,
+        """
+        query {
+          nation(orderBy: [{n_nationkey: ASC}], limit: 3) {
+            n_nationkey
+            n_name
+            customers { c_custkey c_name }
+          }
+        }
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    row = rows[0]
+    # relay-style: children as sorted array of structs
+    assert isinstance(row["customers"], list)
+    custkeys = [c["c_custkey"] for c in row["customers"]]
+    assert custkeys == sorted(custkeys)
+    # cross-check one nation's customer count against a direct filter
+    direct = (
+        fixtures.table("customer")
+        .filter(f"c_nationkey = {row['n_nationkey']}")
+        .count()
+    )
+    assert len(row["customers"]) == direct
+
+
+def test_graphql_where_operators(fixtures):
+    from karna_spark.frontends.graphql import translate
+
+    df = translate(
+        fixtures,
+        """
+        query {
+          part(where: {OR: [{p_size: {lte: 5}}, {p_brand: {eq: "Brand#1"}}],
+                       p_retailprice: {gt: 0}}) {
+            p_partkey p_size p_brand
+          }
+        }
+        """,
+    )
+    for r in df.collect():
+        assert r["p_size"] <= 5 or r["p_brand"] == "Brand#1"
+
+
+def test_graphql_errors(fixtures):
+    from karna_spark.frontends.graphql import GraphQLError, translate
+
+    with pytest.raises(GraphQLError):
+        translate(fixtures, "query { orders { o_orderkey bogus_relation { x } } }")
+    with pytest.raises(GraphQLError):
+        translate(
+            fixtures, "query { orders(where: {o_orderkey: {wrongop: 1}}) { o_orderkey } }"
+        )
+
+
+# ----------------------------------------------------------------------- NL
+def test_nl_roundtrip_sql_text():
+    from karna_spark.frontends.nl import to_sql
+
+    assert to_sql("total quantity by return flag in lineitem") == (
+        "SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    assert to_sql("count of orders by order status") == (
+        "SELECT o_orderstatus, COUNT(*) AS count FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    assert to_sql("top 15 customers by acctbal") == (
+        "SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15"
+    )
+    # filters + top-N in the aggregate form
+    assert to_sql(
+        "average total price by order priority in orders where order status is F top 3"
+    ) == (
+        "SELECT o_orderpriority, AVG(o_totalprice) AS avg_o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority "
+        "ORDER BY avg_o_totalprice DESC, o_orderpriority LIMIT 3"
+    )
+
+
+def test_nl_refuses_out_of_grammar():
+    from karna_spark.frontends.nl import NLError, to_sql
+
+    with pytest.raises(NLError):
+        to_sql("please delete everything")
+    with pytest.raises(NLError):
+        to_sql("total bogus_column by name in customer")
+
+
+def test_nl_executes(fixtures):
+    from karna_spark.frontends.nl import ask
+
+    rows = ask(fixtures, "count of customers").collect()
+    assert rows[0]["count"] == fixtures.table("customer").count()
+
+
+# ---------------------------------------------------------------------- SQL
+def test_sql_guard_blocks_writes(fixtures):
+    from karna_spark.frontends.sql import SQLFrontendError, execute
+
+    for stmt in ("DROP TABLE customer", "insert into x values (1)", "SET a=1"):
+        with pytest.raises(SQLFrontendError):
+            execute(fixtures, stmt)
+    assert execute(fixtures, "SELECT 1 AS one").collect()[0]["one"] == 1
