@@ -25,6 +25,7 @@ from karna_spark.queries import (  # noqa: F401,E402
     frontends_q,
     sources_q,
     udx,
+    streaming_q,
 )
 
 REGISTRY = registry.REGISTRY

@@ -1,0 +1,80 @@
+"""Structured Streaming entries (SURVEY.md §2.9 T4, §7 M6).
+
+Each builder runs a real streaming query to completion
+(``availableNow``) and returns the sink contents. The watermarked
+append-mode entry is oracle-checked against the *batch* aggregation —
+the strongest possible statement of Spark's batch/streaming unification
+(same ``window`` operator, same results, late-data semantics added).
+
+The staged landing directory + far-future sentinel file mechanism is
+documented in karna_spark/streaming/jobs.py; the sentinel's window is
+never finalized, so append output is exactly the finalized real
+windows.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from karna_spark.queries.registry import register_query
+from karna_spark.streaming.jobs import (
+    _STREAM_CACHE,
+    events_stream,
+    run_to_memory,
+    stage_events,
+    tumbling_watermark,
+    user_stats_stateful,
+)
+
+
+@register_query(
+    "streaming_tumbling_watermark",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags="T1 T4",
+)
+def streaming_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermarked 1-hour tumbling aggregation under readStream,
+    append output mode, availableNow trigger, file-per-micro-batch.
+    Append mode emits each window exactly once when the watermark
+    passes its end — the oracle is the plain batch aggregation, so the
+    hash-match proves streaming == batch for on-time data. State is
+    bounded by the 30-minute watermark delay at any stream size."""
+    landing = stage_events(spark, sf_dir, with_sentinel=True)
+    return run_to_memory(tumbling_watermark(events_stream(spark, landing)), "append")
+
+
+@register_query(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+    FROM events
+    GROUP BY user_id
+    """,
+    tags="T4 U3",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals in explicit group state, integer-cent
+    arithmetic for cross-engine exactness. Single micro-batch here, so
+    each key emits once and the result equals the batch group-by; the
+    multi-batch state-carry behavior is pytest-covered
+    (tests/test_streaming.py)."""
+    landing = stage_events(spark, sf_dir, with_sentinel=False)
+    checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
+    return run_to_memory(
+        user_stats_stateful(events_stream(spark, landing, one_batch=True)),
+        "append",
+        checkpoint=checkpoint,
+    )

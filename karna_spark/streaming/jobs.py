@@ -1,0 +1,176 @@
+"""Structured Streaming surface (SURVEY.md §2.9 T4 + §7 M6 stretch).
+
+Streaming is NOT part of the reference's declared surface (reference
+README.md:2 declares file querying only) — this module is the
+north-star extension: the same event-time operators the batch layer
+provides (T1-T3 use ``F.window``/``F.session_window``, identical in
+both modes), now under ``readStream`` with watermarks governing late
+data and state cleanup (T4), plus a custom stateful operator
+(``applyInPandasWithState``, U3-streaming).
+
+Design for scale:
+- File source → in production a Kafka/queue source; only the
+  ``readStream`` line changes, the plan below it is identical.
+- Watermark = bounded state. Without it a 100 TB/day stream grows
+  window state forever; with it Spark drops state (and late rows)
+  older than ``delay`` — the knob trading completeness vs memory.
+- ``availableNow`` trigger = incremental batch: process everything
+  currently available with streaming semantics + checkpointed exactly-
+  once progress, then stop. The idiom for periodic catch-up jobs over
+  object-store landing zones.
+
+Testing strategy: the driver's fixture is a static parquet file, so
+jobs here stage it into a landing directory (plus a far-future sentinel
+file) and run ``availableNow`` with ``maxFilesPerTrigger=1``; the
+sentinel batch advances the watermark past every real event, so append
+mode emits exactly the finalized windows — byte-equal to the batch
+aggregation, hence oracle-checkable. The sentinel's own window is never
+finalized and never emitted.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karna_spark.catalog import read_fixture_table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_STREAM_CACHE = os.path.join(_REPO_ROOT, ".io_cache", "streaming")
+
+# Far beyond any fixture event; its window can never be finalized by
+# its own watermark, so it is structurally excluded from append output.
+_SENTINEL_TS = "2035-01-01 00:00:00"
+
+
+def stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = True) -> str:
+    """Stage the events fixture as a streaming landing directory:
+    one data file (the fixture, µs timestamps) + optionally one
+    later-arriving sentinel file that drives the watermark forward.
+
+    Test scaffolding only — a production deployment points readStream
+    at the real landing zone / queue instead.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(_STREAM_CACHE, tag, "sentinel" if with_sentinel else "plain")
+    done = os.path.join(root, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ev = read_fixture_table(spark, sf_dir, "events")
+        tmp = os.path.join(root, "_tmp_write")
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(root, "00_events.parquet"))
+        shutil.rmtree(tmp)
+        if with_sentinel:
+            sent = spark.createDataFrame(
+                [(int(-1), _SENTINEL_TS, int(-1), "__flush__", 0.0, "{}")],
+                "event_id long, ts_s string, user_id long, event_type string,"
+                " value double, props string",
+            ).select(
+                "event_id",
+                F.to_timestamp("ts_s").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+            tmp2 = os.path.join(root, "_tmp_sentinel")
+            sent.coalesce(1).write.mode("overwrite").parquet(tmp2)
+            part2 = next(f for f in os.listdir(tmp2) if f.endswith(".parquet"))
+            # moved second → later mtime → FileStreamSource processes it
+            # as the second micro-batch
+            shutil.move(os.path.join(tmp2, part2), os.path.join(root, "01_flush.parquet"))
+            shutil.rmtree(tmp2)
+        open(done, "w").close()
+    return root
+
+
+def events_stream(spark: SparkSession, landing_dir: str, one_batch: bool = False) -> DataFrame:
+    """File-source stream over a landing directory of event parquet."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    reader = spark.readStream.schema(schema)
+    if not one_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.format("parquet").load(landing_dir)
+
+
+def run_to_memory(result: DataFrame, mode: str, checkpoint: str | None = None) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a
+    memory sink; returns the sink as a DataFrame."""
+    name = f"karna_stream_{uuid.uuid4().hex[:10]}"
+    writer = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def tumbling_watermark(
+    stream: DataFrame, window: str = "1 hour", delay: str = "30 minutes"
+) -> DataFrame:
+    """T4+T1: watermarked tumbling-window aggregation. In append mode a
+    window row is emitted once, when the watermark passes its end —
+    late rows beyond ``delay`` are dropped and their state freed."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def user_stats_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals carried in explicit group state across micro-batches.
+    Arrow-batched (pandas) on executors; state lives in the state store,
+    partitioned by key — scales with #users, not #events."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value_c long"
+    state_schema = "n long, total_c long"
+
+    def update(key, pdfs, state: GroupState):
+        n, total_c = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # accumulate in integer cents — exact, order-independent
+            total_c += int(round(pdf["value"].mul(100).round().sum()))
+        state.update((n, total_c))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value_c": [total_c]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
