@@ -14,6 +14,7 @@ from karna_spark.queries import registry  # noqa: F401
 # Query modules self-register on import.
 from karna_spark.queries import (  # noqa: F401,E402
     tpch,
+    tpch_ext,
     relational,
     aggregates,
     windows,
