@@ -732,3 +732,144 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register_query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    regional AS (
+      SELECT o.ps_partkey, o.ps_suppkey, o.unit_cost,
+             s_acctbal, s_name, n_name
+      FROM offers o, supplier, nation, region
+      WHERE s_suppkey = o.ps_suppkey
+        AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey AS partkey, p_type,
+           ROUND(unit_cost, 4) AS unit_cost
+    FROM part, regional
+    WHERE p_partkey = ps_partkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND unit_cost = (
+        SELECT MIN(unit_cost) FROM regional r2
+        WHERE r2.ps_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey
+    LIMIT 100
+    """,
+    tags="J1 J7 A1 W1 O1 O2",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (fixture has no partsupp: the part↔supplier
+    relation and its cost are derived from lineitem — unit cost =
+    MIN(l_extendedprice / l_quantity) per (part, supplier); MIN over
+    doubles is merge-order-independent, so it is cluster-deterministic
+    without decimal casting). The correlated "cost = regional minimum
+    for this part" subquery decorrelates to a window MIN over
+    p_partkey + equality filter — one extra shuffle on partkey instead
+    of a per-row re-scan. supplier/nation/region are broadcast dims;
+    the only big shuffle is the (partkey, suppkey) partial+final
+    hash-agg over lineitem. Capability: declared SQL surface
+    (reference README.md:2; no engine code, karna-core/src/lib.rs:1-14);
+    shape follows the public TPC-H spec."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    regional = (
+        offers.join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    )
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        regional.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            "p_type",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+@register_query(
+    "q16_supplier_relation_count",
+    oracle="""
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+                          l_suppkey AS ps_suppkey
+          FROM lineitem) ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags="J4 A3 P3 O1",
+)
+def q16_supplier_relation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem distinct pairs stand in for partsupp;
+    "complaint" suppliers are those whose name ends in 7). NOT IN over
+    a never-null key column is safely a left-anti join (the NULL trap
+    SURVEY.md §2.3 J4 warns about does not arise: s_suppkey is a
+    non-null PK). The distinct + count-distinct both hash-shuffle on
+    the same keys; part and the excluded-supplier list broadcast."""
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    complained = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        pairs.join(
+            F.broadcast(complained),
+            pairs.ps_suppkey == complained.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
