@@ -218,3 +218,49 @@ def frontend_nl_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _fixtures(spark, sf_dir)
     return ask(spark, _NL_TOPN)
+
+
+_GQL_NESTED_LIST = """
+query {
+  nation(orderBy: [{n_name: ASC}]) {
+    n_nationkey
+    n_name
+    customers { c_name }
+  }
+}
+"""
+
+
+@register_query(
+    "frontend_graphql_nested_list",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           list_sort(list(c_name)) AS customer_names
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    ORDER BY n_name
+    """,
+    tags="S6 J2 A9 O1",
+)
+def frontend_graphql_nested_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL one-to-many (relay-style) nesting: each nation carries
+    its customers as a nested list. The translator plans one shuffle on
+    the parent key (groupBy + sorted collect_list) then a left join —
+    at 100 TB that is the minimal movement the semantics allow (children
+    must co-locate with their parent). For the oracle hash the struct
+    array is projected to its single leaf (array<string> reprs
+    identically in both engines); the struct shape itself is covered by
+    tests/test_frontends.py."""
+    from pyspark.sql import functions as F
+
+    from karna_spark.frontends.graphql import translate
+
+    _fixtures(spark, sf_dir)
+    nested = translate(spark, _GQL_NESTED_LIST)
+    return nested.select(
+        "n_nationkey",
+        "n_name",
+        F.transform("customers", lambda s: s.getField("c_name")).alias(
+            "customer_names"
+        ),
+    )

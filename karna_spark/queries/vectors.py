@@ -117,3 +117,24 @@ def similarity_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.15)
         .select("vec_id", F.round(F.col("cos_raw"), 4).alias("cos"))
     )
+
+
+@register_query("similarity_topk_ivf", oracle=None, tags="F8 J9 U3")
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN, IVF path: a k-means coarse quantizer (8 cells,
+    3 Lloyd iterations — all shuffles bounded by k·dim, not corpus
+    size) partitions the corpus into inverted lists; each query probes
+    its 2 nearest cells and exact-ranks only those lists. At 100 TB
+    the corpus assignment is one broadcast join and the probe cost is
+    nprobe/k of the data per query. Rows-only for the driver (Lloyd
+    iteration is not SQL-expressible); recall vs the brute-force
+    baseline is unit-tested in tests/test_operators.py."""
+    from karna_spark.operators.similarity import ann_ivf_topk, train_kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = train_kmeans(emb, "embedding", k=8, iters=3)
+    res = ann_ivf_topk(emb, queries, cents, "vec_id", "vec_id", "embedding", k=5, nprobe=2)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank"
+    )
