@@ -235,7 +235,8 @@ query {
     "frontend_graphql_nested_list",
     oracle="""
     SELECT n_nationkey, n_name,
-           list_sort(list(c_name)) AS customer_names
+           list_sort(list(c_name) FILTER (WHERE c_name IS NOT NULL))
+             AS customer_names
     FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_nationkey, n_name
     ORDER BY n_name

@@ -85,7 +85,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     ``__spark_entry__.entry``); static confs (driver memory, master)
     can't change post-hoc, but the SQL confs that shape plans can.
     """
-    for k, v in _SCALE_CONFS.items():
+    confs = dict(_SCALE_CONFS)
+    # The driver's plain session defaults to 200 shuffle partitions —
+    # far too many for local fixture scales (200 tiny tasks per
+    # exchange). Start at local parallelism; AQE coalesces further. On
+    # a real cluster this is overridden to ~2-3× total cores.
+    confs["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
