@@ -1,0 +1,181 @@
+"""Aggregation surface extensions (SURVEY.md §2.4 A8-A10, §2.7 F4).
+
+GROUPING SETS beyond rollup/cube, ordered string aggregation, boolean /
+conditional-count aggregates, unpivot (wide→long reshaping for the
+web-UI table surface the reference implies, reference flake.nix:27),
+and positional explode. The reference declares this surface only as
+"query tabular files ... using SQL" (reference README.md:2 — no
+implementation exists, reference karna-core/src/lib.rs:1-14); shapes
+here are the standard SQL constructs a front-end must serve.
+
+Scale posture: every query is built-in-expression only (whole-stage
+codegen, no Python on executors). GROUPING SETS plans one shuffle per
+grouping-set expansion (Spark `Expand` keeps it single-pass);
+unpivot/posexplode are narrow (no shuffle at all before their final
+aggregation-free projection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from karna_spark.queries.parity import dsum, sql_dsum
+from karna_spark.queries.registry import register_query, table
+
+
+# ---------------------------------------------------------------- A8
+@register_query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags="A8 A1 A2",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: explicit GROUPING SETS (finer control than rollup/cube) with
+    grouping_id disambiguating NULL-as-subtotal from NULL-as-value.
+    Catalyst plans this as a single scan + Expand (one row per set per
+    input row) + one hash aggregate — not one pass per set, which is
+    what makes multi-granularity aggregation viable at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [
+            [F.col("l_returnflag"), F.col("l_linestatus")],
+            [F.col("l_returnflag")],
+            [],
+        ],
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    ).agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+# ---------------------------------------------------------------- A9
+@register_query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS members,
+           COUNT(*) AS n_members
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags="A9 A1 J1 J7 O1",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: ordered string aggregation (LISTAGG / string_agg). Spark's
+    collect_list order is partition-arrival order — never reproducible
+    on a cluster — so the deterministic spelling is array_sort before
+    concat_ws; the oracle's string_agg(... ORDER BY) pins the same
+    order. The nation dimension broadcasts; one shuffle on n_name."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("members"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------- A1/A5
+@register_query(
+    "agg_count_if_bool",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc_gt5,
+           bool_and(l_quantity >= 1) AS all_qty_pos,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags="A1 P4 O1",
+)
+def agg_count_if_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count and boolean aggregates (count_if / bool_and /
+    bool_or) — the idiomatic spelling of SUM(CASE WHEN ...) quality
+    gates a data-pipeline health check runs per partition of a 100 TB
+    table. All JVM built-ins; partial aggregation applies as usual."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_disc_gt5"),
+            F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- A10
+@register_query(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey,
+                 CAST(p_size AS DOUBLE) AS size,
+                 p_retailprice AS retailprice
+          FROM part)
+    UNPIVOT (value FOR metric IN (size, retailprice))
+    """,
+    tags="A10 P1 P5",
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 inverse: unpivot / melt (wide→long), the reshaping a web UI
+    needs to chart N metrics from one row. Narrow operation — each input
+    row expands in place to one row per metric, no shuffle. Metric
+    columns are unified to DOUBLE (unpivot requires a common value
+    type in both engines)."""
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------- F4/U4
+@register_query(
+    "explode_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE doc_id % 20 = 0)
+    """,
+    tags="F4 F1 P2",
+)
+def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: positional explode — tokenize and keep each token's offset
+    (the shape shingling/n-gram pipelines start from). Zero-shuffle
+    narrow op; the generator runs inside codegen. The doc_id filter
+    pushes down to the parquet scan before any splitting happens."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).withColumn("pos", F.col("pos").cast("long"))
