@@ -48,6 +48,20 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def shuffle_partitions_default() -> int | None:
+    """Resolve the shuffle-partition override, if any.
+
+    Precedence: ``$SPARK_GRAFT_SHUFFLE_PARTITIONS`` (cluster operators
+    pin this to ~2-3× total executor cores) > local parallelism. Returns
+    None when the env var is set to the empty string, meaning "leave the
+    session's existing value alone".
+    """
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env is not None:
+        return max(1, int(env)) if env.strip() else None
+    return default_parallelism()
+
+
 def get_spark(
     app_name: str = "karna_spark",
     master: str | None = None,
@@ -64,7 +78,8 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cores}]")
     confs = dict(_SCALE_CONFS)
-    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    resolved = shuffle_partitions or shuffle_partitions_default() or cores
+    confs["spark.sql.shuffle.partitions"] = str(resolved)
     # Local mode: the driver JVM is the only executor; give it headroom
     # but only when we are the ones creating the session.
     confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -88,9 +103,19 @@ def tune_session(spark: SparkSession) -> SparkSession:
     confs = dict(_SCALE_CONFS)
     # The driver's plain session defaults to 200 shuffle partitions —
     # far too many for local fixture scales (200 tiny tasks per
-    # exchange). Start at local parallelism; AQE coalesces further. On
-    # a real cluster this is overridden to ~2-3× total cores.
-    confs["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    # exchange). Override only when the session still carries Spark's
+    # stock default: a deliberate setting (cluster operator pinning
+    # ~2-3× total cores, or $SPARK_GRAFT_SHUFFLE_PARTITIONS) wins.
+    current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    target = shuffle_partitions_default()
+    if target is not None and current == "200":
+        confs["spark.sql.shuffle.partitions"] = str(target)
+        # Let AQE coalesce from a higher starting parallelism than the
+        # final setting, so large shuffles are not under-parallelized.
+        confs.setdefault(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(target * 4, 64)),
+        )
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)
