@@ -2,31 +2,43 @@
 requirement).
 
 Design: media travels as an opaque ``binary`` column plus a typed
-metadata struct; per-item compute (decode, resize, feature extraction,
-frame sampling) runs as Arrow-batched ``mapInPandas`` so the Python
-media libraries see contiguous byte batches, while everything around it
-(partitioning, filtering on metadata, joins to labels) stays JVM-side.
+metadata struct; per-item compute (decode, feature extraction, frame
+sampling) runs as Arrow-batched ``mapInPandas`` so Python sees
+contiguous byte batches, while everything around it (partitioning,
+filtering on metadata, joins to labels) stays JVM-side.
 
-The actual codec work needs libraries this container does not ship
-(PIL/ffmpeg/soundfile), so the decode kernel is STUBBED: by default it
-raises NotImplementedError; with ``fake=True`` it produces a
-deterministic synthetic decode so the full pipeline — schema, batch
-iteration, partition sizing, output assembly — is exercised end-to-end
-in tests. The Spark-side plumbing is real; only the innermost
-bytes→pixels call is a placeholder.
+The decode kernel is REAL for the uncompressed formats a stdlib-only
+container can parse: 24-bit BI_RGB BMP, binary PPM (P6), and 16-bit PCM
+WAV. Compressed codecs (JPEG/PNG/MP4) would slot into the same
+``_decode_bytes`` dispatch once a codec library exists; until then they
+raise ``ValueError`` (unsupported magic) rather than silently guessing.
+
+Synthesis helpers build valid media bytes deterministically from an
+integer seed so the full pipeline — encode, Arrow batch transfer,
+header parse, padded-row pixel walk, mean computation — is verifiable
+against closed-form SQL (the driver's DuckDB oracle recomputes the
+expected width/height/mean from the same seed arithmetic).
+
+Reference parity note: the reference repo (elliot14A/karna) declares no
+multimodal surface at all (its engine crate holds only the cargo
+template, reference karna-core/src/lib.rs:1-14); this module exists for
+the 100 TB training-data-pipeline north star.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Output schema of the decode stage: one row per media item.
+# Output schema of the decode stage: one row per media item. For audio,
+# width = frame count and height = 1 (a 1-D signal); mean_intensity is
+# mean |sample| / 32768 for audio and mean byte / 255 for images.
 DECODE_SCHEMA = (
-    "item_id bigint, n_bytes bigint, sha256 string, "
+    "item_id bigint, n_bytes bigint, sha256 string, media_type string, "
     "width int, height int, n_channels int, mean_intensity double"
 )
 
@@ -43,27 +55,132 @@ def attach_media_metadata(df: DataFrame, binary_col: str, id_col: str) -> DataFr
     )
 
 
-def _decode_bytes(payload: bytes, fake: bool) -> tuple[int, int, int, float]:
-    """bytes → (width, height, channels, mean_intensity).
-
-    STUB: real decode requires an image codec library not present in
-    this environment. The ``fake`` path derives deterministic values
-    from the payload so tests exercise real data flow.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires an image/audio codec library (e.g. PIL, "
-            "ffmpeg); install one and replace _decode_bytes"
-        )
-    n = len(payload)
-    width = 16 + (n % 64)
-    height = 16 + ((n // 64) % 64)
-    channels = 3
-    mean = (sum(payload[:64]) / max(1, min(n, 64))) / 255.0
-    return width, height, channels, round(mean, 6)
+# --------------------------------------------------------------- encode
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid 24-bit BI_RGB bottom-up BMP, solid color."""
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    # BMP pixel order is BGR.
+    row = bytes([rgb[2], rgb[1], rgb[0]]) * width + b"\x00" * pad
+    return header + row * height
 
 
-def decode_media(df: DataFrame, fake: bool = False, batch_hint: int | None = None) -> DataFrame:
+def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Binary PPM (P6), solid color."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + bytes(rgb) * (width * height)
+
+
+def encode_wav(n_frames: int, sample: int, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV holding ``n_frames`` copies of one sample."""
+    data = struct.pack("<h", sample) * n_frames
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+# --------------------------------------------------------------- decode
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int, float]:
+    (_, _, _, _, pix_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    (hdr_size, width, height, _, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={compression})")
+    abs_h = abs(height)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    total = 0
+    for r in range(abs_h):
+        start = pix_off + r * stride
+        total += sum(payload[start : start + row_raw])  # padding excluded
+    mean = total / (width * abs_h * 3) / 255.0
+    return "image/bmp", width, abs_h, 3, mean
+
+
+def _decode_ppm(payload: bytes) -> tuple[str, int, int, int, float]:
+    # P6 header: magic, width, height, maxval as whitespace-separated
+    # ASCII tokens, then EXACTLY ONE whitespace byte before pixel data.
+    # A naive bytes.split() is wrong here — pixel bytes that happen to
+    # be 0x20/0x0a would be eaten as separators — so scan explicitly.
+    ws = b" \t\r\n"
+
+    def token(pos: int) -> tuple[bytes, int]:
+        while pos < len(payload) and payload[pos] in ws:
+            pos += 1
+        start = pos
+        while pos < len(payload) and payload[pos] not in ws:
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        return payload[start:pos], pos
+
+    magic, pos = token(0)
+    if magic != b"P6":
+        raise ValueError("malformed PPM")
+    w_tok, pos = token(pos)
+    h_tok, pos = token(pos)
+    max_tok, pos = token(pos)
+    if w_tok.startswith(b"#") or h_tok.startswith(b"#"):
+        raise ValueError("PPM comments unsupported")
+    width, height, maxval = int(w_tok), int(h_tok), int(max_tok)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data_off = pos + 1  # the single whitespace byte after maxval
+    n = width * height * 3
+    pixels = payload[data_off : data_off + n]
+    if len(pixels) < n:
+        raise ValueError("truncated PPM pixel data")
+    return "image/ppm", width, height, 3, sum(pixels) / n / 255.0
+
+
+def _decode_wav(payload: bytes) -> tuple[str, int, int, int, float]:
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("malformed WAV")
+    off, channels, bits, data = 12, None, None, None
+    while off + 8 <= len(payload):
+        chunk_id, size = struct.unpack_from("<4sI", payload, off)
+        body = payload[off + 8 : off + 8 + size]
+        if chunk_id == b"fmt ":
+            (fmt, channels, _, _, _, bits) = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding (fmt={fmt}, bits={bits})")
+        elif chunk_id == b"data":
+            data = body
+        off += 8 + size + (size % 2)
+    if channels is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    n_frames = len(samples) // channels
+    mean = sum(abs(s) for s in samples) / max(1, len(samples)) / 32768.0
+    return "audio/wav", n_frames, 1, channels, mean
+
+
+def _decode_bytes(payload: bytes) -> tuple[str, int, int, int, float]:
+    """bytes → (media_type, width, height, channels, mean_intensity).
+
+    Dispatch on magic bytes; every branch fully parses the container
+    (headers, row padding, chunk walk) — no format is inferred from
+    anything but the payload itself."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise ValueError(f"unsupported media magic {payload[:4]!r}")
+
+
+def decode_media(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """The decode stage: mapInPandas over (item_id, media) batches.
 
     Arrow delivers each partition as pandas DataFrames of raw bytes;
@@ -76,21 +193,17 @@ def decode_media(df: DataFrame, fake: bool = False, batch_hint: int | None = Non
         import hashlib
 
         for pdf in batches:
-            out = {
-                "item_id": [],
-                "n_bytes": [],
-                "sha256": [],
-                "width": [],
-                "height": [],
-                "n_channels": [],
-                "mean_intensity": [],
-            }
+            out = {k: [] for k in (
+                "item_id", "n_bytes", "sha256", "media_type",
+                "width", "height", "n_channels", "mean_intensity",
+            )}
             for item_id, payload in zip(pdf["item_id"], pdf["media"]):
                 payload = bytes(payload)
-                w, h, c, m = _decode_bytes(payload, fake)
+                mtype, w, h, c, m = _decode_bytes(payload)
                 out["item_id"].append(item_id)
                 out["n_bytes"].append(len(payload))
                 out["sha256"].append(hashlib.sha256(payload).hexdigest())
+                out["media_type"].append(mtype)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_channels"].append(c)
@@ -98,6 +211,43 @@ def decode_media(df: DataFrame, fake: bool = False, batch_hint: int | None = Non
             yield pd.DataFrame(out)
 
     return df.select("item_id", "media").mapInPandas(decode, DECODE_SCHEMA)
+
+
+# ------------------------------------------------------------ synthesis
+def synthesize_media(seed: int) -> bytes:
+    """Deterministic valid media bytes from an integer seed; the format
+    rotates BMP / PPM / WAV on seed % 3. The parameter arithmetic below
+    is mirrored in closed-form SQL by the oracle of
+    ``multimodal_decode_pipeline`` — changing one side breaks parity."""
+    kind = seed % 3
+    if kind == 0:
+        w, h = 4 + seed % 13, 4 + seed % 7
+        rgb = ((seed * 37) % 256, (seed * 59) % 256, (seed * 83) % 256)
+        return encode_bmp(w, h, rgb)
+    if kind == 1:
+        w, h = 4 + seed % 11, 4 + seed % 5
+        rgb = ((seed * 41) % 256, (seed * 67) % 256, (seed * 89) % 256)
+        return encode_ppm(w, h, rgb)
+    n = 64 + seed % 100
+    sample = (seed * 131) % 30000 - 15000
+    return encode_wav(n, sample)
+
+
+def synthesize_media_df(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a synthetic ``media`` binary column derived from ``id_col``
+    via mapInPandas (fixture generation for the decode pipeline — the
+    testdata tables carry no real media bytes)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "media": [synthesize_media(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, "item_id bigint, media binary")
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:

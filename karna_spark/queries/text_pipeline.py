@@ -13,6 +13,7 @@ from karna_spark.operators.multimodal import (
     attach_media_metadata,
     decode_media,
     sample_frames,
+    synthesize_media_df,
 )
 from karna_spark.operators.text import (
     LANG_MARKERS,
@@ -192,23 +193,78 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("multimodal_decode_pipeline", oracle=None, tags="U2 U3")
-def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: the full decode pipeline through Arrow-batched
-    mapInPandas (deterministic fake decode standing in for the codec —
-    see operators.multimodal._decode_bytes). Rows-only for the driver;
-    the schema/batching plumbing is what's under test."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    media = docs.select(
-        F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "UTF-8").alias("media")
+@register_query(
+    "multimodal_decode_pipeline",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS d, doc_id % 3 AS kind, doc_id
+      FROM documents WHERE doc_id % 5 = 0
     )
-    return decode_media(media, fake=True)
+    SELECT doc_id,
+      CASE kind WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/ppm'
+           ELSE 'audio/wav' END AS media_type,
+      CAST(CASE kind WHEN 0 THEN 4 + d % 13 WHEN 1 THEN 4 + d % 11
+           ELSE 64 + d % 100 END AS INT) AS width,
+      CAST(CASE kind WHEN 0 THEN 4 + d % 7 WHEN 1 THEN 4 + d % 5
+           ELSE 1 END AS INT) AS height,
+      CAST(CASE kind WHEN 2 THEN 1 ELSE 3 END AS INT) AS n_channels,
+      CASE kind
+        WHEN 0 THEN (((d*37)%256 + (d*59)%256 + (d*83)%256) * (4+d%13) * (4+d%7))
+                    / ((4+d%13) * (4+d%7) * 3.0) / 255.0
+        WHEN 1 THEN (((d*41)%256 + (d*67)%256 + (d*89)%256) * (4+d%11) * (4+d%5))
+                    / ((4+d%11) * (4+d%5) * 3.0) / 255.0
+        ELSE (abs((d*131)%30000 - 15000) * (64+d%100))
+             / CAST(64+d%100 AS DOUBLE) / 32768.0
+      END AS mean_intensity
+    FROM m
+    """,
+    tags="U2 U3",
+)
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: the full decode pipeline — synthesize real BMP/PPM/WAV
+    bytes from doc_id (operators.multimodal.synthesize_media), ship them
+    through Arrow-batched mapInPandas, and REALLY parse the containers
+    (header fields, padded BMP rows, WAV chunk walk). The oracle
+    recomputes every decoded field in closed form from the same seed
+    arithmetic, mirroring the exact floating-point operation order so
+    the mean compares bit-identically — a wrong stride/padding/chunk
+    parse breaks the hash."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = synthesize_media_df(docs, "doc_id")
+    return decode_media(media).select(
+        F.col("item_id").alias("doc_id"),
+        "media_type",
+        "width",
+        "height",
+        "n_channels",
+        "mean_intensity",
+    )
 
 
-@register_query("multimodal_frame_sampling", oracle=None, tags="U2 F4")
+@register_query(
+    "multimodal_frame_sampling",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    offs AS (
+      SELECT doc_id, n_bytes,
+             list_slice(generate_series(0, CAST(greatest(n_bytes - 1, 0) AS BIGINT), 64),
+                        1, 4) AS o
+      FROM m
+    )
+    SELECT doc_id AS item_id, n_bytes,
+           CAST(generate_subscripts(o, 1) - 1 AS INT) AS frame_idx,
+           CAST(unnest(o) AS INT) AS byte_offset
+    FROM offs
+    """,
+    tags="U2 F4",
+)
 def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: 1→N frame-sampling expansion (posexplode of stride
-    offsets) — the row-shape video pipelines need, fully JVM-side."""
+    offsets) — the row-shape video pipelines need, fully JVM-side. The
+    oracle regenerates the same stride offsets from the payload length."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
     media = docs.select(
         F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "UTF-8").alias("media")

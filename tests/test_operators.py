@@ -151,28 +151,60 @@ def test_kmeans_and_ivf(spark):
     assert len(exact_set & ivf_set) / len(exact_set) >= 0.2
 
 
-def test_multimodal_decode_stub_raises_without_fake(spark):
+def test_multimodal_decode_rejects_unknown_magic(spark):
     from karna_spark.operators.multimodal import decode_media
 
-    df = spark.createDataFrame([(1, bytearray(b"abc"))], "item_id long, media binary")
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        decode_media(df, fake=False).collect()
+    df = spark.createDataFrame([(1, bytearray(b"nope"))], "item_id long, media binary")
+    with pytest.raises(Exception):  # ValueError surfaces as PythonException
+        decode_media(df).collect()
 
 
-def test_multimodal_fake_decode_deterministic(spark):
-    from karna_spark.operators.multimodal import decode_media
-
-    df = spark.createDataFrame(
-        [(1, bytearray(b"abcdef")), (2, bytearray(b"xyz"))],
-        "item_id long, media binary",
+def test_decode_kernels_roundtrip():
+    """Local (no Spark) encode→decode round-trips for every format."""
+    from karna_spark.operators.multimodal import (
+        _decode_bytes,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
     )
-    out1 = sorted([tuple(r) for r in decode_media(df, fake=True).collect()])
-    out2 = sorted([tuple(r) for r in decode_media(df, fake=True).collect()])
-    assert out1 == out2
-    assert out1[0][1] == 6  # n_bytes
-    import hashlib
 
-    assert out1[0][2] == hashlib.sha256(b"abcdef").hexdigest()
+    # BMP with a width forcing nonzero row padding (5*3=15 → pad 1).
+    mtype, w, h, c, mean = _decode_bytes(encode_bmp(5, 3, (10, 20, 30)))
+    assert (mtype, w, h, c) == ("image/bmp", 5, 3, 3)
+    assert mean == pytest.approx((10 + 20 + 30) / 3 / 255.0)
+
+    mtype, w, h, c, mean = _decode_bytes(encode_ppm(7, 2, (0, 128, 255)))
+    assert (mtype, w, h, c) == ("image/ppm", 7, 2, 3)
+    assert mean == pytest.approx((0 + 128 + 255) / 3 / 255.0)
+
+    mtype, w, h, c, mean = _decode_bytes(encode_wav(100, -4096))
+    assert (mtype, w, h, c) == ("audio/wav", 100, 1, 1)
+    assert mean == 4096 / 32768.0  # power-of-two divisor: exact
+
+
+def test_multimodal_decode_real_media_distributed(spark):
+    """Synthesized media decodes through mapInPandas with the values the
+    seed arithmetic predicts (the same closed form the oracle uses)."""
+    from karna_spark.operators.multimodal import decode_media, synthesize_media_df
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "item_id")
+    out = {r.item_id: r for r in decode_media(synthesize_media_df(ids, "item_id")).collect()}
+    assert len(out) == 30
+    for d in (0, 5, 10):  # BMP, WAV, PPM representatives by d % 3
+        r = out[d]
+        kind = d % 3
+        if kind == 0:
+            assert r.media_type == "image/bmp"
+            assert (r.width, r.height, r.n_channels) == (4 + d % 13, 4 + d % 7, 3)
+            expect = ((d * 37) % 256 + (d * 59) % 256 + (d * 83) % 256) / 3 / 255.0
+            assert r.mean_intensity == pytest.approx(expect)
+        elif kind == 1:
+            assert r.media_type == "image/ppm"
+            assert (r.width, r.height) == (4 + d % 11, 4 + d % 5)
+        else:
+            assert r.media_type == "audio/wav"
+            assert r.width == 64 + d % 100 and r.height == 1 and r.n_channels == 1
+            assert r.mean_intensity == abs((d * 131) % 30000 - 15000) / 32768.0
 
 
 def test_quality_score_bounded(spark):
