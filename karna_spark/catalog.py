@@ -135,7 +135,19 @@ def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        # Explicit schema: no footer-inference work at plan-build time —
+        # repeated builds over the same fixture are action-free.
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[path] = df.schema
+    return df
+
+
+# Fixture schemas are immutable (driver-generated, read-only), so a
+# process-lifetime cache is safe.
+_SCHEMA_CACHE: dict = {}
 
 
 def load_fixture_tables(

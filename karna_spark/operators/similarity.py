@@ -87,14 +87,28 @@ def _bucket_expr(vec_col: str, dim: int, n_planes: int, seed: int):
     return bucket
 
 
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality for plane generation. Callers should pass
+    ``dim`` explicitly (ArrayType carries no length, so plan
+    construction stays action-free); the fallback is a one-row take on
+    a column-pruned scan — correct, but it runs a Spark job at
+    plan-build time."""
+    if dim is not None:
+        return dim
+    return len(df.select(vec_col).first()[0])
+
+
 def random_hyperplane_buckets(
-    df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 42, out_col: str = "bucket"
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+    dim: int | None = None,
 ) -> DataFrame:
     """Append a single-table sign-LSH bucket id. Vectors with high
     cosine collide with probability (1 - θ/π)^n_planes."""
-    # Dimension resolved once at plan-build time (one-row take on a
-    # column-pruned scan).
-    dim = len(df.select(vec_col).first()[0])
+    dim = _resolve_dim(df, vec_col, dim)
     return df.withColumn(out_col, _bucket_expr(vec_col, dim, n_planes, seed))
 
 
@@ -129,6 +143,7 @@ def ann_lsh_topk(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via amplified sign-LSH: ``n_tables``
     independent tables of ``n_planes`` hyperplanes each; a corpus row is
@@ -138,7 +153,7 @@ def ann_lsh_topk(
     cost ≈ L · corpus/2^m per query instead of the full corpus, and the
     join shuffles on the bucket key, so it scales out. Candidates are
     deduped across tables before the exact-cosine rank."""
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _resolve_dim(corpus, vec_col, dim)
     c = _multi_table_buckets(
         corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "c_vec", dim, n_planes, n_tables, seed,

@@ -14,6 +14,12 @@ from karna_spark.operators.similarity import (
 )
 from karna_spark.queries.registry import register_query, table
 
+# Fixture embedding dimensionality (TESTDATA.md: embeddings.embedding is
+# a 64-dim float vector). Passed explicitly so LSH plan construction
+# stays action-free — ArrayType carries no length, and resolving it
+# with a .first() would run a Spark job before the query's own action.
+EMB_DIM = 64
+
 
 @register_query(
     "vector_ops",
@@ -86,7 +92,9 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force baseline is unit-tested."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    res = ann_lsh_topk(emb, queries, "vec_id", "vec_id", "embedding", k=5, n_planes=8)
+    res = ann_lsh_topk(
+        emb, queries, "vec_id", "vec_id", "embedding", k=5, n_planes=8, dim=EMB_DIM
+    )
     return res.select(
         "query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank"
     )

@@ -122,3 +122,21 @@ def test_no_rowwise_python_in_hot_path(spark, name):
         assert "BatchEvalPython" not in plan, name
     if name != "join_cross":
         assert "CartesianProduct" not in plan, name
+
+
+def test_lsh_plan_build_runs_no_jobs(spark):
+    """Building the LSH query plans must trigger ZERO Spark jobs: the
+    vector dimensionality comes from an explicit parameter, not a
+    driver-side .first() probe (which would pay a job per plan build)."""
+    sc = spark.sparkContext
+    # Warm the fixture schema cache (the very first parquet read may run
+    # a footer-inference job — that cost is per-table, not per-build).
+    REGISTRY["similarity_topk_lsh"].builder(spark, SF)
+    sc.setJobGroup("lsh-plan-build", "plan construction must be action-free")
+    try:
+        for name in ("similarity_topk_lsh",):
+            REGISTRY[name].builder(spark, SF)  # build only — no action
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+    finally:
+        sc.setJobGroup("", "")
+    assert jobs == [], f"plan build ran Spark jobs: {jobs}"
