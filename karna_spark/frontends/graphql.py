@@ -265,9 +265,16 @@ def _translate_table_field(
                     ).alias(fname)
                 )
             )
+            list_type = child_agg.schema[fname].dataType
             out = out.join(
                 child_agg, out[rel.parent_col] == child_agg[rel.child_col], "left"
             ).drop(child_agg[rel.child_col])
+            # A parent with zero children misses the join entirely →
+            # NULL array. GraphQL list semantics (and SQL's
+            # list(...) FILTER idiom) say empty list, not null.
+            out = out.withColumn(
+                fname, F.coalesce(F.col(fname), F.array().cast(list_type))
+            )
         keep = [c for c in out_cols] + [F.col(f) for f, _, _ in list_fields]
         out = out.select(*keep)
 

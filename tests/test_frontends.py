@@ -74,6 +74,39 @@ def test_graphql_one_to_many_list(fixtures):
     assert len(row["customers"]) == direct
 
 
+def test_graphql_one_to_many_empty_parent(spark):
+    """A parent with ZERO children must get an empty list, not NULL —
+    fixture-independent (synthetic 2-nation / 1-customer views)."""
+    from karna_spark.frontends.graphql import translate
+
+    spark.createDataFrame(
+        [(1, "HASCHILD"), (2, "CHILDLESS")], "n_nationkey int, n_name string"
+    ).createOrReplaceTempView("nation")
+    spark.createDataFrame(
+        [(10, "cust-a", 1)], "c_custkey int, c_name string, c_nationkey int"
+    ).createOrReplaceTempView("customer")
+    try:
+        df = translate(
+            spark,
+            """
+            query {
+              nation(orderBy: [{n_nationkey: ASC}]) {
+                n_nationkey
+                customers { c_name }
+              }
+            }
+            """,
+        )
+        rows = {r["n_nationkey"]: r["customers"] for r in df.collect()}
+        assert [c["c_name"] for c in rows[1]] == ["cust-a"]
+        assert rows[2] == []  # empty list, not None
+    finally:
+        # Restore the real fixture views for the rest of the module.
+        from karna_spark.frontends.sql import session_with_fixtures
+
+        session_with_fixtures(spark, SF_SMOKE)
+
+
 def test_graphql_where_operators(fixtures):
     from karna_spark.frontends.graphql import translate
 
