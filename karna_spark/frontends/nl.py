@@ -16,6 +16,15 @@ Grammar (case-insensitive; <filters> may repeat, "and"-separated):
   count of|how many|number of <table> [by <dim>] [<filters>]
   [show|list] top N <table> by <measure> [ascending|descending] [<filters>]
 
+  <dim> may name a column of a JOINED dimension table as
+  "<dim-table> <column>" ("nation name", "region name"): the
+  translator walks the FK join vocabulary (JOIN_EDGES, shortest path
+  BFS) from the queried table and emits the necessary JOIN clauses —
+  "total quantity by nation name in lineitem" joins lineitem →
+  supplier → nation. Resolution stays deterministic: the phrase must
+  resolve in the queried table first; only on failure is the leading
+  word run against the table vocabulary.
+
   filters:  where|whose|with <col> is|equals|= <value>
             with|where <col> over|above|at least|greater than <num>
             with|where <col> under|below|at most|less than <num>
@@ -112,6 +121,45 @@ _TABLE_ALIASES.update(
 )
 
 
+# FK join vocabulary: directed edges fact → dimension, each one hop of
+# (dim_table, fk_col, pk_col). Mirrors the GraphQL REL_SCHEMA
+# (frontends/graphql.py) — both front-ends navigate the same star
+# schema. Every edge joins toward a smaller table, so every emitted
+# JOIN is a broadcast-able dimension join at scale.
+JOIN_EDGES: dict[str, list[tuple[str, str, str]]] = {
+    "customer": [("nation", "c_nationkey", "n_nationkey")],
+    "supplier": [("nation", "s_nationkey", "n_nationkey")],
+    "nation": [("region", "n_regionkey", "r_regionkey")],
+    "orders": [("customer", "o_custkey", "c_custkey")],
+    "lineitem": [
+        ("supplier", "l_suppkey", "s_suppkey"),
+        ("orders", "l_orderkey", "o_orderkey"),
+        ("part", "l_partkey", "p_partkey"),
+    ],
+}
+
+
+def _join_path(src: str, dst: str) -> list[tuple[str, str, str]] | None:
+    """Shortest FK path src → dst (BFS; edge-list order breaks ties
+    deterministically). Returns the hop list or None."""
+    frontier: list[tuple[str, list[tuple[str, str, str]]]] = [(src, [])]
+    seen = {src}
+    while frontier:
+        nxt: list[tuple[str, list[tuple[str, str, str]]]] = []
+        for at, path in frontier:
+            for edge in JOIN_EDGES.get(at, []):
+                dim_table = edge[0]
+                if dim_table in seen:
+                    continue
+                new_path = path + [edge]
+                if dim_table == dst:
+                    return new_path
+                seen.add(dim_table)
+                nxt.append((dim_table, new_path))
+        frontier = nxt
+    return None
+
+
 def _norm(s: str) -> str:
     return re.sub(r"[\s_]+", "", s.lower())
 
@@ -139,6 +187,33 @@ def resolve_column(table: str, phrase: str) -> str:
     raise NLError(f"no column matching {phrase!r} in {table} (have {list(cols)})")
 
 
+def resolve_dim(table: str, phrase: str) -> tuple[str, list[str]]:
+    """Resolve a grouping phrase to (column, JOIN clauses).
+
+    Same-table columns win outright; otherwise the longest leading
+    word-prefix naming a known table is interpreted as a joined
+    dimension ("nation name" → nation.n_name reached via JOIN_EDGES).
+    Refuses (never guesses) when neither reading works."""
+    try:
+        return resolve_column(table, phrase), []
+    except NLError as same_table_err:
+        words = phrase.strip().split()
+        for cut in range(len(words) - 1, 0, -1):
+            dim_table = _TABLE_ALIASES.get(" ".join(words[:cut]).lower())
+            if not dim_table:
+                continue
+            path = _join_path(table, dim_table)
+            if path is None:
+                raise NLError(
+                    f"no join path from {table} to {dim_table} "
+                    f"(grammar knows: {sorted(JOIN_EDGES)})"
+                )
+            col = resolve_column(dim_table, " ".join(words[cut:]))
+            joins = [f"JOIN {t} ON {fk} = {pk}" for t, fk, pk in path]
+            return col, joins
+        raise same_table_err
+
+
 @dataclass
 class NLQuery:
     """Structured intermediate: what the grammar extracted."""
@@ -148,10 +223,13 @@ class NLQuery:
     filters: list[str] = field(default_factory=list)  # SQL boolean exprs
     group_by: list[str] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
+    joins: list[str] = field(default_factory=list)  # full JOIN clauses
     limit: int | None = None
 
     def to_sql(self) -> str:
         sql = "SELECT " + ", ".join(self.select) + f" FROM {self.table}"
+        for j in self.joins:
+            sql += f" {j}"
         if self.filters:
             sql += " WHERE " + " AND ".join(self.filters)
         if self.group_by:
@@ -247,12 +325,13 @@ def to_sql(question: str) -> str:
         rest = m.group("rest") or ""
         agg = _AGG_WORDS[m.group("agg").lower()]
         measure = resolve_column(table, m.group("measure"))
-        dim = resolve_column(table, m.group("dim"))
+        dim, joins = resolve_dim(table, m.group("dim"))
         alias = f"{agg.lower()}_{measure}"
         nl = NLQuery(
             table,
             select=[dim, f"{agg}({measure}) AS {alias}"],
             group_by=[dim],
+            joins=joins,
             filters=_parse_filters(_TOP_RE.sub("", rest), table),
         )
         top = _TOP_RE.search(rest)
@@ -269,7 +348,7 @@ def to_sql(question: str) -> str:
         rest = m.group("rest") or ""
         nl = NLQuery(table, filters=_parse_filters(_TOP_RE.sub("", rest), table))
         if m.group("dim"):
-            dim = resolve_column(table, m.group("dim"))
+            dim, nl.joins = resolve_dim(table, m.group("dim"))
             nl.select = [dim, "COUNT(*) AS count"]
             nl.group_by = [dim]
             top = _TOP_RE.search(rest)

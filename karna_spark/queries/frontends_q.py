@@ -188,6 +188,31 @@ def frontend_nl_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ask(spark, _NL_AGG)
 
 
+_NL_JOIN_AGG = "total quantity by nation name in lineitem"
+
+
+@register_query(
+    "frontend_nl_join_aggregate",
+    oracle=(
+        "SELECT n_name, SUM(l_quantity) AS sum_l_quantity FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    ),
+    tags="S6 A1 J1 J7",
+)
+def frontend_nl_join_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, cross-table form: 'nation name' is not a lineitem
+    column, so the grammar walks the FK join vocabulary (lineitem →
+    supplier → nation, shortest path) and emits the JOINs. Both hops
+    are dimension joins Catalyst broadcasts; l_quantity is whole-valued
+    so the SUM is engine-exact."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, _NL_JOIN_AGG)
+
+
 @register_query(
     "frontend_nl_count",
     oracle=(

@@ -161,6 +161,37 @@ def test_nl_roundtrip_sql_text():
     )
 
 
+def test_nl_join_dimension_forms():
+    from karna_spark.frontends.nl import NLError, to_sql
+
+    # one-hop join (customer → nation)
+    assert to_sql("total acctbal by nation name in customer") == (
+        "SELECT n_name, SUM(c_acctbal) AS sum_c_acctbal FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    # two-hop shortest path (lineitem → supplier → nation, not the
+    # 3-hop route through orders → customer)
+    assert to_sql("total quantity by nation name in lineitem") == (
+        "SELECT n_name, SUM(l_quantity) AS sum_l_quantity FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    # count form with a joined dimension + filter
+    assert to_sql("count of customer by region name with acctbal over 0") == (
+        "SELECT r_name, COUNT(*) AS count FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_acctbal >= 0 GROUP BY r_name ORDER BY r_name"
+    )
+    # same-table resolution still wins over the join reading
+    assert "JOIN" not in to_sql("total quantity by return flag in lineitem")
+    # unreachable dimension refuses rather than guessing
+    with pytest.raises(NLError):
+        to_sql("total value by nation name in events")
+
+
 def test_nl_refuses_out_of_grammar():
     from karna_spark.frontends.nl import NLError, to_sql
 
