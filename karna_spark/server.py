@@ -1,0 +1,204 @@
+"""HTTP serving layer (karna-server analog).
+
+The reference's single load-bearing sentence promises "a blazingly fast
+web interface to query tabular files ... using SQL, GraphQL and Natural
+Language" (reference README.md:2) and dedicates a crate to the server
+(reference karna-server/src/lib.rs:1-14, template only). This module is
+that HTTP layer for the Spark-native engine, deliberately thin: parse
+request → translate via the existing front-ends → serve ONE bounded
+result page (io.sinks) as JSON. stdlib ``http.server`` only — the
+container ships no web framework, and the engine does not need one.
+
+API:
+  GET  /health            → {"status": "ok"}
+  GET  /datasets          → [{name, path, fmt}, ...]
+  POST /datasets          {"name", "path", "fmt"?, "options"?}
+  POST /query             {"language": "sql"|"graphql"|"nl",
+                           "query": "...", "limit"?, "offset"?,
+                           "order_by"?: [col, ...]}
+      → {"columns": [...], "rows": [[...], ...], "row_count": n}
+
+Scale posture: the server holds no result state; every /query collects
+at most ``limit`` rows (hard-capped) through a TakeOrderedAndProject
+plan, and Arrow handles the JVM→Python page transfer. Concurrency is
+ThreadingHTTPServer — Spark sessions are thread-safe for reads, and
+each request is an independent job.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAX_PAGE = 10_000  # hard cap on rows per response
+
+
+class ApiError(ValueError):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+
+
+def _run_query(spark: SparkSession, body: dict) -> DataFrame:
+    language = body.get("language", "sql")
+    query = body.get("query")
+    if not query or not isinstance(query, str):
+        raise ApiError(400, "body must carry a 'query' string")
+    if language == "sql":
+        from karna_spark.frontends.sql import execute
+
+        return execute(spark, query)
+    if language == "graphql":
+        from karna_spark.frontends.graphql import translate
+
+        return translate(spark, query)
+    if language == "nl":
+        from karna_spark.frontends.nl import ask
+
+        return ask(spark, query)
+    raise ApiError(400, f"unknown language {language!r} (sql|graphql|nl)")
+
+
+def _page_payload(df: DataFrame, body: dict) -> dict:
+    from karna_spark.io.sinks import page
+
+    limit = min(int(body.get("limit", 100)), MAX_PAGE)
+    offset = int(body.get("offset", 0))
+    order_by = body.get("order_by")
+    if order_by:
+        missing = [c for c in order_by if c not in df.columns]
+        if missing:
+            raise ApiError(400, f"order_by columns not in result: {missing}")
+        out = page(df, order_by, limit=limit, offset=offset)
+    elif offset:
+        # offset without an ordering is nondeterministic — refuse.
+        raise ApiError(400, "offset requires order_by for a stable page")
+    else:
+        out = df.limit(limit)
+    rows = out.collect()
+    return {
+        "columns": out.columns,
+        "rows": [[_json_cell(v) for v in r] for r in rows],
+        "row_count": len(rows),
+    }
+
+
+def _json_cell(v):
+    if isinstance(v, (str, int, float, bool)) or v is None:
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_cell(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # Row
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)  # dates, timestamps, Decimal
+
+
+def create_server(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    metastore=None,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server bound to ``spark``. Attach the
+    metastore's datasets first when one is given."""
+    if metastore is not None:
+        metastore.attach(spark)
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "karna-spark"
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+        def _send(self, status: int, payload) -> None:
+            data = json.dumps(payload).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            if n == 0:
+                raise ApiError(400, "empty request body")
+            try:
+                return json.loads(self.rfile.read(n))
+            except json.JSONDecodeError as e:
+                raise ApiError(400, f"invalid JSON body: {e}") from e
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._send(200, {"status": "ok"})
+            if self.path == "/datasets":
+                if metastore is None:
+                    return self._send(200, [])
+                return self._send(
+                    200,
+                    [
+                        {"name": r.name, "path": r.path, "fmt": r.fmt}
+                        for r in metastore.list()
+                    ],
+                )
+            return self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            try:
+                body = self._body()
+                if self.path == "/query":
+                    df = _run_query(spark, body)
+                    return self._send(200, _page_payload(df, body))
+                if self.path == "/datasets":
+                    name, path = body.get("name"), body.get("path")
+                    if not name or not path:
+                        raise ApiError(400, "body must carry 'name' and 'path'")
+                    opts = body.get("options") or {}
+                    if metastore is not None:
+                        metastore.register(spark, name, path, fmt=body.get("fmt"), **opts)
+                    else:
+                        from karna_spark.catalog import register
+
+                        register(spark, name, path, fmt=body.get("fmt"), **opts)
+                    return self._send(201, {"registered": name})
+                return self._send(404, {"error": f"no route {self.path}"})
+            except ApiError as e:
+                return self._send(e.status, {"error": str(e)})
+            except Exception as e:  # translator/analysis errors → 400
+                return self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main() -> None:
+    """``python -m karna_spark.server [--port N] [--fixtures DIR]``"""
+    import argparse
+
+    from karna_spark.metastore import Metastore
+    from karna_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="karna_spark HTTP server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--fixtures", metavar="DIR")
+    p.add_argument("--metastore", metavar="PATH")
+    args = p.parse_args()
+
+    spark = get_spark(app_name="karna-server")
+    if args.fixtures:
+        from karna_spark.catalog import load_fixture_tables
+
+        load_fixture_tables(spark, args.fixtures)
+    ms = Metastore(args.metastore) if args.metastore else None
+    srv = create_server(spark, args.host, args.port, metastore=ms)
+    print(f"karna_spark serving on http://{args.host}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
