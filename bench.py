@@ -24,11 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # north-star pipeline ops — the queries whose plans represent the
 # engine's hot paths. Extended as milestones land.
 HEADLINE = [
+    # scan/join/agg core (shared with rounds 1-2 — regression anchors)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    # window + north-star pipeline ops + front-end translation
+    "window_topk_per_group",
+    "dedup_minhash_lsh",
+    "similarity_topk_lsh",
+    "frontend_graphql_nested_list",
 ]
 
 

@@ -18,8 +18,11 @@ All math via karna_spark.functions.vector (codegen'd SQL lambdas).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from karna_spark.functions.vector import cosine, l2_distance
 
@@ -116,21 +119,34 @@ def _multi_table_buckets(
     df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
 ) -> DataFrame:
     """Explode each row into ``n_tables`` (table_id, bucket) keys, one
-    per independent plane set — the amplification half of LSH."""
+    per independent plane set — the amplification half of LSH.
+
+    The n_tables × n_planes hyperplane projections are one dense
+    (batch, dim) @ (dim, n_tables·n_planes) matmul — the canonical case
+    where an Arrow-vectorized pandas UDF (numpy/BLAS) beats built-in
+    expressions: the equivalent higher-order-function tree (one
+    aggregate(zip_with) per plane) evaluates interpreted per element
+    and is ~100× slower per row. Batch transfer is Arrow; the plane
+    matrix ships once per task as a closure constant (L·m·dim doubles)."""
+    planes = np.asarray(
+        [
+            row
+            for t in range(n_tables)
+            for row in hyperplanes(dim, n_planes, seed + 1000 * t)
+        ]
+    )  # (n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def bucket_ids(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (mat @ planes.T) >= 0  # (batch, L*m)
+        buckets = signs.reshape(len(v), n_tables, n_planes) @ weights  # (batch, L)
+        return pd.Series(list(buckets))
+
     return df.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        _bucket_expr(vec_col, dim, n_planes, seed + 1000 * t).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(*df.columns, F.col("tb.table_id"), F.col("tb.bucket"))
+        "*", F.posexplode(bucket_ids(F.col(vec_col))).alias("table_id", "bucket")
+    )
 
 
 def ann_lsh_topk(
@@ -154,10 +170,15 @@ def ann_lsh_topk(
     join shuffles on the bucket key, so it scales out. Candidates are
     deduped across tables before the exact-cosine rank."""
     dim = _resolve_dim(corpus, vec_col, dim)
-    c = _multi_table_buckets(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "c_vec", dim, n_planes, n_tables, seed,
-    )
+    c_base = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # Bucket computation is CPU-bound (n_tables × n_planes dot
+    # products per row); a small corpus arriving as 1-3 input splits
+    # would pin it to those cores — spread only in that case (at real
+    # scale splits >> cores and this is a no-op).
+    sc = corpus.sparkSession.sparkContext
+    if c_base.rdd.getNumPartitions() < sc.defaultParallelism:
+        c_base = c_base.repartition(sc.defaultParallelism, "neighbor_id")
+    c = _multi_table_buckets(c_base, "c_vec", dim, n_planes, n_tables, seed)
     q = _multi_table_buckets(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "q_vec", dim, n_planes, n_tables, seed,
