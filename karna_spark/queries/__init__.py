@@ -50,8 +50,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_count_distinct", "agg_having", "agg_cube",
     "agg_grouping_sets", "agg_listagg", "agg_count_if_bool",
     "unpivot_melt", "explode_posexplode",
-    # time windows (T2 T3)
-    "sliding_window_agg", "session_window_agg",
+    # time windows (T2 T3) + skew-resilient W5
+    "sliding_window_agg", "session_window_agg", "sessionization_salted",
     # scalar function families (F2 F5 F7)
     "math_functions", "map_struct_functions", "hash_functions",
     # UDF surface (U1 U2 U3 U4)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from karna_spark.operators.sessionize import session_stats
+from karna_spark.operators.sessionize import session_stats, sessionize_salted
 from karna_spark.queries.registry import register_query, table
 
 
@@ -186,4 +186,44 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.groupBy("user_id").agg(
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
+    )
+
+
+@register_query(
+    "sessionization_salted",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM tagged
+    )
+    SELECT user_id,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags="W5",
+)
+def sessionization_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5, skew-resilient form: sessionize within (user, 6h-bucket)
+    salted windows, then repair boundary-spanning sessions exactly
+    (operators.sessionize.sessionize_salted, SKEW.md). The oracle is
+    the PLAIN sessionization ground truth — the salted decomposition
+    must be indistinguishable from the single-window answer."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize_salted(ev, "user_id", "ts", gap_seconds=1800, salt_seconds=6 * 3600)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
     )

@@ -214,3 +214,47 @@ def test_quality_score_bounded(spark):
     docs = table(spark, "/root/testdata/sf0.001", "documents")
     scores = docs.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in scores)
+
+
+def test_sessionize_salted_equals_plain_on_fixture(spark):
+    from karna_spark.operators.sessionize import sessionize, sessionize_salted
+    from karna_spark.queries.registry import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        (r["event_id"], r["session_id"])
+        for r in sessionize(ev, "user_id", "ts", 1800).select("event_id", "session_id").collect()
+    }
+    # Salt at 6h so fixture sessions actually cross bucket boundaries.
+    salted = {
+        (r["event_id"], r["session_id"])
+        for r in sessionize_salted(ev, "user_id", "ts", 1800, salt_seconds=6 * 3600)
+        .select("event_id", "session_id")
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_sessionize_salted_chain_across_buckets(spark):
+    """One session spanning 3 salt buckets telescopes onto one id."""
+    import datetime as dt
+
+    from karna_spark.operators.sessionize import sessionize_salted
+
+    t0 = dt.datetime(2026, 1, 1, 0, 50)
+    rows = [
+        # session 1: events every 20 min straddling the 1h buckets
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=20)),   # bucket 1
+        (3, 1, t0 + dt.timedelta(minutes=40)),   # bucket 1
+        (4, 1, t0 + dt.timedelta(minutes=80)),   # bucket 2 (gap 40m > 30m → new)
+        (5, 1, t0 + dt.timedelta(minutes=95)),   # bucket 2
+        (6, 1, t0 + dt.timedelta(minutes=115)),  # bucket 3, continues (gap 20m)
+        (7, 1, t0 + dt.timedelta(minutes=135)),  # bucket 3, continues
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize_salted(df, "user_id", "ts", 1800, salt_seconds=3600).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 2}
