@@ -43,7 +43,7 @@ from karna_spark.queries import (  # noqa: F401,E402
 _PRIORITY: tuple[str, ...] = (
     # sources & sinks (S1 S2 S5 S7 S8)
     "source_csv_roundtrip", "source_tsv_roundtrip", "source_multifile_glob",
-    "source_partitioned_layout", "sink_result_page",
+    "source_partitioned_layout", "sink_result_page", "source_bucketed_join",
     # relational stragglers (J5, O6)
     "join_cross", "sample_systematic",
     # aggregation stragglers (A4 A7 A8 A9 A10, F4)

@@ -122,3 +122,47 @@ def sink_result_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     return page(cust, [F.col("c_acctbal").desc(), F.col("c_custkey")], limit=20, offset=10)
+
+
+@register_query(
+    "source_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags="S5 S8 J1",
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing (io.bucketing): lineitem and
+    orders are written bucketed by order key into the same bucket
+    count, so the equi-join needs NO shuffle on either side — the
+    one-time layout shuffle at write replaces a per-query fact-table
+    shuffle at 100 TB (tests/test_plans.py asserts the exchange-free
+    join plan). The oracle joins the original tables: bucketing must
+    be invisible to results."""
+    from karna_spark.io.bucketing import read_bucketed, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    li_name, od_name = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        li_name, ["l_orderkey"], 8,
+    )
+    write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        od_name, ["o_orderkey"], 8,
+    )
+    li, od = read_bucketed(spark, li_name), read_bucketed(spark, od_name)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -24,6 +24,7 @@ milliseconds, so this is cheap enough to sweep the whole registry.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from karna_spark.queries.registry import REGISTRY
 
@@ -108,6 +109,7 @@ _SLOW_BUILDERS = {
     # excluded to keep the sweep plan-only.
     "source_csv_roundtrip", "source_tsv_roundtrip",
     "source_multifile_glob", "source_partitioned_layout",
+    "source_bucketed_join",
     "sink_result_page", "similarity_topk_ivf",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
 }
@@ -140,3 +142,42 @@ def test_lsh_plan_build_runs_no_jobs(spark):
     finally:
         sc.setJobGroup("", "")
     assert jobs == [], f"plan build ran Spark jobs: {jobs}"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed by the join key into the same bucket count
+    join WITHOUT any shuffle: the SortMergeJoin's children are bare
+    bucketed scans (no Exchange, no per-query Sort — buckets are
+    written sorted)."""
+    from karna_spark.io.bucketing import read_bucketed, write_bucketed
+    from karna_spark.queries.registry import table
+
+    write_bucketed(
+        table(spark, SF, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_bkt_plan", ["l_orderkey"], 4,
+    )
+    write_bucketed(
+        table(spark, SF, "orders").select("o_orderkey", "o_totalprice"),
+        "od_bkt_plan", ["o_orderkey"], 4,
+    )
+    li, od = read_bucketed(spark, "li_bkt_plan"), read_bucketed(spark, "od_bkt_plan")
+    joined = li.join(od, li.l_orderkey == od.o_orderkey)
+    # At fixture scale the orders side is broadcast-small, which would
+    # mask the co-location; disable broadcast to see the bucketed SMJ
+    # both large tables would get at 100 TB.
+    original = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(od, li.l_orderkey == od.o_orderkey)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        plan = joined._jdf.queryExecution().explainString(jmode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and results equal the plain (shuffled) join
+        plain = table(spark, SF, "lineitem").join(
+            table(spark, SF, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", original)
