@@ -10,6 +10,9 @@ result page (io.sinks) as JSON. stdlib ``http.server`` only — the
 container ships no web framework, and the engine does not need one.
 
 API:
+  GET  /                  → minimal HTML query console (the "web
+                            interface" of reference README.md:2 —
+                            inline CSS; no CDN in the offline sandbox)
   GET  /health            → {"status": "ok"}
   GET  /datasets          → [{name, path, fmt}, ...]
   POST /datasets          {"name", "path", "fmt"?, "options"?}
@@ -33,6 +36,60 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, SparkSession
 
 MAX_PAGE = 10_000  # hard cap on rows per response
+
+# The web console: one page, no build step, no external assets. It
+# drives exactly the same POST /query contract as any API client.
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>karna-spark</title>
+<style>
+  body{font-family:system-ui,sans-serif;margin:2rem auto;max-width:60rem;
+       color:#1a1a2e}
+  h1{font-size:1.2rem} textarea{width:100%;height:6rem;font-family:monospace}
+  select,button{font-size:1rem;padding:.3rem .8rem;margin:.4rem .4rem 0 0}
+  table{border-collapse:collapse;margin-top:1rem;font-size:.9rem}
+  th,td{border:1px solid #cbd5e1;padding:.25rem .6rem;text-align:left}
+  th{background:#f1f5f9} #err{color:#b91c1c;white-space:pre-wrap}
+  #meta{color:#64748b;font-size:.85rem;margin-top:.5rem}
+</style></head>
+<body>
+<h1>karna-spark query console</h1>
+<textarea id="q" placeholder="SELECT ... / query { ... } / total quantity by nation name in lineitem"></textarea>
+<div>
+  <select id="lang">
+    <option value="sql">SQL</option>
+    <option value="graphql">GraphQL</option>
+    <option value="nl">Natural language</option>
+  </select>
+  <button onclick="run()">Run</button>
+  <span id="meta"></span>
+</div>
+<div id="err"></div>
+<div id="out"></div>
+<script>
+async function run(){
+  const body={language:document.getElementById('lang').value,
+              query:document.getElementById('q').value,limit:200};
+  const t0=performance.now();
+  const resp=await fetch('/query',{method:'POST',
+    headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
+  const data=await resp.json();
+  const err=document.getElementById('err'),out=document.getElementById('out'),
+        meta=document.getElementById('meta');
+  err.textContent='';out.innerHTML='';meta.textContent='';
+  if(!resp.ok){err.textContent=data.error||('HTTP '+resp.status);return;}
+  meta.textContent=data.row_count+' rows · '+
+    ((performance.now()-t0)/1000).toFixed(2)+'s';
+  const tbl=document.createElement('table');
+  tbl.innerHTML='<tr>'+data.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>'+
+    data.rows.map(r=>'<tr>'+r.map(v=>'<td>'+
+      (v===null?'∅':JSON.stringify(v)).replace(/[<>&]/g,
+        s=>({'<':'&lt;','>':'&gt;','&':'&amp;'}[s]))+'</td>').join('')+
+      '</tr>').join('');
+  out.appendChild(tbl);
+}
+</script>
+</body></html>
+"""
 
 
 class ApiError(ValueError):
@@ -134,6 +191,14 @@ def create_server(
                 raise ApiError(400, f"invalid JSON body: {e}") from e
 
         def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                data = _INDEX_HTML.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return None
             if self.path == "/health":
                 return self._send(200, {"status": "ok"})
             if self.path == "/datasets":

@@ -121,3 +121,12 @@ def test_errors_are_json(server):
     assert status == 400 and "order_by" in body["error"]
     status, body = _post(server, "/nope", {"x": 1})
     assert status == 404
+
+
+def test_index_serves_console(server):
+    req = urllib.request.Request(server + "/", method="GET")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+        assert "text/html" in resp.headers["Content-Type"]
+        html = resp.read().decode()
+    assert "query console" in html and "/query" in html
