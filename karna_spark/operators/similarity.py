@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from karna_spark.functions.vector import cosine, l2_distance
+from karna_spark.functions.vector import cosine
 
 # ------------------------------------------------------------ brute force
 
@@ -201,6 +201,27 @@ def ann_lsh_topk(
 # ----------------------------------------------------------------- IVF
 
 
+def _nearest_centroids_udf(centroid_rows: list, n: int):
+    """Arrow-vectorized argmin assignment: vector column → array of the
+    ``n`` nearest cluster ids. One numpy distance matrix per batch
+    instead of k interpreted l2-expression evaluations per row (and no
+    k×dim literal forest in the plan — centroids ship as a closure
+    constant). Ties break by ascending cluster id (stable argsort over
+    id-sorted centroids), matching the SQL formulation it replaces."""
+    rows = sorted(centroid_rows, key=lambda r: r["cluster_id"])
+    ids = np.asarray([r["cluster_id"] for r in rows], dtype=np.int64)
+    cents = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+    @pandas_udf("array<long>")
+    def nearest(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)  # (b, d)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (b, k)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n]
+        return pd.Series([ids[o] for o in order])
+
+    return nearest
+
+
 def train_kmeans(
     df: DataFrame, vec_col: str, k: int, iters: int = 5, id_col: str | None = None
 ) -> DataFrame:
@@ -222,16 +243,9 @@ def train_kmeans(
     )
     for _ in range(iters):
         cent_rows = centroids.collect()  # k rows only — driver-safe
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cent_rows]
-        )
+        nearest = _nearest_centroids_udf(cent_rows, 1)
         assigned = vecs.withColumn(
-            "cluster_id",
-            F.array_position(
-                F.transform(cent_arr, lambda c: l2_distance(F.col("v"), c)),
-                F.array_min(F.transform(cent_arr, lambda c: l2_distance(F.col("v"), c))),
-            ).cast("int")
-            - 1,
+            "cluster_id", F.element_at(nearest(F.col("v")), 1).cast("int")
         )
         centroids = (
             assigned.select("cluster_id", F.posexplode("v").alias("dim", "val"))
@@ -256,20 +270,18 @@ def ann_ivf_topk(
     k: int = 5,
     nprobe: int = 2,
 ) -> DataFrame:
-    """IVF search: assign corpus rows to their nearest centroid once
-    (broadcast join), assign each query to its ``nprobe`` nearest
-    centroids, then exact-rank within the probed inverted lists."""
-    cent = centroids.select("cluster_id", F.col("centroid"))
+    """IVF search: assign corpus rows to their nearest centroid once,
+    assign each query to its ``nprobe`` nearest centroids, then
+    exact-rank within the probed inverted lists. Assignment is the
+    vectorized argmin UDF (k rows of centroids ride along as a closure
+    constant — the k-way cross join + window the SQL formulation needed
+    is gone entirely)."""
+    cent_rows = centroids.select("cluster_id", "centroid").collect()  # k rows
 
     def assign(df: DataFrame, id_col_: str, vcol: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cent), F.lit(True)).withColumn(
-            "dist", l2_distance(F.col(vcol), F.col("centroid"))
-        )
-        w = Window.partitionBy(id_col_).orderBy(F.col("dist").asc(), F.col("cluster_id").asc())
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(*df.columns, F.col("cluster_id").alias(out))
+        nearest = _nearest_centroids_udf(cent_rows, n)
+        return df.select(
+            "*", F.explode(nearest(F.col(vcol))).alias(out)
         )
 
     c = assign(
