@@ -330,6 +330,50 @@ def simhash64(text: Column) -> Column:
     return sig
 
 
+def simhash64_text_udf():
+    """Arrow-vectorized text → 64-bit SimHash (LongType).
+
+    Same signature semantics as ``simhash64`` but computed in one numpy
+    sweep (distinct words → blake2b-64 → per-bit ±1 balance via
+    ``add.reduceat`` → sign bits packed to int64) instead of 64
+    interpreted aggregate passes per row. blake2b replaces xxhash64 as
+    the word hash — deterministic across executors, and SimHash only
+    needs *a* good 64-bit hash, not a specific one."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def signature(texts: pd.Series) -> pd.Series:
+        hashes: list[np.ndarray] = []
+        offsets: list[int] = []
+        pos = 0
+        for t in texts:
+            words = dict.fromkeys(re.split(r"\s+", t or ""))
+            hashes.append(
+                np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(w.encode(), digest_size=8).digest()
+                        for w in words
+                    ),
+                    dtype=np.uint64,
+                )
+            )
+            offsets.append(pos)
+            pos += len(words)
+        h_all = np.concatenate(hashes) if hashes else np.zeros(0, dtype=np.uint64)
+        # (total, 64) bit matrix → ±1 → per-doc column sums → sign bits.
+        bits = ((h_all[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        balance = np.add.reduceat(2 * bits - 1, np.asarray(offsets), axis=0)
+        sig_bits = (balance > 0).astype(np.uint64)
+        vals = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(vals.view(np.int64))
+
+    return signature
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures: popcount(a^b)
     via bit_count."""
@@ -352,7 +396,14 @@ def simhash_near_dup_pairs(
     width shrinks as 64/(k+1), so bucket occupancy (and join fan-out)
     grows with k. At corpus scale keep k small (≤8) or move to a wider
     signature before loosening the threshold."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # Spread the CPU-bound signature stage when the corpus arrives as
+    # fewer splits than cores (same rationale as minhash_lsh_pairs).
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism, "id")
+    sig_udf = simhash64_text_udf()
+    sigs = src.select("id", sig_udf(F.col("text")).alias("sig"))
     n_slices = min(max_hamming + 1, 64)
     # Partition 64 bits into n_slices contiguous slices, sizes as equal
     # as possible (widths differ by ≤1) so the pigeonhole argument holds.
