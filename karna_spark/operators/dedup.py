@@ -363,10 +363,12 @@ def simhash64_text_udf():
             )
             offsets.append(pos)
             pos += len(words)
-        h_all = np.concatenate(hashes) if hashes else np.zeros(0, dtype=np.uint64)
+        if not hashes:  # empty Arrow batch — reduceat rejects [] indices
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        h_all = np.concatenate(hashes)
         # (total, 64) bit matrix → ±1 → per-doc column sums → sign bits.
         bits = ((h_all[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        balance = np.add.reduceat(2 * bits - 1, np.asarray(offsets), axis=0)
+        balance = np.add.reduceat(2 * bits - 1, np.asarray(offsets, dtype=np.int64), axis=0)
         sig_bits = (balance > 0).astype(np.uint64)
         vals = (sig_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
         return pd.Series(vals.view(np.int64))
