@@ -18,10 +18,15 @@ default warehouse conf the data lands under ``spark-warehouse/``.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+# saveAsTable interpolates the name into SQL and the warehouse path;
+# restrict to plain (optionally db-qualified) identifiers.
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
 
 
 def _clear_stale_location(spark: SparkSession, table_name: str) -> None:
@@ -47,8 +52,13 @@ def write_bucketed(
     """Write ``df`` as a bucketed (and per-bucket sorted) managed table.
 
     ``sort_cols`` defaults to the bucket columns — sorted buckets let
-    the join skip its Sort as well when keys match."""
-    _clear_stale_location(df.sparkSession, table_name)
+    the join skip its Sort as well when keys match. Only
+    ``mode='overwrite'`` clears a stale warehouse location; append /
+    error / ignore must see the existing table untouched."""
+    if not _IDENT.match(table_name):
+        raise ValueError(f"invalid table name: {table_name!r}")
+    if mode == "overwrite":
+        _clear_stale_location(df.sparkSession, table_name)
     (
         df.write.mode(mode)
         .format("parquet")

@@ -241,6 +241,11 @@ def minhash_lsh_pairs(
     sc = df.sparkSession.sparkContext
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism, "id")
+    # src feeds two branches (signatures, and the verify re-shingle);
+    # without persistence the source is scanned + repartitioned twice
+    # per run. MEMORY_AND_DISK: the id+text projection is far smaller
+    # than the source rows, and spilling beats a second corpus scan.
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     # Arrow-vectorized text → signature (see minhash_signature_text_udf:
     # one numpy sweep instead of num_perm interpreted passes per row).
     sig_udf = minhash_signature_text_udf(num_perm, shingle_n)
@@ -285,11 +290,29 @@ def minhash_lsh_pairs(
         cands.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
-    return (
+    out = (
         cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Long-lived sessions (server, CLI REPL) must be able to release
+    # the cached blocks once the result is materialized; Spark's
+    # ContextCleaner only reclaims them on GC. Handles ride on the
+    # result; see release_intermediates().
+    out._karna_persisted = [cands_persisted, src]  # type: ignore[attr-defined]
+    return out
+
+
+def release_intermediates(result: DataFrame, blocking: bool = False) -> None:
+    """Unpersist the cached intermediates of an operator result.
+
+    Call after the returned DataFrame has been fully materialized
+    (collected / written). No-op for results without cached handles."""
+    for cached in getattr(result, "_karna_persisted", []):
+        try:
+            cached.unpersist(blocking)
+        except Exception:
+            pass
 
 
 # -------------------------------------------------------------- SimHash

@@ -260,8 +260,9 @@ query {
     "frontend_graphql_nested_list",
     oracle="""
     SELECT n_nationkey, n_name,
-           list_sort(list(c_name) FILTER (WHERE c_name IS NOT NULL))
-             AS customer_names
+           coalesce(array_to_string(
+             list_sort(list(c_name) FILTER (WHERE c_name IS NOT NULL)),
+             '|'), '') AS customer_names
     FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
     GROUP BY n_nationkey, n_name
     ORDER BY n_name
@@ -274,19 +275,20 @@ def frontend_graphql_nested_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parent key (groupBy + sorted collect_list) then a left join —
     at 100 TB that is the minimal movement the semantics allow (children
     must co-locate with their parent). For the oracle hash the struct
-    array is projected to its single leaf (array<string> reprs
-    identically in both engines); the struct shape itself is covered by
-    tests/test_frontends.py."""
+    array is flattened to a sorted '|'-joined scalar (the driver's
+    canonicalizer cannot hash bare array columns); the struct shape
+    itself is covered by tests/test_frontends.py."""
     from pyspark.sql import functions as F
 
     from karna_spark.frontends.graphql import translate
 
     _fixtures(spark, sf_dir)
     nested = translate(spark, _GQL_NESTED_LIST)
+    names = F.transform("customers", lambda s: s.getField("c_name"))
     return nested.select(
         "n_nationkey",
         "n_name",
-        F.transform("customers", lambda s: s.getField("c_name")).alias(
-            "customer_names"
-        ),
+        F.concat_ws(
+            "|", F.sort_array(F.filter(names, lambda x: x.isNotNull()))
+        ).alias("customer_names"),
     )

@@ -80,10 +80,12 @@ async function run(){
   meta.textContent=data.row_count+' rows · '+
     ((performance.now()-t0)/1000).toFixed(2)+'s';
   const tbl=document.createElement('table');
-  tbl.innerHTML='<tr>'+data.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>'+
+  const esc=s=>String(s).replace(/[<>&]/g,
+    c=>({'<':'&lt;','>':'&gt;','&':'&amp;'}[c]));
+  tbl.innerHTML='<tr>'+data.columns.map(c=>'<th>'+esc(c)+'</th>').join('')+
+    '</tr>'+
     data.rows.map(r=>'<tr>'+r.map(v=>'<td>'+
-      (v===null?'∅':JSON.stringify(v)).replace(/[<>&]/g,
-        s=>({'<':'&lt;','>':'&gt;','&':'&amp;'}[s]))+'</td>').join('')+
+      esc(v===null?'∅':JSON.stringify(v))+'</td>').join('')+
       '</tr>').join('');
   out.appendChild(tbl);
 }

@@ -93,6 +93,28 @@ def get_spark(
     return spark
 
 
+def _shuffle_partitions_pinned(spark: SparkSession) -> bool:
+    """True when spark.sql.shuffle.partitions was *explicitly* set (by
+    the session builder, spark-submit --conf, or a runtime conf.set) as
+    opposed to merely reading back Spark's stock default. An operator
+    who deliberately pins 200 must not be clobbered."""
+    key = "spark.sql.shuffle.partitions"
+    try:
+        # SQLConf.settings holds only explicitly-set entries (Scala
+        # protected[spark] compiles to public, so py4j can reach it).
+        if spark._jsparkSession.sessionState().conf().settings().containsKey(key):
+            return True
+    except Exception:
+        pass
+    try:
+        # Session-builder / spark-submit pinning lands on the SparkConf.
+        if spark.sparkContext.getConf().contains(key):
+            return True
+    except Exception:
+        pass
+    return False
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable confs to an existing session.
 
@@ -105,10 +127,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # far too many for local fixture scales (200 tiny tasks per
     # exchange). Override only when the session still carries Spark's
     # stock default: a deliberate setting (cluster operator pinning
-    # ~2-3× total cores, or $SPARK_GRAFT_SHUFFLE_PARTITIONS) wins.
-    current = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # ~2-3× total cores, or $SPARK_GRAFT_SHUFFLE_PARTITIONS) wins —
+    # detected as "explicitly set" rather than by comparing to 200, so
+    # an operator who pins exactly 200 keeps it. Our own earlier
+    # tune_session set IS an explicit set, but re-pinning the same
+    # target is idempotent, so the marker conf tells them apart.
     target = shuffle_partitions_default()
-    if target is not None and current == "200":
+    autotuned = spark.conf.get("spark.karna.shuffle.autotuned", "false") == "true"
+    if target is not None and (autotuned or not _shuffle_partitions_pinned(spark)):
+        confs["spark.karna.shuffle.autotuned"] = "true"
         confs["spark.sql.shuffle.partitions"] = str(target)
         # Let AQE coalesce from a higher starting parallelism than the
         # final setting, so large shuffles are not under-parallelized.
