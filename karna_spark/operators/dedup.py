@@ -27,6 +27,7 @@ import re
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -274,6 +275,7 @@ def minhash_lsh_pairs(
     # signature+join pipeline. It is tiny by construction (two longs
     # per surviving pair), so caching it is scale-safe.
     cands = cands.persist()
+    cands_persisted = cands
     # Exact-Jaccard verify, computed ONLY for docs that appear in a
     # candidate pair: semi-join the corpus down first, then shingle.
     # Verify cost scales with |candidates|, never with the corpus.
