@@ -119,21 +119,22 @@ def register(
 def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table from ``sf_dir``.
 
-    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); the
-    supported path is the ``nanosAsLong`` conf + an explicit ns→µs
-    conversion — Spark timestamps are µs-precision, so sub-µs detail is
-    intentionally dropped (oracles truncate identically).
+    The events fixture stores ``ts`` as parquet ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``, which Spark 4 reads as TIMESTAMP_NTZ.
+    Time-arithmetic functions (``unix_micros``, ``session_window``,
+    watermarks) want the LTZ type, so normalize to ``timestamp`` here —
+    the session timezone is pinned UTC (``_SCALE_CONFS`` in session.py),
+    making the NTZ→LTZ cast an exact relabel with identical µs values,
+    and keeping the DuckDB oracles (tz-naive) byte-identical.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     cached = _SCHEMA_CACHE.get(path)
     if cached is not None:

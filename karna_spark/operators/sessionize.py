@@ -12,8 +12,17 @@ regardless of session count. The streaming twin (native
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _us(col: Column) -> Column:
+    """NTZ-safe µs extraction. ``unix_micros`` resolves only for the
+    LTZ timestamp type; parquet ``timestamp[us]`` with
+    ``isAdjustedToUTC=false`` reads as TIMESTAMP_NTZ under Spark 4, so
+    cast first — exact under the engine's pinned-UTC session timezone
+    (a no-op when the column is already LTZ)."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def sessionize(
@@ -34,7 +43,7 @@ def sessionize(
     # gaps within 1s of the threshold (and disagree with any µs-exact
     # engine, e.g. the DuckDB oracle).
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    us = F.unix_micros(F.col(ts_col))
+    us = _us(F.col(ts_col))
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
@@ -76,7 +85,7 @@ def sessionize_salted(
     the whole chain lands on one global id. Numbering equals plain
     ``sessionize`` exactly (bucket order is time order), which is what
     the parity test asserts."""
-    us = F.unix_micros(F.col(ts_col))
+    us = _us(F.col(ts_col))
     bucket = F.floor(us / F.lit(salt_seconds * 1_000_000)).alias("__bucket")
     salted = df.withColumn("__bucket", bucket)
 
@@ -123,7 +132,7 @@ def session_stats(
     """Session-level rollup: one row per (user, session) with start/end,
     event count and duration seconds."""
     s = sessionize(df, user_col, ts_col, gap_seconds)
-    us = F.unix_micros(F.col(ts_col))
+    us = _us(F.col(ts_col))
     return s.groupBy(user_col, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

@@ -93,6 +93,11 @@ def get_spark(
     return spark
 
 
+# Records the shuffle-partition value tune_session itself pinned, so a
+# later call can tell "still our autotune" from "operator overrode it".
+_AUTOTUNE_MARKER = "spark.karna.shuffle.autotuned"
+
+
 def _shuffle_partitions_pinned(spark: SparkSession) -> bool:
     """True when spark.sql.shuffle.partitions was *explicitly* set (by
     the session builder, spark-submit --conf, or a runtime conf.set) as
@@ -102,17 +107,22 @@ def _shuffle_partitions_pinned(spark: SparkSession) -> bool:
     try:
         # SQLConf.settings holds only explicitly-set entries (Scala
         # protected[spark] compiles to public, so py4j can reach it).
-        if spark._jsparkSession.sessionState().conf().settings().containsKey(key):
-            return True
+        # Builder options and spark-submit --conf are merged into these
+        # settings at session creation, so this single check covers
+        # every pinning path — and, unlike the static SparkConf, it
+        # *clears* on conf.unset, restoring "stock default" status.
+        return bool(
+            spark._jsparkSession.sessionState().conf().settings().containsKey(key)
+        )
     except Exception:
         pass
     try:
-        # Session-builder / spark-submit pinning lands on the SparkConf.
-        if spark.sparkContext.getConf().contains(key):
-            return True
+        # Fallback when session internals are unreachable (e.g. a
+        # Connect session): the static SparkConf still reflects
+        # builder/submit pinning, just not runtime set/unset.
+        return bool(spark.sparkContext.getConf().contains(key))
     except Exception:
-        pass
-    return False
+        return False
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -130,13 +140,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # ~2-3× total cores, or $SPARK_GRAFT_SHUFFLE_PARTITIONS) wins —
     # detected as "explicitly set" rather than by comparing to 200, so
     # an operator who pins exactly 200 keeps it. Our own earlier
-    # tune_session set IS an explicit set, but re-pinning the same
-    # target is idempotent, so the marker conf tells them apart.
+    # tune_session set IS an explicit set, so the marker conf records
+    # the value *we* pinned: the session counts as autotuned only while
+    # the live value still equals the marker — a user conf.set after we
+    # tuned makes the marker stale and their value sticks.
+    key = "spark.sql.shuffle.partitions"
     target = shuffle_partitions_default()
-    autotuned = spark.conf.get("spark.karna.shuffle.autotuned", "false") == "true"
-    if target is not None and (autotuned or not _shuffle_partitions_pinned(spark)):
-        confs["spark.karna.shuffle.autotuned"] = "true"
-        confs["spark.sql.shuffle.partitions"] = str(target)
+    marker = spark.conf.get(_AUTOTUNE_MARKER, "")
+    ours = marker != "" and marker == spark.conf.get(key, "")
+    if target is not None and (ours or not _shuffle_partitions_pinned(spark)):
+        confs[_AUTOTUNE_MARKER] = str(target)
+        confs[key] = str(target)
         # Let AQE coalesce from a higher starting parallelism than the
         # final setting, so large shuffles are not under-parallelized.
         confs.setdefault(
