@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_lsh",
     "frontend_graphql_nested_list",
+    # text + multimodal hot paths (regression anchors since round 5)
+    "text_quality",
+    "multimodal_decode_pipeline",
 ]
 
 
@@ -42,6 +45,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Ambient host load, sampled BEFORE our own session spins up 32
+    # worker threads — this is the external-contention signal; the
+    # post-run sample mostly reflects the bench itself.
+    load_ambient = os.getloadavg()
 
     from karna_spark.queries import REGISTRY
     from karna_spark.session import get_spark
@@ -63,8 +71,24 @@ def main() -> None:
         run(name)
 
     per_query = {name: run(name) for name in names}
+    load_after = os.getloadavg()
 
     total = round(sum(per_query.values()), 3)
+    ncpu = os.cpu_count() or 1
+    # Load in the JSON so round-over-round deltas are attributable: a
+    # high *ambient* 1-min average means sandbox contention, not an
+    # engine regression.
+    load = {
+        "ambient_1m": round(load_ambient[0], 2),
+        "after_1m": round(load_after[0], 2),
+        "cpus": ncpu,
+    }
+    if load_ambient[0] > ncpu * 0.5:
+        print(
+            f"warning: high ambient load ({load_ambient[0]:.1f} on {ncpu} "
+            "cpus) — timings may reflect contention, not engine speed",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -73,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                "load": load,
             }
         )
     )

@@ -44,9 +44,12 @@ def configure_s3(
     hconf.set("fs.s3a.experimental.input.fadvise", "random")
     hconf.set("fs.s3a.connection.maximum", "96")
     hconf.set("fs.s3a.fast.upload", "true")
-    # Committers: directory staging avoids O(files) S3 renames on write.
+    # Committers: the magic/staging committer avoids O(files) S3
+    # renames on write. This is the bare Hadoop key — the
+    # ``spark.hadoop.`` prefix applies only when routed through Spark
+    # confs, and would be a dead key on the Hadoop configuration.
     hconf.set(
-        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a",
+        "mapreduce.outputcommitter.factory.scheme.s3a",
         "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
     )
     return spark

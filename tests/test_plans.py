@@ -92,6 +92,23 @@ def test_lsh_join_is_equi_not_cross(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_graphql_nested_list_single_parent_shuffle(spark):
+    """One-to-many GraphQL nesting moves data once: a single hash
+    shuffle on the parent key for the two-phase collect_list, then the
+    aggregated (one-row-per-parent, hence small) side BROADCASTS back
+    to the parent table. A second hashpartitioning Exchange would mean
+    the translator regressed to shuffling both join sides — at 100 TB
+    that doubles the movement for identical semantics. The trailing
+    rangepartitioning Exchange is the query's ORDER BY, not a join
+    shuffle."""
+    plan = plan_of(spark, "frontend_graphql_nested_list")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Two-phase collect: partial buffers before the shuffle.
+    assert plan.count("ObjectHashAggregate") >= 2
+
+
 def test_asof_join_no_cartesian(spark):
     plan = plan_of(spark, "asof_join_events")
     assert "CartesianProduct" not in plan
