@@ -43,11 +43,22 @@ def asof_join(
 
     direction="backward": latest right row with r_ts <= l_ts (< if
     ``allow_exact_match=False``); "forward": earliest right row with
-    r_ts >= l_ts. Output: all left columns + ``matched_ts_col`` +
-    ``value_cols``.
+    r_ts >= l_ts; "nearest": whichever of the backward/forward
+    candidates is closer in absolute time, ties to the backward (i.e.
+    earlier) row — ``pd.merge_asof(direction="nearest")`` semantics.
+    Output: all left columns + ``matched_ts_col`` + ``value_cols``.
+
+    "nearest" costs the same single shuffle + per-key sort as the
+    directional forms: both carries are frames over one window ordering
+    (backward = preceding last, forward = following first), so Spark
+    evaluates them in one WindowExec pass — no second sort, no join.
     """
+    if direction == "nearest":
+        if not allow_exact_match:
+            raise ValueError("direction='nearest' requires allow_exact_match=True")
+        return _asof_nearest(left, right, on, left_ts, right_ts, value_cols, matched_ts_col)
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
 
@@ -89,4 +100,81 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         F.col(matched_ts_col),
         *[F.col(c) for c in value_cols],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    matched_ts_col: str,
+) -> DataFrame:
+    """Nearest-match as-of: union both sides once, then carry the
+    backward candidate (last preceding non-null) and the forward
+    candidate (first following non-null) over the SAME (keys, ts, side)
+    ordering — two frames, one sort — and keep whichever is closer.
+
+    Sort order is (ts asc, side asc) with right=0 < left=1, so an
+    equal-timestamp right row lands in the *backward* frame of its left
+    row: exact matches are backward candidates with distance 0 and
+    always win."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = left.columns
+
+    right_side = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.col(right_ts).alias("__cand_ts"),
+        *[F.col(c).alias(f"__cand_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    left_side = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__cand_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__cand_{c}")
+            for c in value_cols
+        ],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    unioned = right_side.unionByName(left_side)
+
+    base = Window.partitionBy(*keys).orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+    w_back = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = base.rowsBetween(0, Window.unboundedFollowing)
+
+    carried = unioned
+    for c in ["__cand_ts", *[f"__cand_{c}" for c in value_cols]]:
+        carried = carried.withColumn(f"__b_{c}", F.last(F.col(c), ignorenulls=True).over(w_back))
+        carried = carried.withColumn(f"__f_{c}", F.first(F.col(c), ignorenulls=True).over(w_fwd))
+
+    # µs distances; NTZ-safe cast (see operators/sessionize._us).
+    l_us = F.unix_micros(F.col(_TS).cast("timestamp"))
+    b_us = F.unix_micros(F.col("__b___cand_ts").cast("timestamp"))
+    f_us = F.unix_micros(F.col("__f___cand_ts").cast("timestamp"))
+    # Backward wins ties (<=); a missing candidate loses automatically
+    # because NULL comparisons are false and the coalesce order below
+    # prefers whichever side exists.
+    use_back = F.when(
+        b_us.isNotNull() & (f_us.isNull() | ((l_us - b_us) <= (f_us - l_us))), True
+    ).otherwise(False)
+
+    picked = [
+        F.when(use_back, F.col("__b___cand_ts"))
+        .otherwise(F.col("__f___cand_ts"))
+        .alias(matched_ts_col)
+    ] + [
+        F.when(use_back, F.col(f"__b___cand_{c}"))
+        .otherwise(F.col(f"__f___cand_{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols], *picked
     )

@@ -18,6 +18,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from karna_spark.queries.registry import register_query
 from karna_spark.streaming.jobs import (
@@ -27,6 +28,7 @@ from karna_spark.streaming.jobs import (
     stage_events,
     tumbling_watermark,
     user_stats_stateful,
+    view_click_join,
 )
 
 
@@ -77,4 +79,42 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         user_stats_stateful(events_stream(spark, landing, one_batch=True)),
         "append",
         checkpoint=checkpoint,
+    )
+
+
+@register_query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    tags="T4 J6",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: watermarked stream-stream inner join — every view matched to
+    the same user's clicks within the following hour (the funnel /
+    attribution shape). Both streams carry watermarks and the join
+    bounds click_ts to a view-relative range, so buffered state expires
+    instead of growing with the stream (karna_spark/streaming/jobs.py:
+    view_click_join). Inner-join append emits each match exactly once,
+    so the complete streaming result hash-matches the batch range join
+    the oracle runs."""
+    landing = stage_events(spark, sf_dir, with_sentinel=False)
+    views = events_stream(spark, landing, one_batch=True).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = events_stream(spark, landing, one_batch=True).filter(
+        F.col("event_type") == "click"
+    )
+    checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
+    return run_to_memory(
+        view_click_join(views, clicks), "append", checkpoint=checkpoint
     )

@@ -188,6 +188,112 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- J8 (nearest)
+@register_query(
+    "asof_join_nearest",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+         ranked AS (
+           SELECT l.event_id, l.user_id, r.ts AS r_ts, r.value AS view_value,
+                  row_number() OVER (
+                    PARTITION BY l.event_id
+                    ORDER BY abs(epoch_us(CAST(l.ts AS TIMESTAMP))
+                               - epoch_us(CAST(r.ts AS TIMESTAMP))) NULLS LAST,
+                             r.ts
+                  ) AS rn
+           FROM l LEFT JOIN r ON l.user_id = r.user_id
+         )
+    SELECT event_id, user_id,
+           strftime(date_trunc('second', r_ts), '%Y-%m-%d %H:%M:%S') AS view_ts,
+           view_value
+    FROM ranked WHERE rn = 1
+    """,
+    tags="J8",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (nearest): each click matched to the user's closest view in
+    absolute time, either direction, ties to the earlier view — the
+    ``pd.merge_asof(direction="nearest")`` semantics. Same single
+    shuffle + one window sort as directional as-of (both candidate
+    carries are frames over one ordering); the oracle pays a per-user
+    cross product + rank, which is exactly the plan shape this operator
+    exists to avoid at scale."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("view_value")
+    )
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        value_cols=["view_value"],
+        direction="nearest",
+        matched_ts_col="matched_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        ts_str("matched_ts", "view_ts"),
+        "view_value",
+    )
+
+
+# ---------------------------------------------------------------- T1+ (incremental)
+@register_query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags="T1 A1",
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (operators/rollup.py): the
+    hourly rollup is built from a historical base slice plus a later delta
+    slice, merged through algebraic partial states (count / integer-cent
+    sum / min / max), and finalized. The oracle is the FULL recompute —
+    the hash match proves merge(rollup(base), rollup(delta)) ==
+    rollup(base ∪ delta) exactly, which is the property that lets a
+    100 TB deployment refresh a rollup by shuffling only the new slice."""
+    from karna_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_slice,
+    )
+
+    ev = table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = F.to_timestamp(F.lit("2024-01-24 00:00:00"))
+    base = ev.filter(F.col("ts") < cutoff)
+    delta = ev.filter(F.col("ts") >= cutoff)
+    state = merge_rollups(
+        rollup_slice(base, "ts", ["event_type"], "value"),
+        rollup_slice(delta, "ts", ["event_type"], "value"),
+    )
+    out = finalize_rollup(state)
+    return out.select(
+        ts_str("bucket_ts", "window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+        "avg_value",
+        "min_value",
+        "max_value",
+    )
+
+
 # ---------------------------------------------------------------- F3
 @register_query(
     "datetime_functions",

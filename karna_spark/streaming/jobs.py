@@ -144,6 +144,55 @@ def tumbling_watermark(
     )
 
 
+def view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each view matched to the same user's
+    clicks landing within ``within`` after it.
+
+    The canonical funnel/attribution join. Both sides carry a watermark
+    and the join condition bounds click_ts to [view_ts, view_ts +
+    within]; together these let Spark expire buffered rows once the
+    other side's watermark passes their match horizon — state stays
+    O(events within the horizon), not O(stream), at any volume. Without
+    the time bound the state store must keep every row forever.
+
+    Inner-join append mode emits each match exactly once, when both
+    rows have arrived — the complete result equals the batch join, so
+    this is oracle-checkable like the windowed aggregation."""
+    v = (
+        views.select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        ).withWatermark("view_ts", watermark_delay)
+    )
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark_delay)
+    )
+    joined = v.join(
+        c,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 def user_stats_stateful(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals carried in explicit group state across micro-batches.

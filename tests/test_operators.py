@@ -109,6 +109,100 @@ def test_asof_join_semantics(spark):
     assert fwd_by_name["l3"]["v"] == 30.0  # earliest later
 
 
+def test_asof_join_nearest_semantics(spark):
+    import pytest
+
+    from karna_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 149, "l2"), (1, 151, "l3"), (1, 150, "l4"),
+         (2, 50, "l5"), (3, 10, "l6")],
+        "k long, ts long, name string",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "name")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 60, 30.0)],
+        "k long, ts long, v double",
+    ).select("k", F.timestamp_seconds("ts").alias("vts"), F.col("v"))
+
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="vts",
+        value_cols=["v"], direction="nearest",
+    ).collect()
+    by_name = {r["name"]: r for r in out}
+    assert by_name["l1"]["v"] == 10.0  # exact match, distance 0
+    assert by_name["l2"]["v"] == 10.0  # 49 back vs 51 fwd → back
+    assert by_name["l3"]["v"] == 20.0  # 51 back vs 49 fwd → fwd
+    assert by_name["l4"]["v"] == 10.0  # 50 == 50 tie → backward
+    assert by_name["l5"]["v"] == 30.0  # only a later row → still matches
+    assert by_name["l6"]["v"] is None  # key with no right rows
+
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="vts",
+            value_cols=["v"], direction="nearest", allow_exact_match=False,
+        )
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    from karna_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_slice,
+    )
+    from karna_spark.queries.registry import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    full = finalize_rollup(rollup_slice(ev, "ts", ["event_type"], "value"))
+
+    def canon(df):
+        return sorted(
+            (str(r["bucket_ts"]), r["event_type"], r["n_events"],
+             round(r["total_value"], 6), round(r["avg_value"], 9),
+             r["min_value"], r["max_value"])
+            for r in df.collect()
+        )
+
+    want = canon(full)
+    # Any slicing must merge back to the full recompute — by day parity,
+    # and as a three-way split merged in two different groupings.
+    day = F.dayofmonth("ts")
+    s1 = rollup_slice(ev.filter(day % 2 == 0), "ts", ["event_type"], "value")
+    s2 = rollup_slice(ev.filter((day % 2 == 1) & (day <= 15)), "ts", ["event_type"], "value")
+    s3 = rollup_slice(ev.filter((day % 2 == 1) & (day > 15)), "ts", ["event_type"], "value")
+    assert canon(finalize_rollup(merge_rollups(s1, s2, s3))) == want
+    assert canon(
+        finalize_rollup(merge_rollups(merge_rollups(s3, s1), s2))
+    ) == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    from karna_spark.queries.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.001"
+    got = REGISTRY["streaming_stream_stream_join"].builder(spark, sf)
+    ev = table(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    batch = v.join(
+        c,
+        (F.col("u") == F.col("cu"))
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    want = sorted((r["view_id"], r["click_id"]) for r in batch.collect())
+    have = sorted((r["view_id"], r["click_id"]) for r in got.collect())
+    assert have == want
+    assert len(have) > 0
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     from karna_spark.operators.similarity import ann_bruteforce_topk, ann_lsh_topk
     from karna_spark.queries.registry import table

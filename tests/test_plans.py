@@ -115,6 +115,20 @@ def test_asof_join_no_cartesian(spark):
     assert "WindowGroupLimit" in plan or "Window" in plan
 
 
+def test_asof_nearest_single_sort_single_shuffle(spark):
+    """direction='nearest' must not cost more than directional as-of:
+    both candidate carries (backward last / forward first) are frames
+    over one window ordering, so the plan has exactly one shuffle, one
+    sort, one Window operator — and, critically, no join or cross
+    product (the oracle's per-key cross-join+rank shape is the plan
+    this operator exists to avoid)."""
+    plan = plan_of(spark, "asof_join_nearest", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("+- Sort") == 1, plan
+    assert plan.count("+- Window") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 # Queries whose *purpose* is the excluded construct.
 _PYTHON_OK = {
     "udf_scalar_python",      # U1: deliberate row-at-a-time UDF coverage
@@ -129,6 +143,7 @@ _SLOW_BUILDERS = {
     "source_bucketed_join",
     "sink_result_page", "similarity_topk_ivf",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
+    "streaming_stream_stream_join",
 }
 
 
