@@ -130,3 +130,19 @@ def fingerprint_winnow(text: Column, shingle_n: int = 3, keep: int = 5) -> Colum
     ).otherwise(F.array(text))  # short doc: the text itself is the shingle
     hashes = F.array_sort(F.transform(shingles, lambda s: F.md5(s)))
     return F.md5(F.concat_ws("", F.slice(hashes, 1, keep)))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """All word ``n``-grams of ``text`` as space-joined strings (with
+    repeats — callers dedupe when set semantics are wanted). Empty
+    array for documents shorter than ``n`` words. Pure column
+    expressions: the expansion happens JVM-side inside codegen, no
+    Python in the path."""
+    ws = words(F.trim(text))
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

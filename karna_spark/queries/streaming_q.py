@@ -27,6 +27,7 @@ from karna_spark.streaming.jobs import (
     run_to_memory,
     stage_events,
     tumbling_watermark,
+    dedup_stream,
     user_stats_stateful,
     view_click_join,
 )
@@ -117,4 +118,29 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
     return run_to_memory(
         view_click_join(views, clicks), "append", checkpoint=checkpoint
+    )
+
+
+@register_query(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           value
+    FROM events
+    """,
+    tags="T4 J9",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+J9: exactly-once dedup over an at-least-once stream. The
+    landing directory delivers the events file TWICE (two identical
+    micro-batches); watermarked dropDuplicates on event_id emits every
+    event exactly once, so the sink hash-matches the plain events table
+    — the oracle never sees the duplication. State stays bounded by the
+    1-hour watermark horizon at any stream size
+    (karna_spark/streaming/jobs.py: dedup_stream)."""
+    landing = stage_events(spark, sf_dir, with_sentinel=False, duplicate=True)
+    checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
+    return run_to_memory(
+        dedup_stream(events_stream(spark, landing)), "append", checkpoint=checkpoint
     )

@@ -336,3 +336,205 @@ def udf_vectorized_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
     return ev.select("event_id", log1p_sq(F.col("value")).alias("log1p_sq"))
+
+
+# ---------------------------------------------------------------- decontamination
+@register_query(
+    "text_contamination_ngram",
+    oracle="""
+    WITH w AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id, source, array_to_string(list_slice(ws, i, i + 3), ' ') AS ngram
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) t
+    ),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE source = 'src0'),
+    train AS (SELECT DISTINCT doc_id, ngram FROM g WHERE source <> 'src0')
+    SELECT doc_id, count(*) AS n_shared_ngrams
+    FROM train JOIN bench USING (ngram)
+    GROUP BY doc_id
+    """,
+    tags="F9 J9",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/contamination.py): docs
+    from source 'src0' act as the held-out benchmark; every other doc
+    is flagged with its count of distinct word 4-grams shared with the
+    benchmark. The bench n-gram set broadcasts (eval suites are tiny
+    next to a corpus), so the 100 TB cost is one corpus scan + a
+    per-doc count shuffle of only the overlapping pairs."""
+    from karna_spark.operators.contamination import contaminated_docs
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return contaminated_docs(train, bench, "doc_id", "text", n=4)
+
+
+# ---------------------------------------------------------------- BM25
+@register_query(
+    "text_bm25_scores",
+    oracle="""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+      WHERE term IN ('query', 'join', 'shuffle')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             ln(1 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                    / (count(DISTINCT doc_id) + 0.5)) AS idf
+      FROM tf, stats s GROUP BY term, s.n_docs
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4)
+             AS bm25
+    FROM tf
+    JOIN idf USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id, stats s
+    GROUP BY tf.doc_id
+    """,
+    tags="F9 A1",
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to the query terms {query,
+    join, shuffle} (k1=1.2, b=0.75) — the classic retrieval scorer a
+    curation pipeline uses for topical filtering. Pure DataFrame
+    composition: explode → two small aggregates (term stats broadcast
+    back) → per-doc score; no UDF, one shuffle on doc_id and one on
+    term. The corpus stats (N, avgdl) are a 1-row broadcast."""
+    from karna_spark.operators.text import words
+
+    terms = ["query", "join", "shuffle"]
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", words(F.trim(F.col("text"))).alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf") * F.col("tf") * 2.2
+                / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("part"), 4).alias("bm25"))
+
+
+# ---------------------------------------------------------------- PII
+@register_query(
+    "text_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com tel 555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                '<EMAIL>', 'g'),
+                 '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    tags="F9 F1",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails and
+    phone-shaped tokens, entirely with JVM-side regex (regexp_count /
+    regexp_replace — no Python, codegen-friendly, scales as a map-only
+    pass). The fixture text carries no PII, so deterministic fake
+    contact strings are appended per doc and the oracle applies the
+    same augmentation; the md5 of the redacted text proves the exact
+    replacement behavior, not just the counts."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b555-[0-9]{4}\b"
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com tel 555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(phone_re)).cast("bigint").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("t", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------- curation sampling
+@register_query(
+    "sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    WHERE rn <= ceil(n * 0.2)
+    """,
+    tags="O6 W1",
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified quota sampling for dataset curation:
+    keep the first 20% of each language stratum in stable doc_id order.
+    Unlike seeded random sampling this is reproducible across engines
+    (oracle-checkable) and across reruns at any parallelism — the
+    property a curation audit trail needs. One shuffle on the stratum
+    key; per-stratum state is a row counter, so skewed strata cost
+    their own sort, never a cross-product."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = docs.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.filter(F.col("rn") <= F.ceil(F.col("n") * 0.2)).select(
+        "doc_id", "lang"
+    )

@@ -47,16 +47,25 @@ _STREAM_CACHE = os.path.join(_REPO_ROOT, ".io_cache", "streaming")
 _SENTINEL_TS = "2035-01-01 00:00:00"
 
 
-def stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = True) -> str:
+def stage_events(
+    spark: SparkSession,
+    sf_dir: str,
+    with_sentinel: bool = True,
+    duplicate: bool = False,
+) -> str:
     """Stage the events fixture as a streaming landing directory:
     one data file (the fixture, µs timestamps) + optionally one
     later-arriving sentinel file that drives the watermark forward.
+    ``duplicate=True`` instead lands the SAME data file twice (two
+    micro-batches of identical rows) — an at-least-once source for the
+    streaming dedup job.
 
     Test scaffolding only — a production deployment points readStream
     at the real landing zone / queue instead.
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(_STREAM_CACHE, tag, "sentinel" if with_sentinel else "plain")
+    flavor = "dup" if duplicate else ("sentinel" if with_sentinel else "plain")
+    root = os.path.join(_STREAM_CACHE, tag, flavor)
     done = os.path.join(root, "_STAGED")
     if not os.path.exists(done):
         shutil.rmtree(root, ignore_errors=True)
@@ -67,7 +76,14 @@ def stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = True) -
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
         shutil.move(os.path.join(tmp, part), os.path.join(root, "00_events.parquet"))
         shutil.rmtree(tmp)
-        if with_sentinel:
+        if duplicate:
+            # Byte-identical second delivery, landed after the first →
+            # a later micro-batch re-delivers every row.
+            shutil.copy(
+                os.path.join(root, "00_events.parquet"),
+                os.path.join(root, "01_events_dup.parquet"),
+            )
+        if with_sentinel and not duplicate:
             sent = spark.createDataFrame(
                 [(int(-1), _SENTINEL_TS, int(-1), "__flush__", 0.0, "{}")],
                 "event_id long, ts_s string, user_id long, event_type string,"
@@ -140,6 +156,27 @@ def tumbling_watermark(
             "event_type",
             "n_events",
             "total_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: exactly-once rows out of an at-least-once
+    source. ``dropDuplicates`` on the event key under a watermark keeps
+    per-key state only until the watermark passes — re-deliveries
+    within the horizon are suppressed by state, older ones are dropped
+    as late — so state is O(events per horizon), not O(stream). The
+    batch twin is `dedup_exact` (operators/dedup.py); same contract,
+    unbounded history replaced by the watermark horizon."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "value",
         )
     )
 

@@ -352,3 +352,57 @@ def test_sessionize_salted_chain_across_buckets(spark):
         for r in sessionize_salted(df, "user_id", "ts", 1800, salt_seconds=3600).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2, 7: 2}
+
+
+def test_word_ngrams_shapes(spark):
+    from karna_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "  padded   text  here ")],
+        "id long, t string",
+    ).select("id", word_ngrams(F.col("t"), 3).alias("g"))
+    got = {r["id"]: r["g"] for r in df.collect()}
+    assert got[1] == ["a b c", "b c d", "c d e"]
+    assert got[2] == []  # shorter than n
+    assert got[3] == ["padded text here"]  # whitespace-normalized
+
+
+def test_contaminated_docs_planted_overlap(spark):
+    from karna_spark.operators.contamination import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "said the quick brown fox jumps high"),  # shares 2 4-grams
+            (2, "totally unrelated words in this one here"),
+            (3, "the quick brown fox jumps"),  # identical: shares both
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in contaminated_docs(train, bench, "doc_id", "text", n=4).collect()
+    }
+    assert got == {1: 2, 3: 2}  # doc 2 absent: clean
+
+
+def test_streaming_dedup_suppresses_redelivery(spark):
+    import os
+
+    from karna_spark.queries.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["streaming_dedup_exact"].builder(spark, sf)
+    n_events = table(spark, sf, "events").count()
+    # The landing dir really delivered the data twice...
+    from karna_spark.streaming.jobs import stage_events
+
+    landing = stage_events(spark, sf, with_sentinel=False, duplicate=True)
+    files = [f for f in os.listdir(landing) if f.endswith(".parquet")]
+    assert len(files) == 2
+    # ...yet every event_id comes out exactly once.
+    rows = out.collect()
+    assert len(rows) == n_events
+    assert len({r["event_id"] for r in rows}) == n_events

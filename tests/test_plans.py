@@ -115,6 +115,15 @@ def test_asof_join_no_cartesian(spark):
     assert "WindowGroupLimit" in plan or "Window" in plan
 
 
+def test_contamination_broadcasts_bench_side(spark):
+    """The benchmark n-gram set (tiny next to a corpus) must broadcast:
+    the membership test is then map-side over the exploded training
+    n-grams — the corpus never shuffles for the join."""
+    plan = plan_of(spark, "text_contamination_ngram", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_nearest_single_sort_single_shuffle(spark):
     """direction='nearest' must not cost more than directional as-of:
     both candidate carries (backward last / forward first) are frames
@@ -143,7 +152,7 @@ _SLOW_BUILDERS = {
     "source_bucketed_join",
     "sink_result_page", "similarity_topk_ivf",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
-    "streaming_stream_stream_join",
+    "streaming_stream_stream_join", "streaming_dedup_exact",
 }
 
 
