@@ -145,3 +145,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "block", "id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")
     )
+
+
+@register_query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    )
+    SELECT id, least(id, min(peer)) AS cluster_id,
+           id = least(id, min(peer)) AS keep
+    FROM reach GROUP BY id
+    """,
+    tags="J9 F7",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assembly: MinHash-LSH pairs (same parameters as
+    `dedup_minhash_lsh`, whose recall vs exact all-pairs is
+    oracle-proved) fed into iterative min-label connected components
+    (operators/cluster.py) — one row per clustered doc with its
+    component id and the keep/drop decision (keep = minimum doc of the
+    component). The oracle recomputes the same fixpoint with a
+    recursive CTE over the exact pair set. This is the full dedup
+    policy a corpus pipeline executes: detect pairs sub-quadratically,
+    then retain one representative per transitive group."""
+    from karna_spark.operators.cluster import cluster_representatives
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=32, shingle_n=2
+    )
+    return cluster_representatives(pairs).select(
+        F.col("id"), F.col("cluster_id"), F.col("keep")
+    )

@@ -406,3 +406,35 @@ def test_streaming_dedup_suppresses_redelivery(spark):
     rows = out.collect()
     assert len(rows) == n_events
     assert len({r["event_id"] for r in rows}) == n_events
+
+
+def test_connected_components_multi_hop_chain(spark):
+    from karna_spark.operators.cluster import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    # Two components: a 4-hop chain 1-2-3-4-5 (forces >1 propagation
+    # round) and a pair 10-11; plus a triangle 20-21-22 with redundant
+    # edges.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    reps = {
+        r["id"]: r["keep"] for r in cluster_representatives(pairs).collect()
+    }
+    assert {i for i, k in reps.items() if k} == {1, 10, 20}
+
+
+def test_connected_components_empty_pairs(spark):
+    from karna_spark.operators.cluster import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0

@@ -153,6 +153,7 @@ _SLOW_BUILDERS = {
     "sink_result_page", "similarity_topk_ivf",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
     "streaming_stream_stream_join", "streaming_dedup_exact",
+    "dedup_clusters",  # iterative fixpoint: runs count() jobs to converge
 }
 
 
