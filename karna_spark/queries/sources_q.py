@@ -166,3 +166,41 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register_query(
+    "sink_partition_upsert",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    """,
+    tags="S8 J4",
+)
+def sink_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 depth: partition-scoped upsert (io/upsert.py). A store
+    partitioned by o_orderstatus is seeded with STALE rows (negated
+    totalprice) for every 7th order of status 'O'; the delta re-delivers
+    those orders with correct values. The upsert rewrites only the 'O'
+    partition — other partitions' files stay byte-identical (pytest
+    asserts untouched mtimes) — and the read-back hash-matching the
+    plain orders table proves replacement + retention exactly."""
+    import shutil
+
+    from karna_spark.io.upsert import upsert_partitioned
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    out = _export_dir(sf_dir, "orders_upsert_store")
+    stale_key = (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderstatus") == "O")
+    # Seed: stale values for the keys the delta will replace.
+    shutil.rmtree(out, ignore_errors=True)
+    seeded = orders.withColumn(
+        "o_totalprice",
+        F.when(stale_key, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")),
+    )
+    seeded.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    delta = orders.filter(stale_key)
+    upsert_partitioned(
+        spark, delta, out, key_cols=["o_orderkey"], partition_col="o_orderstatus"
+    )
+    return spark.read.parquet(out).select(*cols)

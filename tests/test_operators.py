@@ -438,3 +438,39 @@ def test_connected_components_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_partition_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from karna_spark.io.upsert import upsert_partitioned
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, part string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(store)
+
+    def files_with_mtime(part):
+        d = os.path.join(store, f"part={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_b, before_c = files_with_mtime("b"), files_with_mtime("c")
+    delta = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "a", 50.0)], "k long, part string, v double"
+    )
+    affected = upsert_partitioned(spark, delta, store, ["k"], "part")
+    assert affected == ["a"]
+    # Untouched partitions: identical file sets, identical mtimes.
+    assert files_with_mtime("b") == before_b
+    assert files_with_mtime("c") == before_c
+    # Affected partition: replaced key updated, new key added, others kept.
+    got = {
+        r["k"]: r["v"] for r in spark.read.parquet(store).collect()
+    }
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 50.0}

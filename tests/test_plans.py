@@ -154,6 +154,7 @@ _SLOW_BUILDERS = {
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "dedup_clusters",  # iterative fixpoint: runs count() jobs to converge
+    "sink_partition_upsert",  # seeds + upserts a store at build time
 }
 
 
