@@ -309,3 +309,142 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------------------ product quantization
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample: int = 10_000,
+) -> list:
+    """Train product-quantization codebooks: split each d-dim vector
+    into ``m`` subspaces and learn ``ksub`` centroids per subspace.
+
+    Training runs driver-side on a bounded deterministic hash-sample
+    (the standard practice — FAISS trains PQ on a fixed-size sample, a
+    codebook needs thousands of points, not the corpus): the collect is
+    capped at ``sample`` rows regardless of corpus size, and the loop
+    is pure numpy, no per-iteration Spark jobs. Encode and search stay
+    fully distributed. Returns nested lists (m, ksub, d/m) — a few KB
+    that ships to executors as a closure constant."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64(F.col("v").cast("string")))
+        .orderBy("__h")
+        .limit(sample)
+        .select("v")
+        .collect()
+    )
+    X = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    codebooks = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        # Distinct-point init: duplicate seeds would leave a cluster
+        # empty and another pattern uncovered — with few distinct
+        # subvectors that turns a losslessly-codable corpus lossy.
+        uniq = np.unique(sub, axis=0)
+        cent = uniq[: min(ksub, len(uniq))].copy()
+        if len(cent) < ksub:  # fewer distinct points than centroids
+            cent = np.resize(cent, (ksub, dsub))
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[a == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        codebooks[j] = cent
+    return codebooks.tolist()
+
+
+def pq_encode_udf(codebooks: list):
+    """Arrow-vectorized PQ encoder: vector → array<int> of ``m`` codes.
+    (Production layout packs codes into ``binary`` — m bytes/vector, a
+    32× compression of 64-dim float32; the int array keeps the column
+    inspectable here and the plan identical.)"""
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _, dsub = cb.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        Xs = X.reshape(len(X), m, dsub)
+        d2 = ((Xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+        return pd.Series(list(d2.argmin(axis=-1).astype(np.int32)))
+
+    return encode
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an (m × ksub) lookup table of exact subspace distances
+    to every centroid; a corpus row's approximate distance is m table
+    lookups summed — no float vectors move after encoding. Query LUTs
+    ride as a closure constant (|queries| × m × ksub doubles); the
+    corpus side is one scan + one per-query top-k window. At 100 TB
+    the scan reads m-byte codes instead of d-float vectors — the
+    memory/IO compression is the entire point of PQ."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q_rows = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()  # |queries| rows — the small side by contract
+    qids = sorted(r["qid"] for r in q_rows)
+    by_id = {r["qid"]: np.asarray(list(r["qv"]), dtype=np.float64) for r in q_rows}
+    luts = np.stack(
+        [
+            ((by_id[q].reshape(m, dsub)[:, None, :] - cb) ** 2).sum(axis=-1)
+            for q in qids
+        ]
+    )  # (nq, m, ksub)
+
+    encode = pq_encode_udf(codebooks)
+    coded = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
+    )
+
+    @pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (b, m)
+        idx = np.arange(m)
+        out = np.empty((len(C), len(qids)))
+        for qi in range(len(qids)):
+            out[:, qi] = luts[qi][idx[None, :], C].sum(axis=1)
+        return pd.Series(list(out))
+
+    spark = corpus.sparkSession
+    qmap = spark.createDataFrame(
+        [(i, int(q)) for i, q in enumerate(qids)], "qpos int, query_id long"
+    )
+    scored = (
+        coded.select(
+            "neighbor_id", F.posexplode(adc(F.col("codes"))).alias("qpos", "adc")
+        )
+        .join(F.broadcast(qmap), "qpos")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -538,3 +538,41 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= F.ceil(F.col("n") * 0.2)).select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------- vocab
+@register_query(
+    "text_vocab_topk",
+    oracle="""
+    SELECT term AS token,
+           count(*) AS term_freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents)
+    GROUP BY term
+    ORDER BY term_freq DESC, token
+    LIMIT 50
+    """,
+    tags="F9 A3 O3",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: the 50 most frequent tokens with term and
+    document frequencies (the first step of any tokenizer/vocab
+    pipeline). Explode → one two-phase aggregate on the token key →
+    ordered limit (plans as TakeOrderedAndProject, no global sort).
+    Deterministic tie-break on the token string keeps the cut line
+    stable across engines and parallelism."""
+    from karna_spark.operators.text import words
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words(F.trim(F.col("text")))).alias("token")
+    )
+    return (
+        d.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("token"))
+        .limit(50)
+    )

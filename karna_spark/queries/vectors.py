@@ -146,3 +146,26 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "neighbor_id", F.round(F.col("cos"), 4).alias("cos"), "rank"
     )
+
+
+@register_query("similarity_topk_pq", oracle=None, tags="F8 U2")
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN, product-quantization path: 8 subspaces × 16
+    centroids compress each 64-dim float vector to 8 small codes
+    (32× smaller than float32 at scale, stored binary in production);
+    queries score corpus rows by asymmetric distance — m table lookups
+    per row, no float vectors moving after the encode pass. Codebooks
+    train on a bounded hash-sample (FAISS practice), so the driver cost
+    is capped at any corpus size. Rows-only for the driver (Lloyd
+    training is not SQL-expressible); lossless-construction exactness
+    and top-k agreement with brute force are unit-tested in
+    tests/test_operators.py."""
+    from karna_spark.operators.similarity import ann_pq_topk, train_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codebooks = train_pq(emb, "embedding", m=8, ksub=16, iters=6)
+    res = ann_pq_topk(emb, queries, codebooks, "vec_id", "vec_id", "embedding", k=5)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("adc"), 4).alias("adc"), "rank"
+    )

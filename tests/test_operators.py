@@ -474,3 +474,48 @@ def test_partition_upsert_rewrites_only_affected_partitions(spark, tmp_path):
         r["k"]: r["v"] for r in spark.read.parquet(store).collect()
     }
     assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 50.0}
+
+
+def test_pq_lossless_construction_matches_bruteforce(spark):
+    """Vectors whose subspace slices come from ≤ksub distinct patterns
+    are representable exactly by the codebooks, so ADC distances equal
+    true squared L2 and the top-k must match brute force exactly."""
+    import numpy as np
+
+    from karna_spark.operators.similarity import ann_pq_topk, train_pq
+
+    rng_patterns = [
+        [float((p * 7 + d) % 5) for d in range(4)] for p in range(4)
+    ]  # 4 distinct 4-dim patterns per subspace, m=2 → dim 8
+
+    def vec(i):
+        return rng_patterns[i % 4] + rng_patterns[(i // 4) % 4]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = train_pq(df, "embedding", m=2, ksub=4, iters=10, sample=1000)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = ann_pq_topk(df, queries, cb, "vec_id", "vec_id", "embedding", k=4)
+    got_rows = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc"])
+                for r in got.collect()}
+
+    X = np.array([vec(i) for i in range(40)])
+    for q in range(3):
+        d2 = ((X - X[q]) ** 2).sum(axis=1)
+        order = sorted((d, i) for i, d in enumerate(d2) if i != q)
+        for rank in range(1, 5):
+            want_d, _ = order[rank - 1]
+            nid, adc = got_rows[(q, rank)]
+            assert abs(adc - want_d) < 1e-9, (q, rank, adc, want_d)
+            # neighbor id may differ among exact ties; distance may not.
+
+
+def test_pq_codes_within_range(spark):
+    from karna_spark.operators.similarity import pq_encode_udf, train_pq
+    from karna_spark.queries.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = train_pq(emb, "embedding", m=8, ksub=16, iters=3)
+    enc = pq_encode_udf(cb)
+    codes = emb.select(enc(F.col("embedding")).alias("c")).collect()
+    assert all(len(r["c"]) == 8 and all(0 <= x < 16 for x in r["c"]) for r in codes)

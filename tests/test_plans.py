@@ -155,6 +155,7 @@ _SLOW_BUILDERS = {
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "dedup_clusters",  # iterative fixpoint: runs count() jobs to converge
     "sink_partition_upsert",  # seeds + upserts a store at build time
+    "similarity_topk_pq",  # codebook training collects a sample at build
 }
 
 
