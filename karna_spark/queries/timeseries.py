@@ -334,3 +334,107 @@ def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unix_s"),
     )
+
+
+# ---------------------------------------------------------------- T7 gap fill
+@register_query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS sum_c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+    spine AS (
+      SELECT et.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM b) et,
+           LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                    FROM bounds) gs
+    )
+    SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           s.event_type,
+           COALESCE(b.n, 0) AS n_events,
+           b.h IS NULL AS is_gap,
+           CAST(COALESCE(b.sum_c, 0) AS DOUBLE) / 100.0 AS total_value
+    FROM spine s LEFT JOIN b USING (event_type, h)
+    """,
+    tags="T1 F3 O4",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling over a generated date spine: hourly buckets per
+    event type across the full observed range, absent hours
+    materialized with zero counts and flagged — the step that makes
+    downstream rolling windows and charts see a dense series. The
+    spine is |types| × |hours| rows built from a 1-row bounds
+    aggregate + `sequence`/`explode` (pure metadata work, no data
+    shuffle); the real aggregate joins onto it broadcast-style. At
+    100 TB the spine stays tiny while the aggregate is the usual
+    two-phase groupBy."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_c"),
+    )
+    bounds = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = b.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    out = spine.join(b, ["h", "event_type"], "left")
+    return out.select(
+        ts_str("h", "window_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+        (F.coalesce(F.col("sum_c"), F.lit(0)).cast("double") / 100.0).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------- W3 range frame
+@register_query(
+    "window_range_trailing",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           count(*) OVER w AS n_1h,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+             AS sum_val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags="W3 T2",
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window: per user, the trailing-1-hour event count
+    and value sum at every event — a frame defined by TIME DISTANCE
+    (RANGE on µs epoch), not row count, so bursts and quiet periods
+    weigh correctly. One shuffle on the user key, one sort; Spark and
+    the oracle both frame on the same integer µs axis, and the sum
+    accumulates integer cents for cross-engine exactness."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_str("ts", "ts_s"),
+        F.count("*").over(w).alias("n_1h"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).cast("double")
+            / 100.0
+        ).alias("sum_val_1h"),
+    )
