@@ -78,8 +78,18 @@ def compare_frames(name: str, spark_rows, spark_cols, duck_rows, duck_cols) -> P
         )
     order_s = [spark_cols.index(c) for c in sorted(spark_cols)]
     order_d = [duck_cols.index(c) for c in sorted(duck_cols)]
-    s = sorted(tuple(_norm_cell(r[i]) for i in order_s) for r in spark_rows)
-    d = sorted(tuple(_norm_cell(r[i]) for i in order_d) for r in duck_rows)
+
+    def row_key(t):
+        # Total order even when a cell mixes None with values (Python 3
+        # refuses None < int): rank by presence, then type, then repr.
+        return tuple((v is None, type(v).__name__, repr(v)) for v in t)
+
+    s = sorted(
+        (tuple(_norm_cell(r[i]) for i in order_s) for r in spark_rows), key=row_key
+    )
+    d = sorted(
+        (tuple(_norm_cell(r[i]) for i in order_d) for r in duck_rows), key=row_key
+    )
     if len(s) != len(d):
         return ParityResult(name, False, f"row count: spark={len(s)} duck={len(d)}")
     if s != d:

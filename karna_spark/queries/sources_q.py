@@ -204,3 +204,71 @@ def sink_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, delta, out, key_cols=["o_orderkey"], partition_col="o_orderstatus"
     )
     return spark.read.parquet(out).select(*cols)
+
+
+@register_query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, NULL AS nation_group FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, n_name, n_nationkey % 3 AS nation_group
+    FROM nation WHERE n_nationkey >= 10
+    """,
+    tags="S3 S5 P5",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 depth: schema evolution across files of one dataset. An old
+    batch (3 columns) and a new batch (an added nation_group column) land in
+    the same directory; reading with ``mergeSchema`` unions the footer
+    schemas and back-fills NULL for the old files — the
+    append-only-evolution contract a long-lived landing zone needs. At
+    100 TB mergeSchema costs a footer read per file (listing-scale, not
+    data-scale); pinning an explicit schema instead skips even that,
+    which is why the catalog supports both paths."""
+    import shutil
+
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    out = _export_dir(sf_dir, "nation_evolving")
+    shutil.rmtree(out, ignore_errors=True)
+    old = nation.filter(F.col("n_nationkey") < 10)
+    new = nation.filter(F.col("n_nationkey") >= 10).withColumn(
+        "nation_group", F.col("n_nationkey") % 3
+    )
+    old.write.mode("overwrite").parquet(out)
+    new.write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "n_nationkey", "n_name", "nation_group"
+    )
+
+
+@register_query(
+    "sink_compaction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % 11 = 0
+    """,
+    tags="S8 S3",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 depth: small-file compaction. A fragmented landing directory
+    (24 splits of a selection) is rewritten to a handful of right-sized
+    files; the read-back hash-matching the source proves losslessness,
+    and pytest asserts the file-count collapse. At 100 TB compaction is
+    the difference between listing/opening millions of KB-files and
+    thousands of ~128 MB ones — target count = ceil(bytes /
+    maxPartitionBytes), here fixed small. Content-preserving by
+    construction: one repartition, no dedup/reorder semantics."""
+    import shutil
+
+    sel = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 11 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    frag = _export_dir(sf_dir, "lineitem_fragmented")
+    compact = _export_dir(sf_dir, "lineitem_compacted")
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compact, ignore_errors=True)
+    sel.repartition(24).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compact)
+    return spark.read.parquet(compact)

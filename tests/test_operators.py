@@ -519,3 +519,19 @@ def test_pq_codes_within_range(spark):
     enc = pq_encode_udf(cb)
     codes = emb.select(enc(F.col("embedding")).alias("c")).collect()
     assert all(len(r["c"]) == 8 and all(0 <= x < 16 for x in r["c"]) for r in codes)
+
+
+def test_compaction_collapses_file_count(spark):
+    import os
+
+    from karna_spark.queries.registry import REGISTRY
+    from karna_spark.queries.sources_q import _export_dir
+
+    sf = "/root/testdata/sf0.001"
+    REGISTRY["sink_compaction"].builder(spark, sf)
+
+    def parquet_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(parquet_files(_export_dir(sf, "lineitem_fragmented"))) == 24
+    assert len(parquet_files(_export_dir(sf, "lineitem_compacted"))) == 2

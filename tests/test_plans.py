@@ -156,6 +156,7 @@ _SLOW_BUILDERS = {
     "dedup_clusters",  # iterative fixpoint: runs count() jobs to converge
     "sink_partition_upsert",  # seeds + upserts a store at build time
     "similarity_topk_pq",  # codebook training collects a sample at build
+    "source_schema_evolution", "sink_compaction",  # write files at build
 }
 
 
