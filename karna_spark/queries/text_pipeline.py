@@ -416,16 +416,25 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", words(F.trim(F.col("text"))).alias("ws")
     )
-    dl = d.select("doc_id", F.size("ws").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    # Two corpus scans total: one for the global stats (which must see
+    # term-free docs too), one for term frequencies — the doc length
+    # rides through the tf groupBy as a grouping column, so the scored
+    # join needs no third pass over the text.
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("ws")).alias("avgdl")
     )
     tf = (
-        d.select("doc_id", F.explode("ws").alias("term"))
+        d.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
         .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # tf feeds both idf and the scored join; persist so the corpus is
+    # tokenized once, not once per consumer. Bounded small: only docs
+    # containing a query term × |terms| rows.
+    from pyspark.storagelevel import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -437,7 +446,6 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
