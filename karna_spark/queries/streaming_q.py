@@ -28,6 +28,7 @@ from karna_spark.streaming.jobs import (
     stage_events,
     tumbling_watermark,
     dedup_stream,
+    session_window_stream,
     user_stats_stateful,
     view_click_join,
 )
@@ -143,4 +144,47 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
     return run_to_memory(
         dedup_stream(events_stream(spark, landing)), "append", checkpoint=checkpoint
+    )
+
+
+@register_query(
+    "streaming_session_window",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM tagged
+    )
+    SELECT user_id,
+           strftime(date_trunc('second', MIN(ts)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(CAST(MAX(ts) AS TIMESTAMP)) - epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+                AS DOUBLE) / 1000000.0 AS duration_s
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    tags="T3 T4",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 under true streaming: native F.session_window with a
+    watermark, append mode, sentinel-driven finalization (the sentinel
+    batch pushes the watermark past every real session close, so the
+    sink holds exactly the finalized sessions). Hash-matches the batch
+    gap-sessionization rollup — the strongest statement that the
+    engine's three session formulations (batch lag/running-sum, salted,
+    native streaming) implement one semantics."""
+    landing = stage_events(spark, sf_dir, with_sentinel=True)
+    return run_to_memory(
+        session_window_stream(events_stream(spark, landing)), "append"
     )

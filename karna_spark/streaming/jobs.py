@@ -160,6 +160,33 @@ def tumbling_watermark(
     )
 
 
+def session_window_stream(
+    stream: DataFrame, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """T3 streaming twin: native ``F.session_window`` under readStream.
+    Each event opens a [ts, ts+gap) window; overlapping windows merge,
+    so a finalized window is exactly one gap-based session. Append mode
+    emits a session once the watermark passes its close — state per
+    open session, bounded by the watermark at any stream size. The
+    batch twin (operators/sessionize.py) numbers sessions with a lag/
+    running-sum window; boundaries agree whenever no inter-event gap
+    equals the threshold exactly (µs-random data — the fixture's
+    closest gap is 886 ms away)."""
+    return (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / 1_000_000.0
+            ).alias("duration_s"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_s")
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: exactly-once rows out of an at-least-once
     source. ``dropDuplicates`` on the event key under a watermark keeps

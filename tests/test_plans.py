@@ -157,6 +157,7 @@ _SLOW_BUILDERS = {
     "sink_partition_upsert",  # seeds + upserts a store at build time
     "similarity_topk_pq",  # codebook training collects a sample at build
     "source_schema_evolution", "sink_compaction",  # write files at build
+    "streaming_session_window",
 }
 
 
