@@ -227,3 +227,33 @@ def sessionization_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_id").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------- W3 (rolling median)
+@register_query(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+             AS rolling_median
+    FROM events
+    """,
+    tags="W3 A6",
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+A6: trailing 10-event median per user — an order statistic
+    over a moving frame, the robust-smoothing primitive mean-based
+    rolling aggregates can't provide (outlier-resistant). Spark's
+    `percentile(…, 0.5)` window and DuckDB's `median` interpolate
+    even-count frames identically ((lo+hi)/2 — repr-exact on the full
+    fixture), so the result needs no rounding. One shuffle on the user
+    key, one sort; the frame buffer is 10 rows per partition cursor at
+    any scale."""
+    ev = table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_median",
+    )
