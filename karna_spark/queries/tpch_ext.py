@@ -589,7 +589,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
-      WHERE p_name LIKE 'p1%'
+      WHERE p_name LIKE 'r%'
         AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY l_suppkey, l_partkey
@@ -601,7 +601,9 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (no partsupp → shipped quantity): suppliers who
-    moved >50 units of some 'p1…' part in 1997. Nested IN becomes
+    moved >50 units of some 'r…' part in 1997 (pattern adapted to the
+    fixture's word-based part names so the query exercises real rows —
+    the spec's 'p1%' matches nothing here). Nested IN becomes
     aggregate → semi join; supplier side is tiny and stays on the
     probe side of a broadcast."""
     li = table(spark, sf_dir, "lineitem").filter(
@@ -609,7 +611,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     part = (
-        table(spark, sf_dir, "part").filter(F.col("p_name").like("p1%")).select("p_partkey")
+        table(spark, sf_dir, "part").filter(F.col("p_name").like("r%")).select("p_partkey")
     )
     qualified = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -705,7 +707,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS totacctbal
     FROM customer, positive_avg
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'P')
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -713,14 +716,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (no c_phone → group by nation): wealthy
-    customers (above positive-balance average) with no orders. The
-    scalar AVG broadcasts; NOT EXISTS is a left-anti join against
-    order custkeys."""
+    customers (above positive-balance average) with no PENDING orders
+    (every fixture customer has some order, so the anti side carries a
+    status predicate to keep the NOT EXISTS evidentially non-empty).
+    The scalar AVG broadcasts; NOT EXISTS is a left-anti join against
+    the filtered order custkeys."""
     cust = table(spark, sf_dir, "customer")
     pos_avg = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("a")
     )
-    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
     return (
         cust.join(F.broadcast(pos_avg))
         .filter(F.col("c_acctbal") > F.col("a"))
