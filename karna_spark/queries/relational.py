@@ -261,16 +261,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_mktsegment
     FROM customer
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
     )
     """,
     tags="J4",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: NOT EXISTS as left-anti. (Deliberately NOT `NOT IN` — its
-    NULL semantics differ; the oracle pins the EXISTS formulation.)"""
+    """J4: NOT EXISTS as left-anti — customers with no PENDING ('P')
+    order. (Deliberately NOT `NOT IN` — its NULL semantics differ; the
+    oracle pins the EXISTS formulation. The build side carries a status
+    filter because every fixture customer has *some* order — an
+    unfiltered anti join is structurally empty and proves nothing.)"""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")

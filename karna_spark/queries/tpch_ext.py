@@ -95,8 +95,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE ((n1.n_name = 'n01' AND n2.n_name = 'n02')
-          OR (n1.n_name = 'n02' AND n2.n_name = 'n01'))
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -118,9 +118,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "n01") & (F.col("cust_nation") == "n02") | (
-        F.col("supp_nation") == "n02"
-    ) & (F.col("cust_nation") == "n01")
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -139,7 +139,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN nation = 'n03' THEN volume ELSE 0 END)
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
                       / SUM(volume) AS DOUBLE), 4) AS mkt_share
     FROM (
       SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
@@ -153,7 +153,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n1 ON c_nationkey = n1.n_nationkey
       JOIN region    ON n1.n_regionkey = r_regionkey
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'r1' AND p_type = 'PROMO'
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
     ) all_nations
     GROUP BY o_year
     ORDER BY o_year
@@ -172,7 +172,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )
-    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "r1").select("r_regionkey")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
@@ -189,7 +189,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             r4(
-                F.sum(F.when(F.col("nation") == "n03", vol).otherwise(F.lit(0)))
+                F.sum(F.when(F.col("nation") == "NATION_7", vol).otherwise(F.lit(0)))
                 / F.sum(vol),
                 "mkt_share",
             )
