@@ -47,7 +47,9 @@ _PRIORITY: tuple[str, ...] = (
     "q20_part_promotion_suppliers", "q22_global_sales_opportunity",
     # (b) the r4 regression trio, fixed this round — re-certify first
     "sessionization", "session_window_agg", "sessionization_salted",
-    # (c) new this round
+    # (c) new or materially changed this round (q7/q8 re-literaled to
+    # fixture vocabulary; their r4 rows certified the old constants)
+    "q7_volume_shipping", "q8_market_share",
     "events_incremental_rollup", "asof_join_nearest",
     "streaming_stream_stream_join", "text_contamination_ngram",
     "text_bm25_scores", "text_pii_redaction", "sample_stratified_quota",
