@@ -58,6 +58,7 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_gap_fill", "window_range_trailing",
     "source_schema_evolution", "sink_compaction",
     "streaming_session_window", "window_rolling_median",
+    "frontend_nl_docs_profile",
     # (d) r2-certified set (newest row r2) in its original order
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q2_min_cost_supplier",

@@ -292,3 +292,22 @@ def frontend_graphql_nested_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.sort_array(F.filter(names, lambda x: x.isNotNull()))
         ).alias("customer_names"),
     )
+
+
+@register_query(
+    "frontend_nl_docs_profile",
+    oracle=(
+        "SELECT source, AVG(n_chars) AS avg_n_chars FROM documents "
+        "GROUP BY source ORDER BY source"
+    ),
+    tags="S6 A1 F9",
+)
+def frontend_nl_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end over the corpus table: 'average n_chars by source
+    in documents' — shows the translator is table-generic (the grammar
+    resolves any registered table's vocabulary, not just TPC-H).
+    Integer sums divide exactly, so the avg is cross-engine stable."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, "average n_chars by source in documents")
