@@ -1,0 +1,197 @@
+"""Property-based tests (hypothesis) for the operators whose edge cases
+hand-picked fixtures can miss: as-of join direction/tie semantics vs
+pandas.merge_asof (an independent reference implementation),
+salted-vs-plain sessionization equivalence on adversarial gap patterns,
+rollup merge associativity under random slicing, and connected
+components vs a union-find reference.
+
+Each property runs a bounded number of small Spark jobs (max_examples
+kept low — a Spark round trip per example costs ~0.5 s); the point is
+randomized structure, not volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,  # stable CI: same examples every run
+)
+
+
+# (key, ts, value) rows; timestamps unique per (side, key) so tie
+# behavior between engines is well-defined (duplicate right-side
+# timestamps have no canonical winner in either implementation).
+def _side_rows(max_keys=3, max_rows=12):
+    return st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=max_keys),
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=0,
+        max_size=max_rows,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+
+
+@settings(**SETTINGS)
+@given(left=_side_rows(), right=_side_rows(), direction=st.sampled_from(
+    ["backward", "forward", "nearest"]))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    from karna_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(left)],
+        "k long, ts long, lv long, lid long",
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "lv", "lid")
+    rdf = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in right] or [],
+        "k long, rts long, rv double",
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "rv")
+    got = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+            value_cols=["rv"], direction=direction,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["k", "ts", "lv"]).assign(
+        lid=range(len(left))
+    ).sort_values("ts", kind="stable")
+    # Explicit dtypes: an empty literal frame defaults to object
+    # columns, which pd.merge_asof rejects as incompatible keys.
+    rp = pd.DataFrame(right, columns=["k", "ts", "rv"]).astype(
+        {"k": "int64", "ts": "int64", "rv": "float64"}
+    ).sort_values("ts", kind="stable")
+    if len(lp) == 0:
+        assert got == {}
+        return
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+    want = {
+        int(r.lid): (None if pd.isna(r.rv) else float(r.rv))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=400),  # ts seconds
+        ),
+        min_size=1, max_size=30, unique_by=lambda r: (r[0], r[1]),
+    ),
+    gap=st.integers(min_value=1, max_value=60),
+    salt=st.integers(min_value=10, max_value=120),
+)
+def test_sessionize_salted_equals_plain_property(spark, rows, gap, salt):
+    """The salted rewrite must be output-identical to the plain window
+    for ANY gap/salt combination — including salts smaller than the
+    gap, where almost every bucket boundary needs a merge repair."""
+    from karna_spark.operators.sessionize import sessionize, sessionize_salted
+
+    df = spark.createDataFrame(rows, "u long, ts long").select(
+        "u", F.timestamp_seconds("ts").alias("ts")
+    )
+    plain = {
+        (r["u"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "u", "ts", gap).collect()
+    }
+    salted = {
+        (r["u"], r["ts"]): r["session_id"]
+        for r in sessionize_salted(df, "u", "ts", gap, salt_seconds=salt).collect()
+    }
+    assert plain == salted
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=72),       # hour offset
+            st.sampled_from(["a", "b"]),                  # key
+            st.integers(min_value=-10_000, max_value=10_000),  # cents
+        ),
+        min_size=1, max_size=40,
+    ),
+    mask=st.lists(st.integers(min_value=0, max_value=2), min_size=40, max_size=40),
+)
+def test_rollup_merge_any_3way_split_equals_full(spark, rows, mask):
+    from karna_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        rollup_slice,
+    )
+
+    data = [
+        (i, 3_600 * h, k, c / 100.0) for i, (h, k, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "i long, ts long, k string, value double").select(
+        "i", F.timestamp_seconds("ts").alias("ts"), "k", "value"
+    )
+
+    def canon(state):
+        return sorted(
+            (str(r["bucket_ts"]), r["k"], r["n_events"], r["sum_value_c"],
+             r["min_value"], r["max_value"])
+            for r in state.collect()
+        )
+
+    full = rollup_slice(df, "ts", ["k"], "value")
+    parts = [
+        rollup_slice(df.filter(F.col("i") % 3 == j), "ts", ["k"], "value")
+        for j in range(3)
+    ]
+    assert canon(merge_rollups(*parts)) == canon(full)
+    # finalize is deterministic on equal states
+    assert (
+        sorted(map(tuple, finalize_rollup(merge_rollups(*parts)).collect()))
+        == sorted(map(tuple, finalize_rollup(full).collect()))
+    )
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=0, max_size=20,
+    ).map(lambda es: [(a, b) for a, b in es if a != b])
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from karna_spark.operators.cluster import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {
+        v: find(v) for v in {x for e in edges for x in e}
+    }
+
+    df = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == want
