@@ -14,9 +14,15 @@ the loop runs 2-4 times in practice. Each round is one equi-join
 doc id, nothing quadratic. The driver-side loop holds only a changed-
 row COUNT per round (a scalar), never data; labels persist across
 rounds and the previous round's cache is released as soon as the next
-materializes. For adversarially deep graphs (long chains) the
-large-star/small-star variant halves diameter per round; near-dup
-workloads don't need it and the simple form shuffles less per round.
+materializes. Every few rounds the label frame is ``localCheckpoint``ed
+so plan lineage stays O(1) instead of growing two joins per round —
+on a deep graph the un-truncated tree re-plans quadratically and can
+overflow executor stacks. If the loop exits without reaching the
+fixpoint the result would be silently wrong (one component split into
+several), so that raises instead of returning. For adversarially deep
+graphs (long chains) the large-star/small-star variant halves diameter
+per round; near-dup workloads don't need it and the simple form
+shuffles less per round.
 """
 
 from __future__ import annotations
@@ -30,11 +36,17 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Cluster ids for every vertex appearing in ``pairs``: one row
     (id, cluster_id) per vertex, cluster_id = min vertex id of its
-    component — deterministic at any parallelism."""
+    component — deterministic at any parallelism.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint (component diameter > max_iter): a partial
+    propagation would split components with no other signal.
+    """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(
@@ -50,7 +62,8 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        for _ in range(max_iter):
+        changed = -1
+        for it in range(max_iter):
             neigh = edges.join(
                 labels.withColumnRenamed("id", "dst"), "dst"
             ).select(F.col("src").alias("id"), "label")
@@ -58,8 +71,12 @@ def connected_components(
                 labels.unionByName(neigh)
                 .groupBy("id")
                 .agg(F.min("label").alias("label"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            # Truncate lineage periodically: without a barrier the plan
+            # grows two joins per round and re-planning cost compounds.
+            if (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
             changed = (
                 new_labels.join(
                     labels.withColumnRenamed("label", "old"), "id"
@@ -71,7 +88,21 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select("id", F.col("label").alias("cluster_id"))
+        if changed != 0:
+            labels.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing); component "
+                "diameter exceeds max_iter — raise max_iter or use a "
+                "star-contraction variant"
+            )
+        # Materialize once so the returned frame doesn't depend on the
+        # loop's cache, then release it — callers get a lineage-free,
+        # unpersisted result (no cached partitions leak past the call).
+        out = labels.select("id", F.col("label").alias("cluster_id"))
+        out = out.localCheckpoint(eager=True)
+        labels.unpersist()
+        return out
     finally:
         edges.unpersist()
 

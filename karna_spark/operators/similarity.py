@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from karna_spark.functions.vector import cosine
@@ -376,6 +377,8 @@ def pq_encode_udf(codebooks: list):
 
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch from an empty partition
+            return pd.Series([], dtype=object)
         X = np.vstack(v.to_numpy()).astype(np.float64)
         Xs = X.reshape(len(X), m, dsub)
         d2 = ((Xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
@@ -422,6 +425,8 @@ def ann_pq_topk(
 
     @pandas_udf("array<double>")
     def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
         C = np.vstack(codes.to_numpy()).astype(np.int64)  # (b, m)
         idx = np.arange(m)
         out = np.empty((len(C), len(qids)))
@@ -429,9 +434,18 @@ def ann_pq_topk(
             out[:, qi] = luts[qi][idx[None, :], C].sum(axis=1)
         return pd.Series(list(out))
 
+    # qmap carries the query-id column's ACTUAL dtype (long, string,
+    # UUID-as-string, …) — no int() cast, so non-integer ids survive.
     spark = corpus.sparkSession
+    id_type = queries.schema[query_id].dataType
     qmap = spark.createDataFrame(
-        [(i, int(q)) for i, q in enumerate(qids)], "qpos int, query_id long"
+        [(i, q) for i, q in enumerate(qids)],
+        T.StructType(
+            [
+                T.StructField("qpos", T.IntegerType()),
+                T.StructField("query_id", id_type),
+            ]
+        ),
     )
     scored = (
         coded.select(

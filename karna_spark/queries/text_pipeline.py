@@ -429,12 +429,13 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    # tf feeds both idf and the scored join; persist so the corpus is
-    # tokenized once, not once per consumer. Bounded small: only docs
-    # containing a query term × |terms| rows.
-    from pyspark.storagelevel import StorageLevel
-
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    # tf feeds both idf and the scored join; a lazy localCheckpoint
+    # materializes it once at first action (build stays action-free)
+    # and — unlike persist(), whose CacheManager entry would outlive
+    # this query with no unpersist hook — its blocks are released by
+    # the ContextCleaner as soon as the frame is garbage-collected.
+    # Bounded small: docs containing a query term × |terms| rows.
+    tf = tf.localCheckpoint(eager=False)
     idf = (
         tf.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))

@@ -189,15 +189,19 @@ def session_window_stream(
 
 def dedup_stream(stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: exactly-once rows out of an at-least-once
-    source. ``dropDuplicates`` on the event key under a watermark keeps
-    per-key state only until the watermark passes — re-deliveries
-    within the horizon are suppressed by state, older ones are dropped
-    as late — so state is O(events per horizon), not O(stream). The
-    batch twin is `dedup_exact` (operators/dedup.py); same contract,
-    unbounded history replaced by the watermark horizon."""
+    source. ``dropDuplicates`` under a watermark keeps per-key state
+    only until the watermark passes — re-deliveries within the horizon
+    are suppressed by state, older ones are dropped as late — so state
+    is O(events per horizon), not O(stream). Spark only expires
+    dedup state when the event-time column is PART of the dedup subset,
+    so the key here is (event_id, ts), not event_id alone: re-delivered
+    events are byte-identical (same ts), so the result is unchanged,
+    and state actually expires at the horizon. The batch twin is
+    `dedup_exact` (operators/dedup.py); same contract, unbounded
+    history replaced by the watermark horizon."""
     return (
         stream.withWatermark("ts", watermark_delay)
-        .dropDuplicates(["event_id"])
+        .dropDuplicates(["event_id", "ts"])
         .select(
             "event_id",
             "user_id",

@@ -440,6 +440,35 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_deep_chain_converges(spark):
+    # A 20-hop chain: diameter 20, so min-label propagation needs ~20
+    # rounds and the lineage-truncation path (localCheckpoint every 4
+    # rounds) actually exercises — without it the plan tree is 40 joins
+    # deep by convergence.
+    from karna_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 21
+
+
+def test_connected_components_unconverged_raises(spark):
+    # Diameter > max_iter must raise, not silently return split
+    # components.
+    import pytest
+
+    from karna_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+
+
 def test_partition_upsert_rewrites_only_affected_partitions(spark, tmp_path):
     import os
 
