@@ -116,8 +116,32 @@ def random_hyperplane_buckets(
     return df.withColumn(out_col, _bucket_expr(vec_col, dim, n_planes, seed))
 
 
+def axis_planes(dims_per_table: int, n_tables: int, dim: int) -> list[list[list[float]]]:
+    """Axis-aligned hyperplane sets: table ``t`` projects onto basis
+    vectors e_{t·m} … e_{t·m+m-1}, so its bucket bits are simply the
+    signs of ``m`` disjoint coordinates. A legitimate sign-LSH family
+    (projection onto fixed unit vectors) whose buckets are exactly
+    reproducible in ANSI SQL (``v[i] >= 0``) — used by the driver's
+    recall gate so the oracle can replay the whole pipeline."""
+    tables = []
+    for t in range(n_tables):
+        planes = []
+        for i in range(dims_per_table):
+            row = [0.0] * dim
+            row[t * dims_per_table + i] = 1.0
+            planes.append(row)
+        tables.append(planes)
+    return tables
+
+
 def _multi_table_buckets(
-    df: DataFrame, vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Explode each row into ``n_tables`` (table_id, bucket) keys, one
     per independent plane set — the amplification half of LSH.
@@ -129,13 +153,9 @@ def _multi_table_buckets(
     aggregate(zip_with) per plane) evaluates interpreted per element
     and is ~100× slower per row. Batch transfer is Arrow; the plane
     matrix ships once per task as a closure constant (L·m·dim doubles)."""
-    planes = np.asarray(
-        [
-            row
-            for t in range(n_tables)
-            for row in hyperplanes(dim, n_planes, seed + 1000 * t)
-        ]
-    )  # (n_tables * n_planes, dim)
+    if planes is None:
+        planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    planes = np.asarray([row for tbl in planes for row in tbl])  # (L*m, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf("array<long>")
@@ -161,6 +181,7 @@ def ann_lsh_topk(
     n_tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    planes: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via amplified sign-LSH: ``n_tables``
     independent tables of ``n_planes`` hyperplanes each; a corpus row is
@@ -169,8 +190,15 @@ def ann_lsh_topk(
     equi-join on (table_id, bucket) replaces the all-pairs scan: probe
     cost ≈ L · corpus/2^m per query instead of the full corpus, and the
     join shuffles on the bucket key, so it scales out. Candidates are
-    deduped across tables before the exact-cosine rank."""
+    deduped across tables before the exact-cosine rank.
+
+    ``planes`` overrides the seeded pseudo-random hyperplanes with an
+    explicit family (list of tables, each a list of dim-length plane
+    vectors) — e.g. :func:`axis_planes` for an oracle-replayable
+    configuration."""
     dim = _resolve_dim(corpus, vec_col, dim)
+    if planes is not None:
+        n_tables, n_planes = len(planes), len(planes[0])
     c_base = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     # Bucket computation is CPU-bound (n_tables × n_planes dot
     # products per row); a small corpus arriving as 1-3 input splits
@@ -179,10 +207,10 @@ def ann_lsh_topk(
     sc = corpus.sparkSession.sparkContext
     if c_base.rdd.getNumPartitions() < sc.defaultParallelism:
         c_base = c_base.repartition(sc.defaultParallelism, "neighbor_id")
-    c = _multi_table_buckets(c_base, "c_vec", dim, n_planes, n_tables, seed)
+    c = _multi_table_buckets(c_base, "c_vec", dim, n_planes, n_tables, seed, planes)
     q = _multi_table_buckets(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", dim, n_planes, n_tables, seed,
+        "q_vec", dim, n_planes, n_tables, seed, planes,
     )
     cands = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
@@ -365,6 +393,29 @@ def train_pq(
                     cent[c] = pts.mean(axis=0)
         codebooks[j] = cent
     return codebooks.tolist()
+
+
+def pq_codebooks_from_rows(
+    df: DataFrame, vec_col: str, id_col: str, seed_ids: list, m: int
+) -> list:
+    """PQ codebooks taken verbatim from ``len(seed_ids)`` fixed corpus
+    rows: subspace ``j``'s centroid ``c`` is seed row ``c``'s j-th
+    subvector (seed order = ascending id). No Lloyd training — the
+    codebook is a deterministic function of named rows, so an ANSI-SQL
+    oracle can reconstruct it exactly (``list_slice`` over the same
+    rows) and replay encode + ADC end-to-end. Collect is
+    len(seed_ids) rows — driver-safe at any corpus size."""
+    rows = df.filter(F.col(id_col).isin(list(seed_ids))).select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+    ordered = [np.asarray(list(r["v"]), dtype=np.float64) for r in sorted(rows, key=lambda r: r["i"])]
+    X = np.stack(ordered)  # (ksub, dim)
+    ksub, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # (ksub, m, dsub) -> (m, ksub, dsub)
+    return X.reshape(ksub, m, dsub).transpose(1, 0, 2).tolist()
 
 
 def pq_encode_udf(codebooks: list):

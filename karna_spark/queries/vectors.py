@@ -127,6 +127,271 @@ def similarity_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- recall gates
+#
+# The production ANN paths above (seeded-random hyperplanes, Lloyd-
+# trained IVF/PQ) are rows-only for the driver: their trained constants
+# have no SQL twin. These three queries close that gap with a *fully
+# oracle-replayable* configuration of the SAME operator machinery —
+# axis-aligned LSH planes (sign of a coordinate), seed-row IVF
+# centroids, seed-row PQ codebooks — and emit recall@10 against
+# in-plan exact brute force. DuckDB reconstructs the identical ANN
+# pipeline AND the brute-force truth from the parquet alone, so the
+# driver hash-checks a genuine quality measurement end-to-end: if
+# bucketing, probing, encoding, ADC, or ranking drifts, recall drifts
+# and the round goes red. Measured at sf0.01: LSH ≈0.88, IVF ≈0.60
+# (nprobe 3/8 of a diffuse corpus), PQ ≈0.54 (64 dims → 32 codes,
+# 12.8× compression) — pytest pins floors, the driver pins values.
+
+_IVF_SEED_IDS = list(range(100, 500, 50))  # 8 cells
+_PQ_SEED_IDS = [7 + 15 * i for i in range(32)]  # 32 centroids/subspace
+
+
+def _recall_vs_bruteforce(emb, queries, ann: DataFrame, k: int) -> DataFrame:
+    """Per-query overlap of an ANN top-k with the exact top-k."""
+    bf = ann_bruteforce_topk(emb, queries, "vec_id", "vec_id", "embedding", k=k)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(bf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("hits_at_10"),
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / float(k), 4).alias("recall_at_10"),
+        )
+    )
+
+
+_BF_TOP10_SQL = """
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+               ) AS rk
+        FROM corpus c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+      ) WHERE rk <= 10
+    ),
+    recall AS (
+      SELECT bf.query_id,
+             CAST(count(ann.neighbor_id) AS BIGINT) AS hits_at_10,
+             ROUND(count(ann.neighbor_id) / 10.0, 4) AS recall_at_10
+      FROM bf
+      LEFT JOIN ann ON ann.query_id = bf.query_id
+                   AND ann.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT query_id, hits_at_10, recall_at_10 FROM recall
+"""
+
+
+@register_query(
+    "similarity_lsh_recall",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+    tables AS (SELECT unnest(range(16)) AS t),
+    cbuck AS (
+      SELECT c.vec_id, tb.t,
+             (CASE WHEN c.v[4*tb.t+1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN c.v[4*tb.t+2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN c.v[4*tb.t+3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN c.v[4*tb.t+4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM corpus c CROSS JOIN tables tb
+    ),
+    qbuck AS (
+      SELECT q.query_id, q.qv, tb.t,
+             (CASE WHEN q.qv[4*tb.t+1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN q.qv[4*tb.t+2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN q.qv[4*tb.t+3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN q.qv[4*tb.t+4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM q CROSS JOIN tables tb
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, qb.qv, cb.vec_id AS neighbor_id
+      FROM cbuck cb JOIN qbuck qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+      WHERE cb.vec_id <> qb.query_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY cand.query_id
+                 ORDER BY list_cosine_similarity(c.v, cand.qv) DESC, cand.neighbor_id
+               ) AS rk
+        FROM cand JOIN corpus c ON c.vec_id = cand.neighbor_id
+      ) WHERE rk <= 10
+    ),
+    """
+    + _BF_TOP10_SQL,
+    tags="F8 J9",
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of amplified sign-LSH vs exact brute force, per query.
+    Runs the production ``ann_lsh_topk`` machinery (bucket explode →
+    equi-join → candidate dedup → exact rank) with 16 tables of 4
+    axis-aligned planes covering all 64 dims — a plane family whose
+    buckets DuckDB replays exactly (sign of a coordinate), making this
+    the driver-certified quality gate for the LSH family."""
+    from karna_spark.operators.similarity import ann_lsh_topk, axis_planes
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_lsh_topk(
+        emb, queries, "vec_id", "vec_id", "embedding",
+        k=10, dim=EMB_DIM, planes=axis_planes(4, 16, EMB_DIM),
+    )
+    return _recall_vs_bruteforce(emb, queries, ann, k=10)
+
+
+@register_query(
+    "similarity_ivf_recall",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+      FROM corpus WHERE vec_id IN (100, 150, 200, 250, 300, 350, 400, 450)
+    ),
+    cassign AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT c.vec_id, c.v, ct.cluster_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_distance(c.v, ct.cv), ct.cluster_id
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT query_id, qv, cluster_id FROM (
+        SELECT q.query_id, q.qv, ct.cluster_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(q.qv, ct.cv), ct.cluster_id
+               ) AS rn
+        FROM q CROSS JOIN cents ct
+      ) WHERE rn <= 3
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.query_id, ca.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qa.query_id
+                 ORDER BY list_cosine_similarity(ca.v, qa.qv) DESC, ca.vec_id
+               ) AS rk
+        FROM qassign qa JOIN cassign ca USING (cluster_id)
+        WHERE ca.vec_id <> qa.query_id
+      ) WHERE rk <= 10
+    ),
+    """
+    + _BF_TOP10_SQL,
+    tags="F8 J9 U3",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF vs exact brute force, per query. Runs the
+    production ``ann_ivf_topk`` machinery (argmin cell assignment →
+    probe nprobe=3 of 8 inverted lists → exact rank) with centroids
+    taken verbatim from 8 fixed corpus rows, so the oracle rebuilds the
+    identical quantizer from the parquet — the driver-certified quality
+    gate for the IVF family."""
+    from pyspark.sql import Window as W
+
+    from karna_spark.operators.similarity import ann_ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = (
+        emb.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .withColumn("cluster_id", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cluster_id", "centroid")
+    )
+    ann = ann_ivf_topk(
+        emb, queries, cents, "vec_id", "vec_id", "embedding", k=10, nprobe=3
+    )
+    return _recall_vs_bruteforce(emb, queries, ann, k=10)
+
+
+@register_query(
+    "similarity_pq_recall",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10),
+    subq AS (SELECT unnest(range(32)) AS j),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      FROM corpus WHERE vec_id % 15 = 7 AND vec_id <= 472
+    ),
+    cb AS (
+      SELECT s.c, sq.j, s.v[2*sq.j+1] AS c1, s.v[2*sq.j+2] AS c2
+      FROM seeds s CROSS JOIN subq sq
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT co.vec_id, cb.j, cb.c,
+               row_number() OVER (
+                 PARTITION BY co.vec_id, cb.j
+                 ORDER BY power(co.v[2*cb.j+1] - cb.c1, 2)
+                        + power(co.v[2*cb.j+2] - cb.c2, 2), cb.c
+               ) AS rn
+        FROM corpus co CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT q.query_id, cd.vec_id AS neighbor_id,
+             SUM(power(q.qv[2*cd.j+1] - cb.c1, 2)
+               + power(q.qv[2*cd.j+2] - cb.c2, 2)) AS dist
+      FROM codes cd
+      JOIN cb ON cb.j = cd.j AND cb.c = cd.code
+      CROSS JOIN q
+      WHERE cd.vec_id <> q.query_id
+      GROUP BY q.query_id, cd.vec_id
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY dist, neighbor_id
+               ) AS rk
+        FROM adc
+      ) WHERE rk <= 10
+    ),
+    """
+    + _BF_TOP10_SQL,
+    tags="F8 U2",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ/ADC vs exact brute force, per query. Runs the
+    production ``ann_pq_topk`` machinery (Arrow-vectorized encode →
+    per-query LUT → ADC rank) with 32 subspaces × 32 codebook rows
+    taken verbatim from fixed corpus rows (``pq_codebooks_from_rows``),
+    so the oracle re-encodes the corpus and replays ADC exactly — the
+    driver-certified quality gate for the PQ family. 64 float dims →
+    32 codes is 12.8× compression; recall ≈0.54 on this deliberately
+    diffuse fixture is the measured tradeoff, not a bug."""
+    from karna_spark.operators.similarity import ann_pq_topk, pq_codebooks_from_rows
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codebooks = pq_codebooks_from_rows(emb, "embedding", "vec_id", _PQ_SEED_IDS, m=32)
+    ann = ann_pq_topk(
+        emb, queries, codebooks, "vec_id", "vec_id", "embedding", k=10
+    )
+    return _recall_vs_bruteforce(emb, queries, ann, k=10)
+
+
 @register_query("similarity_topk_ivf", oracle=None, tags="F8 J9 U3")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN, IVF path: a k-means coarse quantizer (8 cells,

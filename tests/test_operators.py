@@ -220,6 +220,23 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert all(r.rank <= 3 for r in approx.collect())
 
 
+def test_recall_gate_floors(spark):
+    """The driver-certified recall gates must also stay above quality
+    floors: hash-parity proves the measurement is faithful, this proves
+    the measured quality doesn't silently collapse."""
+    from karna_spark.queries import REGISTRY
+
+    floors = {
+        "similarity_lsh_recall": 0.70,
+        "similarity_ivf_recall": 0.45,
+        "similarity_pq_recall": 0.35,
+    }
+    for name, floor in floors.items():
+        rows = REGISTRY[name].builder(spark, "/root/testdata/sf0.01").collect()
+        mean = sum(r["recall_at_10"] for r in rows) / len(rows)
+        assert mean >= floor, f"{name}: mean recall {mean} < {floor}"
+
+
 def test_kmeans_and_ivf(spark):
     from karna_spark.operators.similarity import (
         ann_bruteforce_topk,

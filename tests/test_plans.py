@@ -158,6 +158,8 @@ _SLOW_BUILDERS = {
     "similarity_topk_pq",  # codebook training collects a sample at build
     "source_schema_evolution", "sink_compaction",  # write files at build
     "streaming_session_window",
+    # recall gates: centroid/codebook seed rows collect at build time
+    "similarity_ivf_recall", "similarity_pq_recall",
 }
 
 
