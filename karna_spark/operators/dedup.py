@@ -426,10 +426,20 @@ def simhash_near_dup_pairs(
         src = src.repartition(sc.defaultParallelism, "id")
     sig_udf = simhash64_text_udf()
     sigs = src.select("id", sig_udf(F.col("text")).alias("sig"))
-    n_slices = min(max_hamming + 1, 64)
-    # Partition 64 bits into n_slices contiguous slices, sizes as equal
+    return simhash_pairs_from_sigs(sigs, max_hamming, n_bits=64)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int, n_bits: int = 64
+) -> DataFrame:
+    """Pigeonhole pairing over precomputed (id, sig) signatures — the
+    slicing / bucket-join / exact-Hamming-verify half of SimHash dedup,
+    reusable with any signature source (the production blake2b UDF, or
+    an oracle-replayable expression signature for the driver gate)."""
+    n_slices = min(max_hamming + 1, n_bits)
+    # Partition n_bits into n_slices contiguous slices, sizes as equal
     # as possible (widths differ by ≤1) so the pigeonhole argument holds.
-    base_w, extra = divmod(64, n_slices)
+    base_w, extra = divmod(n_bits, n_slices)
     widths = [base_w + (1 if i < extra else 0) for i in range(n_slices)]
     offsets = [sum(widths[:i]) for i in range(n_slices)]
     sliced = sigs.select(

@@ -6,9 +6,12 @@ Jaccard ≥ 0.9, everything else < 0.2), so threshold 0.5 separates
 perfectly: the MinHash-LSH pipeline's output equals the exact all-pairs
 answer with probability 1-(1-s²)³² ≈ 1-1e-24 at s≥0.9 — which is why
 the LSH query can carry a *strict* DuckDB oracle rather than a weaker
-rows-only check. SimHash banding has no cheap SQL twin (64-bit xxhash
-replication), so it stays rows-only here and gets its recall test in
-tests/test_operators.py.
+rows-only check. The production blake2b SimHash stays rows-only (no
+SQL twin for the hash), but its pigeonhole pairing machinery is
+hash-certified by ``dedup_simhash_md5_pairs``: a 60-bit md5 signature
+both engines compute bit-for-bit, pushed through the same slicing /
+bucket-join / Hamming-verify path and compared against a brute-force
+all-pairs oracle.
 """
 
 from __future__ import annotations
@@ -115,11 +118,97 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query("dedup_simhash", oracle=None, tags="J9 F7")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 8 of 64 bits, 16-bit slice
-    buckets). Rows-only for the driver (xxhash64 bit math has no cheap
+    buckets). Rows-only for the driver (blake2b bit math has no cheap
     SQL twin); recall against planted dups is unit-tested in
-    tests/test_operators.py."""
+    tests/test_operators.py. The pigeonhole machinery itself is
+    hash-certified by ``dedup_simhash_md5_pairs`` below."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+# ------------------------------------------- oracle-replayable SimHash
+#
+# The production signature (blake2b, above) has no SQL twin, but the
+# SimHash *pipeline* — per-bit ±1 balance → sign bits → pigeonhole
+# slice buckets → bucket join → exact-Hamming verify — is hash-
+# certifiable by swapping in a word hash both engines share: the first
+# 60 bits of md5. Bit b of a word's hash is bit (3 - b%4) of hex digit
+# b//4; the signature's bit b is set when the balance over the doc's
+# DISTINCT words is positive. Because pigeonhole slicing has recall
+# EXACTLY 1 for Hamming ≤ max_hamming, the oracle can be brute-force
+# all-pairs: if the Spark-side slicing/bucketing ever dropped a true
+# pair, the row sets would diverge and the driver would go red.
+
+_SIG_BITS = 60
+_SIG_MAX_HAMMING = 2  # 3 slices × 20 bits; 1309 pairs at sf0.01
+
+
+def _md5_sig60_sql() -> str:
+    """DuckDB expression for the 60-bit md5 SimHash (GROUP BY doc)."""
+    terms = []
+    for b in range(_SIG_BITS):
+        d = b // 4 + 1
+        s = 3 - b % 4
+        bit = f"((strpos('0123456789abcdef', substr(md5(w), {d}, 1)) - 1) >> {s}) & 1"
+        terms.append(f"CASE WHEN SUM(2 * ({bit}) - 1) > 0 THEN {1 << b} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@register_query(
+    "dedup_simhash_md5_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents
+      )
+    ),
+    sigs AS (
+      SELECT doc_id AS id, CAST({_md5_sig60_sql()} AS BIGINT) AS sig
+      FROM w GROUP BY doc_id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SIG_MAX_HAMMING}
+    """,
+    tags="J9 F7",
+)
+def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the SimHash family: near-dup pairs at Hamming ≤ 2
+    of a 60-bit md5-based signature, computed with the production
+    pigeonhole pairing (``simhash_pairs_from_sigs`` — the same slicing,
+    bucket join, dedup, and Hamming verify the blake2b path uses). The
+    oracle recomputes signatures from the parquet and brute-forces all
+    pairs, so a recall loss in the sliced path would hash-mismatch."""
+    from karna_spark.operators.dedup import simhash_pairs_from_sigs
+
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("w"),
+        )
+        .select("doc_id", F.md5(F.col("w").cast("binary")).alias("hx"))
+    )
+    balances = []
+    for b in range(_SIG_BITS):
+        d = b // 4 + 1
+        s = 3 - b % 4
+        digit = F.conv(F.substring(F.col("hx"), d, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, s).bitwiseAND(F.lit(1))
+        balances.append(F.sum(bit * 2 - F.lit(1)).alias(f"b{b}"))
+    sig = F.lit(0).cast("long")
+    for b in range(_SIG_BITS):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    sigs = (
+        words.groupBy("doc_id")
+        .agg(*balances)
+        .select(F.col("doc_id").alias("id"), sig.cast("long").alias("sig"))
+    )
+    return simhash_pairs_from_sigs(sigs, _SIG_MAX_HAMMING, n_bits=_SIG_BITS)
 
 
 @register_query(
