@@ -72,6 +72,9 @@ class OneToMany:
 
 # Relationship vocabulary over the fixture star schema (FIXTURES.md).
 # Field name → relationship; resolved against the session catalog.
+# User-registered datasets extend it via ``rel_schema_from_metastore``
+# (declared FK edges on DatasetRecord) — scalar queries over any
+# registered view need no relationship metadata at all.
 REL_SCHEMA: dict[str, dict[str, ManyToOne | OneToMany]] = {
     "nation": {
         "region": ManyToOne("n_regionkey", "region", "r_regionkey"),
@@ -99,6 +102,28 @@ REL_SCHEMA: dict[str, dict[str, ManyToOne | OneToMany]] = {
         "lineitems": OneToMany("lineitem", "l_partkey", "p_partkey"),
     },
 }
+
+def rel_schema_from_metastore(metastore) -> dict:
+    """Fixture REL_SCHEMA extended with relationships derived from the
+    metastore's declared FK edges: each ``[fk_col, parent_table,
+    parent_col]`` on a registered dataset yields a many-to-one field
+    named after the parent table on the child, and a one-to-many field
+    named after the child (pluralized) on the parent — the same
+    hasura-style convention the fixture schema uses."""
+    schema = {t: dict(fields) for t, fields in REL_SCHEMA.items()}
+    for rec in metastore.list():
+        child = rec.name.lower()
+        for fk_col, parent_table, parent_col in rec.foreign_keys:
+            parent = parent_table.lower()
+            schema.setdefault(child, {}).setdefault(
+                parent, ManyToOne(fk_col, parent, parent_col)
+            )
+            reverse = child if child.endswith("s") else child + "s"
+            schema.setdefault(parent, {}).setdefault(
+                reverse, OneToMany(child, fk_col, parent_col)
+            )
+    return schema
+
 
 _COMPARISONS = {
     "eq": lambda c, v: c == v,
@@ -186,7 +211,7 @@ def _read(spark: SparkSession, name: str) -> DataFrame:
 
 
 def _translate_table_field(
-    spark: SparkSession, field, table: str, flat: bool
+    spark: SparkSession, field, table: str, flat: bool, rel_schema: dict
 ) -> DataFrame:
     """One root (or nested) table field → DataFrame."""
     df = _read(spark, table)
@@ -194,7 +219,7 @@ def _translate_table_field(
     if "where" in args:
         df = df.filter(_where_expr(args["where"]))
 
-    rels = REL_SCHEMA.get(table, {})
+    rels = rel_schema.get(table, {})
     out_cols: list[Column] = []
     list_fields: list[tuple[str, OneToMany, object]] = []
     for sel in field.selection_set.selections:
@@ -215,7 +240,7 @@ def _translate_table_field(
             parent = _read(spark, rel.parent_table)
             # second-level many-to-one nesting (e.g. customer→nation→region)
             for nsel in nested_rels:
-                nrel = REL_SCHEMA.get(rel.parent_table, {}).get(nsel.name.value)
+                nrel = rel_schema.get(rel.parent_table, {}).get(nsel.name.value)
                 if not isinstance(nrel, ManyToOne):
                     raise GraphQLError(
                         f"unsupported nesting {rel.parent_table}.{nsel.name.value}"
@@ -332,15 +357,29 @@ def _translate_aggregate_field(spark: SparkSession, field, table: str) -> DataFr
     return out
 
 
-def translate(spark: SparkSession, query_text: str, flat: bool = False) -> DataFrame:
+def translate(
+    spark: SparkSession,
+    query_text: str,
+    flat: bool = False,
+    rel_schema: dict | None = None,
+) -> DataFrame:
     """GraphQL query document → DataFrame (single root field).
 
     ``flat=True`` flattens many-to-one nesting into leaf columns (the
     shape plain SQL joins produce — used by the oracle-checked parity
     queries); default emits nested structs/arrays (the API shape).
+
+    The root field may name ANY table registered in the session catalog
+    (scalar selections, where/orderBy/limit and ``_aggregate`` need no
+    metadata). Relationship fields resolve against ``rel_schema`` —
+    defaults to the fixture star schema; pass
+    ``rel_schema_from_metastore(ms)`` to nest user-registered datasets
+    along their declared FK edges.
     """
     if not HAVE_GRAPHQL:  # pragma: no cover
         raise GraphQLError("graphql-core not available in this environment")
+    if rel_schema is None:
+        rel_schema = REL_SCHEMA
     doc = gql_parse(query_text)
     ops = [d for d in doc.definitions if isinstance(d, gql_ast.OperationDefinitionNode)]
     if len(ops) != 1 or ops[0].operation.value != "query":
@@ -352,4 +391,4 @@ def translate(spark: SparkSession, query_text: str, flat: bool = False) -> DataF
     name = root.name.value
     if name.endswith("_aggregate"):
         return _translate_aggregate_field(spark, root, name[: -len("_aggregate")])
-    return _translate_table_field(spark, root, name, flat)
+    return _translate_table_field(spark, root, name, flat, rel_schema)

@@ -54,9 +54,10 @@ class NLError(ValueError):
     pass
 
 
-# Table → columns vocabulary (FIXTURES.md). A live deployment would
-# read this from the session catalog; pinned here so translation is
-# testable without a SparkSession.
+# Table → columns vocabulary (FIXTURES.md) for the fixture star schema.
+# Pinned here so translation is testable without a SparkSession; a live
+# session EXTENDS it with every registered table via
+# ``vocabulary_from_session`` (``ask`` does this automatically).
 TABLE_COLUMNS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey", "r_name"),
     "nation": ("n_nationkey", "n_name", "n_regionkey"),
@@ -139,7 +140,73 @@ JOIN_EDGES: dict[str, list[tuple[str, str, str]]] = {
 }
 
 
-def _join_path(src: str, dst: str) -> list[tuple[str, str, str]] | None:
+@dataclass
+class Vocabulary:
+    """Everything the translator needs to know about a schema: table
+    columns, name aliases, and FK join edges. The module-level fixture
+    dicts form the default instance; ``vocabulary_from_session``
+    extends it with live catalog tables and metastore FK metadata, so
+    the grammar works over ANY registered dataset — the reference
+    promises all three surfaces over arbitrary tabular files
+    (reference README.md:2)."""
+
+    table_columns: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    aliases: dict[str, str] = field(default_factory=dict)
+    join_edges: dict[str, list[tuple[str, str, str]]] = field(default_factory=dict)
+
+    def add_table(self, name: str, cols: tuple[str, ...]) -> None:
+        lname = name.lower()
+        self.table_columns.setdefault(lname, tuple(cols))
+        self.aliases.setdefault(lname, lname)
+        # naive singular/plural variants — fixture aliases win (setdefault)
+        if lname.endswith("s"):
+            self.aliases.setdefault(lname[:-1], lname)
+        else:
+            self.aliases.setdefault(lname + "s", lname)
+        self.aliases.setdefault(lname.replace("_", " "), lname)
+
+
+def _fixture_vocab() -> Vocabulary:
+    return Vocabulary(
+        table_columns=dict(TABLE_COLUMNS),
+        aliases=dict(_TABLE_ALIASES),
+        join_edges={t: list(es) for t, es in JOIN_EDGES.items()},
+    )
+
+
+DEFAULT_VOCAB = _fixture_vocab()
+
+
+def vocabulary_from_session(spark: SparkSession, metastore=None) -> Vocabulary:
+    """Fixture vocabulary extended with every table/view visible in the
+    session catalog (columns from plan analysis — no Spark job) and FK
+    edges declared in the metastore's DatasetRecords."""
+    vocab = _fixture_vocab()
+    try:
+        names = [t.name for t in spark.catalog.listTables()]
+    except Exception:
+        names = []
+    for name in names:
+        if name.lower() in vocab.table_columns:
+            continue
+        try:
+            vocab.add_table(name, tuple(spark.table(name).columns))
+        except Exception:
+            continue  # view vanished between list and read
+    if metastore is not None:
+        for rec in metastore.list():
+            for fk in rec.foreign_keys:
+                fk_col, parent_table, parent_col = fk
+                edges = vocab.join_edges.setdefault(rec.name.lower(), [])
+                edge = (parent_table.lower(), fk_col, parent_col)
+                if edge not in edges:
+                    edges.append(edge)
+    return vocab
+
+
+def _join_path(
+    src: str, dst: str, vocab: Vocabulary
+) -> list[tuple[str, str, str]] | None:
     """Shortest FK path src → dst (BFS; edge-list order breaks ties
     deterministically). Returns the hop list or None."""
     frontier: list[tuple[str, list[tuple[str, str, str]]]] = [(src, [])]
@@ -147,7 +214,7 @@ def _join_path(src: str, dst: str) -> list[tuple[str, str, str]] | None:
     while frontier:
         nxt: list[tuple[str, list[tuple[str, str, str]]]] = []
         for at, path in frontier:
-            for edge in JOIN_EDGES.get(at, []):
+            for edge in vocab.join_edges.get(at, []):
                 dim_table = edge[0]
                 if dim_table in seen:
                     continue
@@ -164,17 +231,19 @@ def _norm(s: str) -> str:
     return re.sub(r"[\s_]+", "", s.lower())
 
 
-def resolve_table(phrase: str) -> str:
-    t = _TABLE_ALIASES.get(phrase.strip().lower())
+def resolve_table(phrase: str, vocab: Vocabulary = DEFAULT_VOCAB) -> str:
+    t = vocab.aliases.get(phrase.strip().lower())
     if not t:
         raise NLError(f"unknown table {phrase!r}")
     return t
 
 
-def resolve_column(table: str, phrase: str) -> str:
+def resolve_column(
+    table: str, phrase: str, vocab: Vocabulary = DEFAULT_VOCAB
+) -> str:
     """Phrase → column of ``table``; exact (prefix-stripped) match only."""
     want = _norm(phrase)
-    cols = TABLE_COLUMNS.get(table, ())
+    cols = vocab.table_columns.get(table, ())
     hits = []
     for c in cols:
         bare = c.split("_", 1)[1] if "_" in c else c
@@ -187,30 +256,39 @@ def resolve_column(table: str, phrase: str) -> str:
     raise NLError(f"no column matching {phrase!r} in {table} (have {list(cols)})")
 
 
-def resolve_dim(table: str, phrase: str) -> tuple[str, list[str]]:
+def resolve_dim(
+    table: str, phrase: str, vocab: Vocabulary = DEFAULT_VOCAB
+) -> tuple[str, list[str]]:
     """Resolve a grouping phrase to (column, JOIN clauses).
 
     Same-table columns win outright; otherwise the longest leading
     word-prefix naming a known table is interpreted as a joined
-    dimension ("nation name" → nation.n_name reached via JOIN_EDGES).
-    Refuses (never guesses) when neither reading works."""
+    dimension ("nation name" → nation.n_name reached via the
+    vocabulary's join edges). Refuses (never guesses) when neither
+    reading works. All emitted references are table-qualified so the
+    SQL stays unambiguous even when FK and PK share a column name
+    (common outside the TPC-H prefix convention)."""
     try:
-        return resolve_column(table, phrase), []
+        return f"{table}.{resolve_column(table, phrase, vocab)}", []
     except NLError as same_table_err:
         words = phrase.strip().split()
         for cut in range(len(words) - 1, 0, -1):
-            dim_table = _TABLE_ALIASES.get(" ".join(words[:cut]).lower())
+            dim_table = vocab.aliases.get(" ".join(words[:cut]).lower())
             if not dim_table:
                 continue
-            path = _join_path(table, dim_table)
+            path = _join_path(table, dim_table, vocab)
             if path is None:
                 raise NLError(
                     f"no join path from {table} to {dim_table} "
-                    f"(grammar knows: {sorted(JOIN_EDGES)})"
+                    f"(grammar knows: {sorted(vocab.join_edges)})"
                 )
-            col = resolve_column(dim_table, " ".join(words[cut:]))
-            joins = [f"JOIN {t} ON {fk} = {pk}" for t, fk, pk in path]
-            return col, joins
+            col = resolve_column(dim_table, " ".join(words[cut:]), vocab)
+            joins = []
+            prev = table
+            for t, fk, pk in path:
+                joins.append(f"JOIN {t} ON {prev}.{fk} = {t}.{pk}")
+                prev = t
+            return f"{dim_table}.{col}", joins
         raise same_table_err
 
 
@@ -273,7 +351,9 @@ _FILTER_PATTERNS: list[tuple[re.Pattern, str]] = [
 ]
 
 
-def _parse_filters(rest: str, table: str) -> list[str]:
+def _parse_filters(
+    rest: str, table: str, vocab: Vocabulary = DEFAULT_VOCAB
+) -> list[str]:
     out: list[str] = []
     text = rest
     while True:
@@ -285,8 +365,8 @@ def _parse_filters(rest: str, table: str) -> list[str]:
         if best is None:
             break
         m, op = best
-        col = resolve_column(table, m.group("col"))
-        out.append(f"{col} {op} {_sql_literal(m.group('val'))}")
+        col = resolve_column(table, m.group("col"), vocab)
+        out.append(f"{table}.{col} {op} {_sql_literal(m.group('val'))}")
         text = text[: m.start()] + text[m.end() :]
     return out
 
@@ -311,28 +391,30 @@ _TOPN_RE = re.compile(
 )
 
 
-def to_sql(question: str) -> str:
+def to_sql(question: str, vocab: Vocabulary = DEFAULT_VOCAB) -> str:
     """Translate one NL question to a SQL string. Deterministic; raises
     ``NLError`` on anything outside the grammar (never guesses).
     Matching is case-insensitive; string literal *values* keep their
-    original case ('F' stays 'F')."""
+    original case ('F' stays 'F'). ``vocab`` defaults to the fixture
+    star schema; pass ``vocabulary_from_session(spark, metastore)`` to
+    translate over any registered dataset."""
     q = re.sub(r"[?.!]+$", "", question.strip())
     q = re.sub(r"\s+", " ", q)
 
     m = _AGG_RE.match(q)
     if m:
-        table = resolve_table(m.group("table"))
+        table = resolve_table(m.group("table"), vocab)
         rest = m.group("rest") or ""
         agg = _AGG_WORDS[m.group("agg").lower()]
-        measure = resolve_column(table, m.group("measure"))
-        dim, joins = resolve_dim(table, m.group("dim"))
+        measure = resolve_column(table, m.group("measure"), vocab)
+        dim, joins = resolve_dim(table, m.group("dim"), vocab)
         alias = f"{agg.lower()}_{measure}"
         nl = NLQuery(
             table,
-            select=[dim, f"{agg}({measure}) AS {alias}"],
+            select=[dim, f"{agg}({table}.{measure}) AS {alias}"],
             group_by=[dim],
             joins=joins,
-            filters=_parse_filters(_TOP_RE.sub("", rest), table),
+            filters=_parse_filters(_TOP_RE.sub("", rest), table, vocab),
         )
         top = _TOP_RE.search(rest)
         if top:
@@ -344,11 +426,13 @@ def to_sql(question: str) -> str:
 
     m = _COUNT_RE.match(q)
     if m:
-        table = resolve_table(m.group("table"))
+        table = resolve_table(m.group("table"), vocab)
         rest = m.group("rest") or ""
-        nl = NLQuery(table, filters=_parse_filters(_TOP_RE.sub("", rest), table))
+        nl = NLQuery(
+            table, filters=_parse_filters(_TOP_RE.sub("", rest), table, vocab)
+        )
         if m.group("dim"):
-            dim, nl.joins = resolve_dim(table, m.group("dim"))
+            dim, nl.joins = resolve_dim(table, m.group("dim"), vocab)
             nl.select = [dim, "COUNT(*) AS count"]
             nl.group_by = [dim]
             top = _TOP_RE.search(rest)
@@ -363,16 +447,16 @@ def to_sql(question: str) -> str:
 
     m = _TOPN_RE.match(q)
     if m:
-        table = resolve_table(m.group("table"))
-        measure = resolve_column(table, m.group("measure"))
+        table = resolve_table(m.group("table"), vocab)
+        measure = resolve_column(table, m.group("measure"), vocab)
         direction = "ASC" if (m.group("dir") or "desc").lower().startswith("asc") else "DESC"
-        pk = TABLE_COLUMNS[table][0]
+        pk = vocab.table_columns[table][0]
         nl = NLQuery(
             table,
             select=["*"],
-            filters=_parse_filters(m.group("rest") or "", table),
+            filters=_parse_filters(m.group("rest") or "", table, vocab),
             # unique-key tie-break → deterministic at any parallelism
-            order_by=[f"{measure} {direction}", pk],
+            order_by=[f"{table}.{measure} {direction}", f"{table}.{pk}"],
             limit=int(m.group("n")),
         )
         return nl.to_sql()
@@ -383,7 +467,9 @@ def to_sql(question: str) -> str:
     )
 
 
-def ask(spark: SparkSession, question: str) -> DataFrame:
-    """NL question → DataFrame via the SQL surface (tables must be
-    registered, e.g. ``catalog.load_fixture_tables``)."""
-    return spark.sql(to_sql(question))
+def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
+    """NL question → DataFrame via the SQL surface. The vocabulary is
+    derived live from the session catalog (every registered table/view
+    becomes queryable by name) plus the fixture star schema; pass a
+    ``Metastore`` to pick up declared FK edges for cross-table joins."""
+    return spark.sql(to_sql(question, vocabulary_from_session(spark, metastore)))

@@ -34,13 +34,19 @@ DEFAULT_PATH = os.environ.get(
 
 @dataclass
 class DatasetRecord:
-    """One persisted dataset registration."""
+    """One persisted dataset registration.
+
+    ``foreign_keys`` are declared FK edges ``[fk_col, parent_table,
+    parent_col]`` — the metadata the NL and GraphQL front-ends use to
+    offer joins/nesting over user-registered datasets (the reference's
+    Postgres catalog would hold the same edges as relations)."""
 
     name: str
     path: str
     fmt: str
     options: dict[str, str] = field(default_factory=dict)
     schema_json: str | None = None  # StructType.json() captured at registration
+    foreign_keys: list[list[str]] = field(default_factory=list)
 
 
 class Metastore:
@@ -95,6 +101,7 @@ class Metastore:
         name: str,
         path: str,
         fmt: str | None = None,
+        foreign_keys: list[list[str]] | None = None,
         **options: str,
     ) -> DataFrame:
         """Register in the live session AND persist the binding.
@@ -103,6 +110,10 @@ class Metastore:
         parquet, one inference pass for CSV/TSV) is captured so later
         sessions attach without re-inference and with a STABLE schema —
         the property the reference's Postgres catalog exists to provide.
+
+        ``foreign_keys``: optional FK edges ``[fk_col, parent_table,
+        parent_col]`` consumed by the NL/GraphQL front-ends to join or
+        nest this dataset against its parents.
         """
         fmt = fmt or infer_format(path)
         df = read_table(spark, path, fmt=fmt, **options)
@@ -113,6 +124,7 @@ class Metastore:
             fmt=fmt,
             options=dict(options),
             schema_json=df.schema.json(),
+            foreign_keys=[list(fk) for fk in (foreign_keys or [])],
         )
         self._flush()
         return df

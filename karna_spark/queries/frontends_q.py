@@ -16,6 +16,7 @@ relational core, reused here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from karna_spark.catalog import load_fixture_tables
 from karna_spark.queries.registry import register_query
@@ -311,3 +312,81 @@ def frontend_nl_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _fixtures(spark, sf_dir)
     return ask(spark, "average n_chars by source in documents")
+
+
+# ------------------------------------- dynamic (runtime-registered) schemas
+#
+# The reference promises its query surfaces over *arbitrary* tabular
+# files (reference README.md:2), not a fixed star schema. These two
+# entries certify that at driver level: a table that exists only as a
+# runtime temp view is NL-queryable by name (vocabulary derived from
+# the session catalog), and GraphQL nests across a relationship that
+# exists only as runtime metadata (rel_schema extension — the same
+# structure rel_schema_from_metastore derives from declared FK edges).
+
+
+@register_query(
+    "frontend_nl_dynamic_view",
+    oracle=(
+        "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    tags="S6 A1 FE-NL",
+)
+def frontend_nl_dynamic_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL over a runtime-registered view: ``corpus_profile`` is not in
+    the fixture vocabulary — ``ask`` derives table and column names
+    from the live session catalog, honoring the reference's promise of
+    NL over arbitrary registered tabular data."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    spark.table("documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).createOrReplaceTempView("corpus_profile")
+    return ask(spark, "total n chars by lang in corpus_profile")
+
+
+@register_query(
+    "frontend_graphql_dynamic_rel",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, s.n_docs
+    FROM documents d JOIN s USING (source)
+    WHERE d.doc_id < 100
+    """,
+    tags="S6 J1 A1 FE-GQL",
+)
+def frontend_graphql_dynamic_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL many-to-one nesting across a relationship declared at
+    runtime: ``docs_v.src`` points at a derived per-source stats view,
+    neither of which exists in the fixture REL_SCHEMA. The rel_schema
+    override is exactly what ``rel_schema_from_metastore`` builds from
+    declared FK edges; the broadcast dimension-join plan is the same
+    as for fixture relationships."""
+    from karna_spark.frontends.graphql import REL_SCHEMA, ManyToOne, translate
+
+    _fixtures(spark, sf_dir)
+    docs = spark.table("documents")
+    docs.createOrReplaceTempView("docs_v")
+    docs.groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    ).createOrReplaceTempView("doc_source_stats")
+    rel = {**REL_SCHEMA, "docs_v": {"src": ManyToOne("source", "doc_source_stats", "source")}}
+    return translate(
+        spark,
+        """
+        query {
+          docs_v(where: {doc_id: {lt: 100}}) {
+            doc_id
+            source
+            src { n_docs }
+          }
+        }
+        """,
+        flat=True,
+        rel_schema=rel,
+    )

@@ -141,23 +141,26 @@ def test_nl_roundtrip_sql_text():
     from karna_spark.frontends.nl import to_sql
 
     assert to_sql("total quantity by return flag in lineitem") == (
-        "SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity FROM lineitem "
-        "GROUP BY l_returnflag ORDER BY l_returnflag"
+        "SELECT lineitem.l_returnflag, SUM(lineitem.l_quantity) AS sum_l_quantity "
+        "FROM lineitem "
+        "GROUP BY lineitem.l_returnflag ORDER BY lineitem.l_returnflag"
     )
     assert to_sql("count of orders by order status") == (
-        "SELECT o_orderstatus, COUNT(*) AS count FROM orders "
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        "SELECT orders.o_orderstatus, COUNT(*) AS count FROM orders "
+        "GROUP BY orders.o_orderstatus ORDER BY orders.o_orderstatus"
     )
     assert to_sql("top 15 customers by acctbal") == (
-        "SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15"
+        "SELECT * FROM customer "
+        "ORDER BY customer.c_acctbal DESC, customer.c_custkey LIMIT 15"
     )
     # filters + top-N in the aggregate form
     assert to_sql(
         "average total price by order priority in orders where order status is F top 3"
     ) == (
-        "SELECT o_orderpriority, AVG(o_totalprice) AS avg_o_totalprice FROM orders "
-        "WHERE o_orderstatus = 'F' GROUP BY o_orderpriority "
-        "ORDER BY avg_o_totalprice DESC, o_orderpriority LIMIT 3"
+        "SELECT orders.o_orderpriority, AVG(orders.o_totalprice) AS avg_o_totalprice "
+        "FROM orders "
+        "WHERE orders.o_orderstatus = 'F' GROUP BY orders.o_orderpriority "
+        "ORDER BY avg_o_totalprice DESC, orders.o_orderpriority LIMIT 3"
     )
 
 
@@ -166,24 +169,26 @@ def test_nl_join_dimension_forms():
 
     # one-hop join (customer → nation)
     assert to_sql("total acctbal by nation name in customer") == (
-        "SELECT n_name, SUM(c_acctbal) AS sum_c_acctbal FROM customer "
-        "JOIN nation ON c_nationkey = n_nationkey "
-        "GROUP BY n_name ORDER BY n_name"
+        "SELECT nation.n_name, SUM(customer.c_acctbal) AS sum_c_acctbal "
+        "FROM customer "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "GROUP BY nation.n_name ORDER BY nation.n_name"
     )
     # two-hop shortest path (lineitem → supplier → nation, not the
     # 3-hop route through orders → customer)
     assert to_sql("total quantity by nation name in lineitem") == (
-        "SELECT n_name, SUM(l_quantity) AS sum_l_quantity FROM lineitem "
-        "JOIN supplier ON l_suppkey = s_suppkey "
-        "JOIN nation ON s_nationkey = n_nationkey "
-        "GROUP BY n_name ORDER BY n_name"
+        "SELECT nation.n_name, SUM(lineitem.l_quantity) AS sum_l_quantity "
+        "FROM lineitem "
+        "JOIN supplier ON lineitem.l_suppkey = supplier.s_suppkey "
+        "JOIN nation ON supplier.s_nationkey = nation.n_nationkey "
+        "GROUP BY nation.n_name ORDER BY nation.n_name"
     )
     # count form with a joined dimension + filter
     assert to_sql("count of customer by region name with acctbal over 0") == (
-        "SELECT r_name, COUNT(*) AS count FROM customer "
-        "JOIN nation ON c_nationkey = n_nationkey "
-        "JOIN region ON n_regionkey = r_regionkey "
-        "WHERE c_acctbal >= 0 GROUP BY r_name ORDER BY r_name"
+        "SELECT region.r_name, COUNT(*) AS count FROM customer "
+        "JOIN nation ON customer.c_nationkey = nation.n_nationkey "
+        "JOIN region ON nation.n_regionkey = region.r_regionkey "
+        "WHERE customer.c_acctbal >= 0 GROUP BY region.r_name ORDER BY region.r_name"
     )
     # same-table resolution still wins over the join reading
     assert "JOIN" not in to_sql("total quantity by return flag in lineitem")
@@ -206,6 +211,81 @@ def test_nl_executes(fixtures):
 
     rows = ask(fixtures, "count of customers").collect()
     assert rows[0]["count"] == fixtures.table("customer").count()
+
+
+# ------------------------------------------- dynamic (non-fixture) schemas
+def test_nl_over_registered_dataset(fixtures, tmp_path):
+    """A dataset registered at runtime is NL-queryable by name — the
+    vocabulary comes from the session catalog, not the fixture dicts."""
+    from karna_spark.frontends.nl import NLError, ask, to_sql
+
+    fixtures.range(0, 50).selectExpr(
+        "id AS ride_id", "id % 5 AS zone", "CAST(id * 2.5 AS DOUBLE) AS fare"
+    ).createOrReplaceTempView("taxi_rides")
+    try:
+        rows = ask(fixtures, "count of taxi rides").collect()
+        assert rows[0]["count"] == 50
+        agg = ask(fixtures, "total fare by zone in taxi_rides").collect()
+        assert len(agg) == 5
+        top = ask(fixtures, "top 3 taxi_rides by fare").collect()
+        assert [r["ride_id"] for r in top] == [49, 48, 47]
+        # the pure-text default vocabulary still refuses unknown tables
+        with pytest.raises(NLError):
+            to_sql("count of taxi_rides")
+    finally:
+        fixtures.catalog.dropTempView("taxi_rides")
+
+
+def test_frontends_over_metastore_fk_edges(fixtures, tmp_path):
+    """Datasets registered with declared FK edges join via NL and nest
+    via GraphQL — the reference promises all three surfaces over
+    arbitrary tabular files, not just the fixture star schema."""
+    from karna_spark.frontends.graphql import rel_schema_from_metastore, translate
+    from karna_spark.frontends.nl import ask, vocabulary_from_session
+    from karna_spark.metastore import Metastore
+
+    fixtures.createDataFrame(
+        [(1, "north"), (2, "south")], "zone_id long, zone_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "zones"))
+    fixtures.createDataFrame(
+        [(10, 1, 7.5), (11, 1, 2.5), (12, 2, 4.0)],
+        "trip_id long, zone_id long, fare double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "trips"))
+
+    ms = Metastore(str(tmp_path / "meta.json"))
+    ms.register(fixtures, "zone", str(tmp_path / "zones"))
+    ms.register(
+        fixtures, "trip", str(tmp_path / "trips"),
+        foreign_keys=[["zone_id", "zone", "zone_id"]],
+    )
+    try:
+        # NL: grouping column reached through the declared FK edge
+        vocab = vocabulary_from_session(fixtures, ms)
+        rows = {
+            r["zone_name"]: r["sum_fare"]
+            for r in ask(fixtures, "total fare by zone name in trip", ms).collect()
+        }
+        assert rows == {"north": 10.0, "south": 4.0}
+        assert vocab.join_edges["trip"] == [("zone", "zone_id", "zone_id")]
+
+        # GraphQL: many-to-one nesting along the same edge...
+        nested = translate(
+            fixtures,
+            "query { trip(orderBy: [{trip_id: ASC}]) { trip_id fare zone { zone_name } } }",
+            rel_schema=rel_schema_from_metastore(ms),
+        ).collect()
+        assert [r["zone"]["zone_name"] for r in nested] == ["north", "north", "south"]
+
+        # ...and the reverse one-to-many field on the parent
+        rev = translate(
+            fixtures,
+            "query { zone(orderBy: [{zone_id: ASC}]) { zone_name trips { trip_id } } }",
+            rel_schema=rel_schema_from_metastore(ms),
+        ).collect()
+        assert [len(r["trips"]) for r in rev] == [2, 1]
+    finally:
+        fixtures.catalog.dropTempView("trip")
+        fixtures.catalog.dropTempView("zone")
 
 
 # ---------------------------------------------------------------------- SQL
