@@ -32,51 +32,43 @@ from karna_spark.queries import (  # noqa: F401,E402
 
 # Registry order is the order the driver's correctness harness visits
 # queries, and the harness is count-capped (~50 entries per round).
-# Rotation policy: every registered query should carry a driver row
-# ≤2 rounds old. Round 5 therefore leads with (a) the six TPC-H shapes
-# whose only row is r1 — they spilled past the r4 cap, (b) the
-# sessionization trio that regressed in r4 (TIMESTAMP_NTZ) and was
-# re-fixed this round — their green must be driver-certified, (c) new
-# queries registered this round, then (d) the 50 r2-certified family
-# representatives, now three rounds stale themselves. The r3/r4-covered
-# half is freshest and spills past the cap via the setdefault loop.
+# Rotation policy: every registered query's newest driver row must be
+# ≤3 rounds old — with 131 registered queries and a ~50/round cap,
+# ceil(131/50) = 3 is the arithmetic floor, so 3 is the contract, not
+# an aspiration. Each round leads with (a) the stalest cohort, (b)
+# queries new or materially changed this round, then (c) the next-
+# oldest cohort prioritizing families whose code churned. Round 6:
+# (a) = the 29 queries whose newest row is r2 (everything else is
+# r4/r5), (b) = the six r6 additions (ANN recall gates, SimHash md5
+# gate, dynamic front-ends), (c) = r4-certified rows in the similarity/
+# dedup/front-end families this round's changes touched. The remaining
+# r4/r5 rows spill past the cap via the setdefault loop and are due in
+# r7.
 _PRIORITY: tuple[str, ...] = (
-    # (a) r1-stale TPC-H shapes — three rounds without a driver row
-    "q14_promo_revenue", "q16_supplier_relation_count",
-    "q17_small_quantity_revenue", "q19_discounted_revenue",
-    "q20_part_promotion_suppliers", "q22_global_sales_opportunity",
-    # (b) the r4 regression trio, fixed this round — re-certify first
-    "sessionization", "session_window_agg", "sessionization_salted",
-    # (c) new or materially changed this round (q7/q8 re-literaled to
-    # fixture vocabulary; their r4 rows certified the old constants)
-    "q7_volume_shipping", "q8_market_share",
-    "events_incremental_rollup", "asof_join_nearest",
-    "streaming_stream_stream_join", "text_contamination_ngram",
-    "text_bm25_scores", "text_pii_redaction", "sample_stratified_quota",
-    "streaming_dedup_exact", "dedup_clusters", "sink_partition_upsert",
-    "text_vocab_topk", "similarity_topk_pq",
-    "timeseries_gap_fill", "window_range_trailing",
-    "source_schema_evolution", "sink_compaction",
-    "streaming_session_window", "window_rolling_median",
-    "frontend_nl_docs_profile",
-    # (d) r2-certified set (newest row r2) in its original order
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_items", "q2_min_cost_supplier",
-    "q4_order_priority", "q9_product_type_profit", "q12_shipping_delay_class",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q18_large_volume_customers", "q21_waiting_suppliers",
-    "projection_expressions", "filter_predicates", "distinct_projection",
-    "null_three_valued_logic", "join_star_counts", "join_left_outer",
-    "join_full_outer", "join_semi", "join_anti", "join_theta_range",
-    "sort_multi_key", "limit_offset_page", "union_all_vs_distinct",
-    "intersect_except", "agg_distinct", "agg_statistical",
-    "agg_percentiles", "agg_rollup", "agg_collect", "agg_pivot",
-    "window_ranking", "window_offsets", "window_running_aggs",
-    "window_topk_per_group", "asof_join_events", "tumbling_window_agg",
-    "string_functions", "datetime_functions", "array_functions",
-    "json_functions", "text_lang_id", "dedup_exact_stats",
-    "dedup_minhash_lsh", "vector_ops", "similarity_topk_bruteforce",
-    "frontend_graphql_filter_join",
+    # (a) r2-stale — re-certify before anything else
+    "agg_collect", "agg_distinct", "agg_percentiles", "agg_pivot",
+    "agg_rollup", "agg_statistical", "array_functions",
+    "asof_join_events", "datetime_functions", "dedup_exact_stats",
+    "dedup_minhash_lsh", "frontend_graphql_filter_join",
+    "intersect_except", "join_anti", "join_semi", "join_theta_range",
+    "json_functions", "limit_offset_page", "similarity_topk_bruteforce",
+    "sort_multi_key", "string_functions", "text_lang_id",
+    "tumbling_window_agg", "union_all_vs_distinct", "vector_ops",
+    "window_offsets", "window_ranking", "window_running_aggs",
+    "window_topk_per_group",
+    # (b) new in r6
+    "similarity_lsh_recall", "similarity_ivf_recall",
+    "similarity_pq_recall", "dedup_simhash_md5_pairs",
+    "frontend_nl_dynamic_view", "frontend_graphql_dynamic_rel",
+    # (c) r4 rows in families r6 code touched (similarity/dedup
+    # operators, NL/GraphQL translators), then other r4 rows
+    "dedup_simhash", "similarity_topk_lsh", "similarity_topk_ivf",
+    "frontend_nl_aggregate", "frontend_nl_count",
+    "frontend_nl_join_aggregate", "frontend_nl_topn",
+    "frontend_graphql_aggregate", "frontend_graphql_nested_list",
+    "frontend_sql_passthrough",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard_blocked",
+    "agg_approx_count_distinct", "multimodal_metadata", "join_cross",
 )
 
 
