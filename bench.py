@@ -38,6 +38,11 @@ HEADLINE = [
     # text + multimodal hot paths (regression anchors since round 5)
     "text_quality",
     "multimodal_decode_pipeline",
+    # heaviest r5 additions (anchored since round 6): iterative CC
+    # clustering, sort-merge as-of, two-scan BM25
+    "dedup_clusters",
+    "asof_join_nearest",
+    "text_bm25_scores",
 ]
 
 
@@ -64,12 +69,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    # Warm pass: JVM JIT + whole-stage-codegen compilation are one-time
-    # session costs, not per-query costs on a long-lived cluster —
-    # steady-state latency is the honest number.
-    for name in names:
-        run(name)
-
+    # First pass is COLD (includes JVM JIT + whole-stage-codegen
+    # compilation), second is WARM (steady state — the honest number on
+    # a long-lived cluster). Reporting both separates engine
+    # regressions from one-time warm-up drift under sandbox noise.
+    cold = {name: run(name) for name in names}
     per_query = {name: run(name) for name in names}
     load_after = os.getloadavg()
 
@@ -96,6 +100,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_cold": cold,
                 "sf": sf,
                 "load": load,
             }
