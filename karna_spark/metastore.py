@@ -49,12 +49,24 @@ class DatasetRecord:
     foreign_keys: list[list[str]] = field(default_factory=list)
 
 
+@dataclass
+class SavedQuery:
+    """A persisted named query in any of the three surface languages —
+    the 'saved queries in the catalog' role of the reference's Postgres
+    store (reference docker-compose.yaml:2-19)."""
+
+    name: str
+    language: str  # sql | graphql | nl
+    text: str
+
+
 class Metastore:
     """Persisted name → files catalog with session attach/detach."""
 
     def __init__(self, store_path: str = DEFAULT_PATH):
         self.store_path = store_path
         self._records: dict[str, DatasetRecord] = {}
+        self._queries: dict[str, SavedQuery] = {}
         self._load()
 
     # ------------------------------------------------------- persistence
@@ -65,10 +77,16 @@ class Metastore:
             doc = json.load(f)
         for rec in doc.get("datasets", []):
             self._records[rec["name"]] = DatasetRecord(**rec)
+        for rec in doc.get("queries", []):
+            self._queries[rec["name"]] = SavedQuery(**rec)
 
     def _flush(self) -> None:
         os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
-        doc = {"version": 1, "datasets": [asdict(r) for r in self._records.values()]}
+        doc = {
+            "version": 1,
+            "datasets": [asdict(r) for r in self._records.values()],
+            "queries": [asdict(q) for q in self._queries.values()],
+        }
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(self.store_path) or ".", suffix=".tmp"
         )
@@ -90,6 +108,27 @@ class Metastore:
 
     def drop(self, name: str) -> bool:
         existed = self._records.pop(name, None) is not None
+        if existed:
+            self._flush()
+        return existed
+
+    # ------------------------------------------------------ saved queries
+    def save_query(self, name: str, language: str, text: str) -> SavedQuery:
+        if language not in ("sql", "graphql", "nl"):
+            raise ValueError(f"unknown query language {language!r}")
+        q = SavedQuery(name=name, language=language, text=text)
+        self._queries[name] = q
+        self._flush()
+        return q
+
+    def get_query(self, name: str) -> SavedQuery | None:
+        return self._queries.get(name)
+
+    def list_queries(self) -> list[SavedQuery]:
+        return sorted(self._queries.values(), key=lambda q: q.name)
+
+    def drop_query(self, name: str) -> bool:
+        existed = self._queries.pop(name, None) is not None
         if existed:
             self._flush()
         return existed

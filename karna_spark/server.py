@@ -14,12 +14,22 @@ API:
                             interface" of reference README.md:2 —
                             inline CSS; no CDN in the offline sandbox)
   GET  /health            → {"status": "ok"}
-  GET  /datasets          → [{name, path, fmt}, ...]
-  POST /datasets          {"name", "path", "fmt"?, "options"?}
+  GET  /datasets          → [{name, path, fmt, foreign_keys}, ...]
+  POST /datasets          {"name", "path", "fmt"?, "options"?,
+                           "foreign_keys"?: [[fk_col, parent, pk], ...]}
+  GET  /queries           → saved queries [{name, language, query}, ...]
+  POST /queries           {"name", "language"?, "query"} — persist a
+                          named query in the metastore catalog
   POST /query             {"language": "sql"|"graphql"|"nl",
                            "query": "...", "limit"?, "offset"?,
                            "order_by"?: [col, ...]}
+                          or {"saved": name, ...} to run a saved query
       → {"columns": [...], "rows": [[...], ...], "row_count": n}
+
+NL/GraphQL queries resolve against the live catalog: a dataset
+registered via POST /datasets is immediately NL-addressable by name,
+and its declared foreign_keys become GraphQL nesting relationships
+(rel_schema_from_metastore) and NL join vocabulary.
 
 Scale posture: the server holds no result state; every /query collects
 at most ``limit`` rows (hard-capped) through a TakeOrderedAndProject
@@ -100,7 +110,15 @@ class ApiError(ValueError):
         self.status = status
 
 
-def _run_query(spark: SparkSession, body: dict) -> DataFrame:
+def _run_query(spark: SparkSession, body: dict, metastore=None) -> DataFrame:
+    saved = body.get("saved")
+    if saved:
+        if metastore is None:
+            raise ApiError(400, "no metastore attached — saved queries unavailable")
+        rec = metastore.get_query(saved)
+        if rec is None:
+            raise ApiError(404, f"no saved query {saved!r}")
+        body = {**body, "language": rec.language, "query": rec.text}
     language = body.get("language", "sql")
     query = body.get("query")
     if not query or not isinstance(query, str):
@@ -110,13 +128,14 @@ def _run_query(spark: SparkSession, body: dict) -> DataFrame:
 
         return execute(spark, query)
     if language == "graphql":
-        from karna_spark.frontends.graphql import translate
+        from karna_spark.frontends.graphql import rel_schema_from_metastore, translate
 
-        return translate(spark, query)
+        rel = rel_schema_from_metastore(metastore) if metastore is not None else None
+        return translate(spark, query, rel_schema=rel)
     if language == "nl":
         from karna_spark.frontends.nl import ask
 
-        return ask(spark, query)
+        return ask(spark, query, metastore)
     raise ApiError(400, f"unknown language {language!r} (sql|graphql|nl)")
 
 
@@ -147,12 +166,14 @@ def _page_payload(df: DataFrame, body: dict) -> dict:
 def _json_cell(v):
     if isinstance(v, (str, int, float, bool)) or v is None:
         return v
+    # Row subclasses tuple — test it FIRST or nested structs lose their
+    # field names and serialize as bare lists.
+    if hasattr(v, "asDict"):  # Row (struct column)
+        return {k: _json_cell(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_json_cell(x) for x in v]
     if isinstance(v, dict):
         return {k: _json_cell(x) for k, x in v.items()}
-    if hasattr(v, "asDict"):  # Row
-        return {k: _json_cell(x) for k, x in v.asDict().items()}
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)  # dates, timestamps, Decimal
@@ -209,8 +230,23 @@ def create_server(
                 return self._send(
                     200,
                     [
-                        {"name": r.name, "path": r.path, "fmt": r.fmt}
+                        {
+                            "name": r.name,
+                            "path": r.path,
+                            "fmt": r.fmt,
+                            "foreign_keys": r.foreign_keys,
+                        }
                         for r in metastore.list()
+                    ],
+                )
+            if self.path == "/queries":
+                if metastore is None:
+                    return self._send(200, [])
+                return self._send(
+                    200,
+                    [
+                        {"name": q.name, "language": q.language, "query": q.text}
+                        for q in metastore.list_queries()
                     ],
                 )
             return self._send(404, {"error": f"no route {self.path}"})
@@ -219,20 +255,32 @@ def create_server(
             try:
                 body = self._body()
                 if self.path == "/query":
-                    df = _run_query(spark, body)
+                    df = _run_query(spark, body, metastore)
                     return self._send(200, _page_payload(df, body))
                 if self.path == "/datasets":
                     name, path = body.get("name"), body.get("path")
                     if not name or not path:
                         raise ApiError(400, "body must carry 'name' and 'path'")
                     opts = body.get("options") or {}
+                    fks = body.get("foreign_keys") or []
                     if metastore is not None:
-                        metastore.register(spark, name, path, fmt=body.get("fmt"), **opts)
+                        metastore.register(
+                            spark, name, path, fmt=body.get("fmt"),
+                            foreign_keys=fks, **opts,
+                        )
                     else:
                         from karna_spark.catalog import register
 
                         register(spark, name, path, fmt=body.get("fmt"), **opts)
                     return self._send(201, {"registered": name})
+                if self.path == "/queries":
+                    if metastore is None:
+                        raise ApiError(400, "no metastore attached")
+                    name, text = body.get("name"), body.get("query")
+                    if not name or not text:
+                        raise ApiError(400, "body must carry 'name' and 'query'")
+                    metastore.save_query(name, body.get("language", "sql"), text)
+                    return self._send(201, {"saved": name})
                 return self._send(404, {"error": f"no route {self.path}"})
             except ApiError as e:
                 return self._send(e.status, {"error": str(e)})

@@ -110,6 +110,71 @@ def test_register_dataset_then_query(server):
     assert status == 200 and body["rows"][0][0] == 5
 
 
+def test_register_with_fks_then_nl_and_graphql(server):
+    """A dataset registered over HTTP with declared FK edges is
+    immediately queryable on all three surfaces — NL joins and GraphQL
+    nesting included (the 'arbitrary tabular files' promise end-to-end
+    through the serving layer)."""
+    import os
+
+    status, _ = _post(
+        server,
+        "/datasets",
+        {"name": "nation_http", "path": os.path.join(SF_SMOKE, "nation.parquet")},
+    )
+    assert status == 201
+    status, _ = _post(
+        server,
+        "/datasets",
+        {
+            "name": "customer_http",
+            "path": os.path.join(SF_SMOKE, "customer.parquet"),
+            "foreign_keys": [["c_nationkey", "nation_http", "n_nationkey"]],
+        },
+    )
+    assert status == 201
+    status, body = _get(server, "/datasets")
+    rec = next(d for d in body if d["name"] == "customer_http")
+    assert rec["foreign_keys"] == [["c_nationkey", "nation_http", "n_nationkey"]]
+
+    # NL join across the declared edge
+    status, body = _post(
+        server,
+        "/query",
+        {"language": "nl", "query": "count of customer_http by nation_http name"},
+    )
+    assert status == 200 and body["row_count"] > 0
+    assert body["columns"] == ["n_name", "count"]
+
+    # GraphQL many-to-one nesting across the same edge
+    status, body = _post(
+        server,
+        "/query",
+        {
+            "language": "graphql",
+            "query": "query { customer_http(orderBy: [{c_custkey: ASC}], limit: 3)"
+            " { c_custkey nation_http { n_name } } }",
+        },
+    )
+    assert status == 200 and body["row_count"] == 3
+    assert all(isinstance(r[1], dict) and "n_name" in r[1] for r in body["rows"])
+
+
+def test_saved_queries_roundtrip(server):
+    status, body = _post(
+        server,
+        "/queries",
+        {"name": "region_count", "query": "SELECT COUNT(*) AS n FROM region"},
+    )
+    assert (status, body) == (201, {"saved": "region_count"})
+    status, body = _get(server, "/queries")
+    assert status == 200 and any(q["name"] == "region_count" for q in body)
+    status, body = _post(server, "/query", {"saved": "region_count"})
+    assert status == 200 and body["rows"][0][0] == 5
+    status, body = _post(server, "/query", {"saved": "nope"})
+    assert status == 404
+
+
 def test_errors_are_json(server):
     status, body = _post(server, "/query", {"query": "DROP TABLE region"})
     assert status == 400 and "read-only" in body["error"]
