@@ -146,3 +146,60 @@ def word_ngrams(text: Column, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    heuristics), computed entirely with higher-order column functions —
+    no explode, no per-doc shuffle, no Python. At 100 TB the whole
+    feature pass is a map stage.
+
+    - ``n_words`` / ``n_distinct_words``: split + array_distinct.
+    - ``dup_word_frac``: 1 − distinct/total (the duplicate-word mass).
+    - ``top_word`` / ``top_word_count``: the most frequent word via a
+      single fold over the SORTED word array: equal words are adjacent
+      after sort_array, so a (prev, run, best, best_word) accumulator
+      finds the longest run — i.e. the modal word — in one pass. Ties
+      resolve to the lexicographically smallest word (first run to
+      reach the winning count in ascending order), matching the SQL
+      spelling ORDER BY cnt DESC, word ASC.
+    - ``top_word_char_frac``: chars contributed by the modal word over
+      all word chars — the "fraction of characters in the most common
+      word" Gopher rule.
+    """
+    ws = words(F.trim(text))
+    sorted_ws = F.sort_array(ws)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bw"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        better = run > acc.getField("best")
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("best")).alias("best"),
+            F.when(better, w).otherwise(acc.getField("bw")).alias("bw"),
+        )
+
+    top = F.aggregate(sorted_ws, init, step)
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    word_chars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return {
+        "n_words": n_words,
+        "n_distinct_words": n_distinct,
+        "dup_word_frac": F.lit(1.0) - n_distinct.cast("double") / n_words,
+        "top_word": top.getField("bw"),
+        "top_word_count": top.getField("best"),
+        "top_word_char_frac": (
+            top.getField("best") * F.length(top.getField("bw"))
+        ).cast("double")
+        / word_chars,
+    }

@@ -282,3 +282,110 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(pairs).select(
         F.col("id"), F.col("cluster_id"), F.col("keep")
     )
+
+
+# Shared DuckDB CTE prelude for the SemDeDup queries: double-cast
+# embeddings, K=8 lowest-id seed centroids, nearest-centroid
+# assignment with the cos-DESC / cid-ASC tie order that mirrors the
+# Spark side's max(struct(cos, -cid)) argmax.
+_SQL_SEMDEDUP_ASSIGN = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, emb AS cvec FROM e ORDER BY vec_id LIMIT 8),
+    scored AS (
+      SELECT e.vec_id, e.emb, c.cid,
+             list_cosine_similarity(e.emb, c.cvec) AS cos,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.emb, c.cvec) DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    asg AS (SELECT vec_id, emb, cid, cos FROM scored WHERE rn = 1)
+"""
+
+
+@register_query(
+    "dedup_semantic_assign",
+    oracle=_SQL_SEMDEDUP_ASSIGN
+    + """
+    , rep AS (
+      SELECT cid, vec_id,
+             row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS r
+      FROM asg
+    )
+    SELECT a.cid, COUNT(*) AS cluster_size,
+           MIN(r.vec_id) AS rep_id,
+           CAST(SUM(CAST(round(a.cos * 10000) AS BIGINT)) AS BIGINT) AS sum_cos_e4
+    FROM asg a JOIN rep r ON a.cid = r.cid AND r.r = 1
+    GROUP BY a.cid
+    """,
+    tags="J9 F8",
+)
+def dedup_semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 1 — nearest-centroid assignment (operators/
+    semdedup.py): broadcast K=8 deterministic seed centroids, JVM-fold
+    cosine against each, map-side-combinable argmax per vector, then
+    per-cluster stats: size, representative (max cosine-to-centroid,
+    ties to lowest id), and an ORDER-INDEPENDENT integer cosine sum
+    (round(cos*1e4) per row, BIGINT sum) so the hash survives any
+    partitioning. Two shuffles total at any scale: argmax + cluster
+    agg."""
+    from karna_spark.operators.semdedup import assign_nearest_centroid, seed_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    asg = assign_nearest_centroid(emb, seed_centroids(emb, 8)).select(
+        "vec_id", "cid", "cos"
+    )
+    return asg.groupBy("cid").agg(
+        F.count("*").alias("cluster_size"),
+        (-F.max(F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid"))).getField("nid")).alias(
+            "rep_id"
+        ),
+        F.sum(F.round(F.col("cos") * 10000).cast("bigint")).alias("sum_cos_e4"),
+    )
+
+
+@register_query(
+    "dedup_semantic_keep",
+    oracle=_SQL_SEMDEDUP_ASSIGN
+    + """
+    , dropped AS (
+      SELECT DISTINCT v.cid, v.vec_id
+      FROM asg u JOIN asg v ON u.cid = v.cid AND u.vec_id < v.vec_id
+      WHERE list_cosine_similarity(u.emb, v.emb) >= 0.35
+    )
+    SELECT a.cid, COUNT(*) AS n_total,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM asg a LEFT JOIN dropped d ON a.cid = d.cid AND a.vec_id = d.vec_id
+    GROUP BY a.cid
+    """,
+    tags="J9 F8",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup stage 2 — within-cluster near-dup removal: self-join
+    the assignment on cluster id only (ONE shuffle; never a global
+    cross join), pairs at cosine ≥ 0.35, drop the higher id of each
+    pair (keep-lowest-id policy), report per-cluster total/dropped/
+    kept. Quadratic strictly within a cluster — the SemDeDup contract
+    that makes web-scale semantic dedup tractable."""
+    from karna_spark.operators.semdedup import (
+        assign_nearest_centroid,
+        seed_centroids,
+        semantic_drop_ids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    asg = assign_nearest_centroid(emb, seed_centroids(emb, 8))
+    drop = semantic_drop_ids(asg, 0.35).withColumn("is_dropped", F.lit(1))
+    return (
+        asg.join(drop, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count("*") - F.count("is_dropped")).alias("n_kept"),
+        )
+    )

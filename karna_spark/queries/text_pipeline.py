@@ -585,3 +585,162 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("term_freq").desc(), F.col("token"))
         .limit(50)
     )
+
+
+@register_query(
+    "text_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, trim(text) AS t,
+             regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang,
+             len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct,
+             1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dup_frac,
+             len(regexp_replace(t, '\\s+', '', 'g')) AS word_chars
+      FROM w
+    ),
+    counts AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+      GROUP BY doc_id, word
+    ),
+    top AS (
+      SELECT doc_id, word AS top_word, cnt AS top_cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, word) AS r
+      FROM counts
+    ),
+    feat AS (
+      SELECT b.lang, b.dup_frac,
+             (t.top_cnt * len(t.top_word))::DOUBLE / b.word_chars AS top_frac
+      FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.r = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CAST(round(dup_frac * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_dup_frac_e4,
+           CAST(SUM(CAST(round(top_frac * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_top_frac_e4
+    FROM feat
+    GROUP BY lang
+    """,
+    tags="F9 P1 A1",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 A1.1):
+    duplicate-word fraction and most-common-word character fraction per
+    document, aggregated per language with a flag count at
+    dup_frac > 0.5. The Spark side computes the modal word with a
+    single fold over the sorted word array (operators/text.py
+    repetition_features) — NO explode, NO per-doc shuffle: the entire
+    feature extraction is a map stage and the only shuffle is the
+    5-key language rollup. The oracle recomputes the modal word the
+    classical way (unnest → count → row_number). Cross-row sums are
+    integer (round(x*1e4) BIGINT) so the hash is partition-order
+    independent."""
+    from karna_spark.operators.text import repetition_features
+
+    d = table(spark, sf_dir, "documents")
+    f = repetition_features(F.col("text"))
+    feat = d.select(
+        "lang",
+        f["dup_word_frac"].alias("dup_frac"),
+        f["top_word_char_frac"].alias("top_frac"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("dup_frac") > 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.round(F.col("dup_frac") * 10000).cast("bigint")).alias(
+            "sum_dup_frac_e4"
+        ),
+        F.sum(F.round(F.col("top_frac") * 10000).cast("bigint")).alias(
+            "sum_top_frac_e4"
+        ),
+    )
+
+
+@register_query(
+    "sample_temperature_by_lang",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    s AS (SELECT SUM(sqrt(n_docs)) AS sw FROM counts),
+    q AS (
+      SELECT lang, n_docs,
+             CAST(floor(100 * sqrt(n_docs) / sw) AS BIGINT) AS quota
+      FROM counts, s
+    ),
+    r AS (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    ),
+    p AS (
+      SELECT r.lang, r.doc_id
+      FROM r JOIN q ON r.lang = q.lang AND r.rn <= q.quota
+    )
+    SELECT q.lang, q.n_docs, q.quota,
+           COUNT(p.doc_id) AS n_picked,
+           CAST(COALESCE(SUM(p.doc_id), 0) AS BIGINT) AS sum_picked_ids
+    FROM q LEFT JOIN p ON q.lang = p.lang
+    GROUP BY q.lang, q.n_docs, q.quota
+    """,
+    tags="O6 A1 F7",
+)
+def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced corpus sampling (the multilingual-LM
+    mixing rule, e.g. mBERT/XLM-R exponent-smoothed sampling, here
+    alpha = 0.5): per-language quota ∝ sqrt(count), normalized to a
+    100-document budget, then a DETERMINISTIC pseudo-random pick —
+    rank by md5(doc_id) inside each language and keep the top quota.
+    sqrt is IEEE correctly-rounded (bitwise identical on any engine),
+    the md5 ranking is a pure function of the data, and the output
+    checksums the picked ids — so the sample is reproducible across
+    engines, runs, and cluster layouts. Plan: 5-row quota aggregate
+    broadcast back onto the corpus, one window per language partition.
+    At 100 TB the exact-rank window over a hot language is the skew
+    point; the documented scale path is hash-threshold sampling
+    (keep rows with md5 < quota/n bound) which needs no window at all.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    sw = counts.agg(F.sum(F.sqrt(F.col("n_docs"))).alias("sw"))
+    quotas = counts.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(100) * F.sqrt(F.col("n_docs")) / F.col("sw")).alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang").withColumn("rn", F.row_number().over(w))
+    picked = ranked.join(F.broadcast(quotas), "lang").where(
+        F.col("rn") <= F.col("quota")
+    )
+    agg = picked.groupBy("lang").agg(
+        F.count("*").alias("n_picked"),
+        F.sum("doc_id").alias("sum_picked_ids"),
+    )
+    return (
+        quotas.join(agg, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_picked"), F.lit(0)).alias("n_picked"),
+            F.coalesce(F.col("sum_picked_ids"), F.lit(0)).alias("sum_picked_ids"),
+        )
+    )
