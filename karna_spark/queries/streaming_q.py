@@ -188,3 +188,43 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         session_window_stream(events_stream(spark, landing)), "append"
     )
+
+
+@register_query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags="T4 T5 S9",
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialization: the events fixture lands
+    as three overlapping-date files, each processed as its own
+    micro-batch (maxFilesPerTrigger=1, availableNow), and a
+    foreachBatch sink merges each batch's daily rollup into a
+    persistent state table via write-new + atomic-rename upsert
+    (streaming/jobs.py foreachbatch_rollup). The oracle is the batch
+    group-by over ALL events — the hash-match proves three partial
+    merges reproduce the full recompute exactly (integer-cent sums are
+    associative/commutative), i.e. the continuous-aggregate pattern is
+    correct, not just plumbed."""
+    from karna_spark.streaming.jobs import foreachbatch_rollup, stage_events_split
+
+    landing = stage_events_split(spark, sf_dir, n_files=3)
+    state_dir = os.path.join(_STREAM_CACHE, "fb_state", uuid.uuid4().hex[:10])
+    state = foreachbatch_rollup(spark, landing, state_dir)
+    return state.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("bucket_day"),
+        "event_type",
+        "n_events",
+        "sum_value_c",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

@@ -291,3 +291,79 @@ def user_stats_stateful(stream: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stage_events_split(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Stage the events fixture as ``n_files`` disjoint parquet files
+    (split by ``event_id % n_files``) so ``maxFilesPerTrigger=1``
+    yields ``n_files`` genuine micro-batches whose date ranges
+    OVERLAP — every batch after the first must merge into, not
+    append to, previously-written rollup state."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(_STREAM_CACHE, tag, f"split{n_files}")
+    done = os.path.join(root, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ev = read_fixture_table(spark, sf_dir, "events")
+        for i in range(n_files):
+            part = ev.where(F.col("event_id") % n_files == i)
+            tmp = os.path.join(root, f"_tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            f = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, f), os.path.join(root, f"{i:02d}_events.parquet"))
+            shutil.rmtree(tmp)
+        open(done, "w").close()
+    return root
+
+
+def foreachbatch_rollup(
+    spark: SparkSession, landing_dir: str, state_dir: str
+) -> DataFrame:
+    """T5+S9 under streaming: maintain a persistent daily rollup table
+    with ``foreachBatch`` — the production pattern for incrementally
+    materialized aggregates on engines without a transactional table
+    format. Each micro-batch partial-aggregates its slice
+    (operators/rollup.rollup_slice — one shuffle over the DELTA only),
+    merges it with the stored state (tiny: |days|×|event_types| rows),
+    and atomically swaps the state directory (write-new + rename —
+    foreachBatch runs on the driver, so the swap is single-writer by
+    construction; a real deployment would target an ACID table format
+    instead). History is never rescanned: cost per batch is
+    O(delta + state), the continuous-aggregate contract.
+
+    Returns the finalized rollup read back from the swapped-in state —
+    count/sum(integer cents)/min/max per (day, event_type). Integer-
+    cent sums make merge(a, merge(b, c)) == recompute exactly, so the
+    result is hash-comparable to the batch oracle no matter how the
+    stream was split into batches."""
+    from karna_spark.operators.rollup import merge_rollups, rollup_slice
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = rollup_slice(batch_df, "ts", ["event_type"], "value", bucket="day")
+        live = os.path.join(state_dir, "live")
+        if os.path.exists(live):
+            base = spark.read.parquet(live)
+            merged = merge_rollups(base, delta)
+        else:
+            merged = delta
+        staged = os.path.join(state_dir, f"stage_{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
+        old = os.path.join(state_dir, f"old_{batch_id}")
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(staged, live)
+        shutil.rmtree(old, ignore_errors=True)
+
+    stream = events_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(_upsert)
+        .option(
+            "checkpointLocation",
+            os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10]),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state_dir, "live"))
