@@ -47,49 +47,80 @@ def connected_components(
     reaching the fixpoint (component diameter > max_iter): a partial
     propagation would split components with no other signal.
     """
+    # Symmetrize with ONE scan of the pair pipeline: a union of
+    # pairs-with-itself-swapped would evaluate the (often expensive,
+    # usually unpersisted) upstream pair detection once per branch;
+    # explode duplicates each row into both directions inside a single
+    # pass instead.
     edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the edge cache BEFORE it fans out: edges feeds both
+    # the label seed and every round's join, and persist() is lazy —
+    # without this barrier the first count job evaluates the (possibly
+    # expensive) upstream pair pipeline once per DAG branch, racing to
+    # fill the same cache blocks. One cheap count pins it exactly once.
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    labels.count()
+    # ``cached`` is the persisted handle for the current label frame;
+    # ``labels`` may be a projection over it (unpersist must target the
+    # frame persist() was called on, or it is a silent no-op and every
+    # round's cache leaks).
+    cached = labels
     try:
         changed = -1
         for it in range(max_iter):
-            neigh = edges.join(
-                labels.withColumnRenamed("id", "dst"), "dst"
-            ).select(F.col("src").alias("id"), "label")
+            neigh = (
+                edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .select(
+                    F.col("src").alias("id"),
+                    "label",
+                    F.lit(None).cast("long").alias("old"),
+                )
+            )
+            # Carry each vertex's previous label through the aggregate
+            # (it appears exactly once in ``labels``, so min() recovers
+            # it) — the changed-count then reads the cached result
+            # directly instead of paying a compare-join per round.
             new_labels = (
-                labels.unionByName(neigh)
+                labels.select("id", "label", F.col("label").alias("old"))
+                .unionByName(neigh)
                 .groupBy("id")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             )
             # Truncate lineage periodically: without a barrier the plan
             # grows two joins per round and re-planning cost compounds.
             if (it + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("label", "old"), "id"
-                )
-                .filter(F.col("label") < F.col("old"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = new_labels.filter(F.col("label") < F.col("old")).count()
+            cached.unpersist()
+            cached = new_labels
+            labels = new_labels.select("id", "label")
             if changed == 0:
                 break
         if changed != 0:
-            labels.unpersist()
+            cached.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 f"rounds ({changed} labels still changing); component "
@@ -101,7 +132,7 @@ def connected_components(
         # unpersisted result (no cached partitions leak past the call).
         out = labels.select("id", F.col("label").alias("cluster_id"))
         out = out.localCheckpoint(eager=True)
-        labels.unpersist()
+        cached.unpersist()
         return out
     finally:
         edges.unpersist()
@@ -115,4 +146,12 @@ def cluster_representatives(
     """Dedup keep/drop decision: (id, cluster_id, keep) where exactly
     the minimum id of each cluster is kept."""
     cc = connected_components(pairs, src_col, dst_col)
+    # connected_components returned an eagerly-materialized frame, so
+    # any caches the pair-detection pipeline registered on ``pairs``
+    # (e.g. minhash_lsh_pairs' src/candidate frames) are dead weight
+    # from here on — release them instead of leaking them for the
+    # session's lifetime. No-op for plain pair frames.
+    from karna_spark.operators.dedup import release_intermediates
+
+    release_intermediates(pairs)
     return cc.withColumn("keep", F.col("id") == F.col("cluster_id"))

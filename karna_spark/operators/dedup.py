@@ -268,9 +268,14 @@ def minhash_lsh_pairs(
     # The candidate set feeds three consumers (the id filter and both
     # verify joins); without persistence each would recompute the whole
     # signature+join pipeline. It is tiny by construction (two longs
-    # per surviving pair), so caching it is scale-safe.
-    cands = cands.persist()
+    # per surviving pair), so caching it is scale-safe. The count is
+    # the cache barrier: persist() alone is lazy, and a single action
+    # over all three consumers would race them into evaluating the
+    # signature+band-join pipeline once each before the cache blocks
+    # exist — the pipeline's dominant cost, paid up to 3×.
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     cands_persisted = cands
+    cands.count()
     # Exact-Jaccard verify, computed ONLY for docs that appear in a
     # candidate pair: semi-join the corpus down first, then shingle.
     # Verify cost scales with |candidates|, never with the corpus.
