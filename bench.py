@@ -43,6 +43,10 @@ HEADLINE = [
     "dedup_clusters",
     "asof_join_nearest",
     "text_bm25_scores",
+    # r6 additions: semantic dedup (centroid blocking + in-cluster
+    # pair join) and the fold-based repetition filter
+    "dedup_semantic_keep",
+    "text_repetition_filter",
 ]
 
 

@@ -23,15 +23,17 @@ the scale layer this engine adds on top):
   combinable groupBy — the K candidate rows for a vector are produced
   on the vector's own partition, so the partial aggregate collapses
   them locally and the shuffle moves ~1 row per vector.
-- ``semantic_drop_ids``: self-join the assignment on cluster id
-  (shuffle keyed by ``cid``), keep pairs above ``tau``, and drop the
-  higher id of each pair — the deterministic keep-lowest-id policy.
-  Per-cluster work is quadratic *by contract* (that is SemDeDup);
-  cluster size is bounded by K scaling with corpus size (K ≈ N/1000 in
-  the paper). A runaway cluster at 100 TB is the classic skew case:
-  AQE skew-join splitting handles moderate skew, and splitting a hot
-  centroid into satellites (re-seed within the cluster) is the
-  documented escape hatch.
+- ``semantic_drop_ids``: group the assignment by cluster id (one
+  shuffle) and run the within-cluster all-pairs cosine as a chunked
+  BLAS gram matrix per cluster (``applyInPandas`` — the matmul kernel
+  SemDeDup itself uses), dropping the higher id of every pair above
+  ``tau``. Per-cluster work is quadratic *by contract* (that is
+  SemDeDup) but it executes inside vectorized C, parallel across
+  clusters; cluster size is bounded by K scaling with corpus size
+  (K ≈ N/1000 in the paper). A runaway hot cluster at 100 TB is the
+  classic skew case: block-slabbed gram computation bounds memory,
+  and splitting a hot centroid into satellites (re-seed within the
+  cluster) is the documented escape hatch.
 
 Float discipline: per-row cosine is a sequential JVM fold —
 bit-deterministic for a given row — and every cross-row reduction over
@@ -98,19 +100,58 @@ def semantic_drop_ids(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block: int = 2048,
 ) -> DataFrame:
     """Ids dropped by the keep-lowest-id policy: every vector that has
-    a same-cluster partner with a smaller id and cosine ≥ tau. One
-    shuffle (join on cid); quadratic within a cluster by contract."""
-    u = assigned.select(
-        F.col("cid"), F.col(id_col).alias("id_u"), F.col(vec_col).alias("v_u")
+    a same-cluster partner with a smaller id and cosine ≥ tau.
+
+    One shuffle (groupBy cid), then the within-cluster all-pairs
+    cosine as a BLAS gram matrix per cluster inside ``applyInPandas``
+    — the kernel SemDeDup itself runs (matmul over the cluster's
+    normalized embedding matrix). A join + per-pair cosine expression
+    would be quadratic in *rows processed by the engine* (and its
+    tiny-bytes/huge-compute shape makes AQE collapse it to one task);
+    here the quadratic work happens inside vectorized C at memory
+    bandwidth, parallel across clusters. The gram matrix is computed
+    in ``block``-row slabs so memory stays O(block·m) per cluster, not
+    O(m²) — a 1M-row runaway cluster costs slabs, not 8 TB.
+
+    Numeric contract: float32 inputs are widened to float64 before
+    normalize/matmul; BLAS reassociates the 64-term dot sums, which
+    perturbs cosines by ≲1e-13 — thresholds must sit (as ours do, by
+    fixture margin ≥ 8e-6) away from any pair's exact value.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def drop_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({id_col: np.array([], dtype=np.int64)})
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )[order]
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        V = V / norms[:, None]
+        dropped = np.zeros(m, dtype=bool)
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            S = V[lo:hi] @ V.T  # (hi-lo, m) slab of the gram matrix
+            # row i (global index lo+i) drops every LATER j with
+            # cosine ≥ tau; mask out j ≤ i (ids sorted ascending).
+            hit = S >= tau
+            cols = np.arange(m)[None, :]
+            hit &= cols > (np.arange(lo, hi)[:, None])
+            dropped |= hit.any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return (
+        assigned.select("cid", id_col, vec_col)
+        .groupBy("cid")
+        .applyInPandas(drop_group, f"{id_col} long")
     )
-    v = assigned.select(
-        F.col("cid"), F.col(id_col).alias("id_v"), F.col(vec_col).alias("v_v")
-    )
-    pairs = (
-        u.join(v, "cid")
-        .where(F.col("id_u") < F.col("id_v"))
-        .where(cosine(F.col("v_u"), F.col("v_v")) >= tau)
-    )
-    return pairs.select(F.col("id_v").alias(id_col)).distinct()

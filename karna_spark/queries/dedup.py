@@ -378,7 +378,13 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    asg = assign_nearest_centroid(emb, seed_centroids(emb, 8))
+    # The assignment fans out to three consumers (both self-join sides
+    # of the pair stage and the final keep join) — materialize it once;
+    # an eager localCheckpoint also truncates lineage so no consumer
+    # re-runs the argmax pipeline.
+    asg = assign_nearest_centroid(emb, seed_centroids(emb, 8)).localCheckpoint(
+        eager=True
+    )
     drop = semantic_drop_ids(asg, 0.35).withColumn("is_dropped", F.lit(1))
     return (
         asg.join(drop, "vec_id", "left")

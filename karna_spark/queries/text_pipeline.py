@@ -744,3 +744,83 @@ def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sum_picked_ids"), F.lit(0)).alias("sum_picked_ids"),
         )
     )
+
+
+@register_query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS cnt FROM occ GROUP BY word
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    q AS (
+      SELECT word,
+             CAST(round(ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS lp_e6
+      FROM vocab, tot
+    ),
+    per_doc AS (
+      SELECT occ.doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(-q.lp_e6) AS BIGINT) AS nll_e6
+      FROM occ JOIN q USING (word)
+      GROUP BY occ.doc_id
+    )
+    SELECT CAST(floor(nll_e6::DOUBLE / (n_words * 1000000)) AS BIGINT)
+             AS nll_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(nll_e6) AS BIGINT) AS sum_nll_e6
+    FROM per_doc
+    GROUP BY 1
+    """,
+    tags="F9 A1 F2",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring, unigram edition:
+    train the LM on the corpus itself (word → -ln p(word), micro-nat
+    quantized to BIGINT so every cross-row reduction is exact), score
+    each document by its average per-word negative log-likelihood, and
+    histogram documents by whole-nat bucket — the distribution used to
+    split a crawl into quality tiers (head/middle/tail in the CCNet
+    paper). Plan: one vocabulary aggregate (two-phase), the 1-row
+    total broadcast, vocabulary broadcast-joined onto word occurrences
+    (vocab ≪ corpus always; falls back to a shuffle join past the
+    broadcast threshold automatically), one per-doc aggregate, one
+    bucket aggregate. ln() is the only transcendental and is applied
+    once per DISTINCT word, not per occurrence."""
+    from karna_spark.operators.text import words
+
+    occ = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    vocab = occ.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    q = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("total")) * 1000000)
+        .cast("bigint")
+        .alias("lp_e6"),
+    )
+    per_doc = (
+        occ.join(F.broadcast(q), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(-F.col("lp_e6")).alias("nll_e6"),
+        )
+    )
+    return per_doc.groupBy(
+        F.floor(
+            F.col("nll_e6").cast("double") / (F.col("n_words") * 1000000)
+        )
+        .cast("bigint")
+        .alias("nll_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+    )

@@ -581,3 +581,43 @@ def test_compaction_collapses_file_count(spark):
 
     assert len(parquet_files(_export_dir(sf, "lineitem_fragmented"))) == 24
     assert len(parquet_files(_export_dir(sf, "lineitem_compacted"))) == 2
+
+
+def test_semdedup_chunked_slab_matches_unchunked(spark):
+    """The block-slabbed gram computation must be invariant to block
+    size (a 1M-row cluster is processed in slabs; the answer may not
+    depend on the slab boundary)."""
+    from karna_spark.operators.semdedup import (
+        assign_nearest_centroid,
+        seed_centroids,
+        semantic_drop_ids,
+    )
+    from karna_spark.queries.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    asg = assign_nearest_centroid(emb, seed_centroids(emb, 4)).localCheckpoint()
+    tiny = {r["vec_id"] for r in semantic_drop_ids(asg, 0.35, block=3).collect()}
+    full = {r["vec_id"] for r in semantic_drop_ids(asg, 0.35, block=1 << 20).collect()}
+    assert tiny == full
+    assert tiny, "fixture should contain at least one within-cluster near-dup"
+
+
+def test_semdedup_assign_is_argmax(spark):
+    """Every vector's assigned centroid must have the max cosine among
+    the seed set (ties to lowest centroid id)."""
+    from karna_spark.functions.vector import cosine
+    from karna_spark.operators.semdedup import assign_nearest_centroid, seed_centroids
+    from karna_spark.queries.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = seed_centroids(emb, 4)
+    asg = assign_nearest_centroid(emb, cents)
+    alts = cents.select(F.col("cid").alias("alt_cid"), "cvec")
+    # brute-force check: no (vector, centroid) pair strictly beats the
+    # assigned cosine.
+    probe = asg.crossJoin(F.broadcast(alts)).select(
+        "vec_id",
+        "cos",
+        cosine(F.col("embedding"), F.col("cvec")).alias("alt_cos"),
+    )
+    assert probe.where(F.col("alt_cos") > F.col("cos")).count() == 0
