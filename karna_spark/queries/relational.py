@@ -456,3 +456,46 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_orderkey") % 20 == 0).agg(
         F.count("*").alias("n_sampled"), dsum("o_totalprice", "sampled_spend")
     )
+
+
+@register_query(
+    "join_fuzzy_entity",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey,
+           a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags="J9 J6 F1",
+)
+def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: fuzzy self-join on edit
+    distance ≤ 1 inside a blocking key (nation). The block join is the
+    scale contract — Levenshtein runs only on same-block pairs (the
+    classic linkage blocking strategy), never corpus × corpus; the
+    comparison itself is the JVM built-in ``levenshtein``. Block-key
+    skew at 100 TB falls under AQE skew splitting; finer blocking
+    (name prefix, phonetic key) is the standard escalation when a
+    block outgrows its executor."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name"
+    )
+    a = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nationkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 1)
+        .select("nationkey", "id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

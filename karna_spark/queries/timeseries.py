@@ -438,3 +438,66 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("sum_val_1h"),
     )
+
+
+@register_query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             any_value(m.m) AS m,
+             median(abs(e.value - m.m)) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(any_value(mad.m), 4) AS med_value,
+           ROUND(any_value(mad.mad), 4) AS mad_value,
+           CAST(SUM(CASE WHEN abs(e.value - mad.m) > 2 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags="A6 A5 P4",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose value deviates from
+    the per-type median by more than 2× the median absolute deviation
+    (MAD) — the outlier rule that, unlike z-scores, is itself immune
+    to the outliers it hunts. Three aggregates (median → MAD → flag
+    count), each a shuffle on the 5-key event_type; the per-type stats
+    frames are broadcast back onto the stream. Spark's exact
+    ``percentile(0.5)`` and DuckDB's ``median`` share interpolation
+    semantics, so med/MAD match to the last bit and the flag
+    comparison is engine-independent."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("m").alias("m"),
+            F.expr("percentile(abs(value - m), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.first("m"), 4).alias("med_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("m")) > 2 * F.col("mad"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
