@@ -824,3 +824,113 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
     )
+
+
+@register_query(
+    "text_chunk_documents",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws, unnest(generate_series(1, len(ws), 30)) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 30 AS BIGINT) AS chunk_idx,
+           CAST(len(ws[start : least(start + 39, len(ws))]) AS INT)
+             AS n_chunk_words,
+           md5(array_to_string(ws[start : least(start + 39, len(ws))], ' '))
+             AS chunk_md5
+    FROM c
+    """,
+    tags="F9 P1 F4",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 40-word
+    chunks on a 30-word stride (10-word overlap) — the standard
+    sliding-window prep for embedding or training long text. Entirely
+    column-level: ``sequence`` generates the chunk starts, posexplode
+    fans them out, ``slice`` cuts each chunk — zero Python, zero
+    shuffles (the whole operator is a map stage; rows only multiply by
+    the ~n/stride chunk factor). Each chunk carries an md5 so the
+    oracle certifies the exact chunk CONTENT, not just the counts."""
+    from karna_spark.operators.text import words
+
+    CHUNK, STRIDE = 40, 30
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", words(F.trim(F.col("text"))).alias("ws")
+    )
+    c = w.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("start"), CHUNK)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register_query(
+    "text_sequence_packing",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_words,
+             CAST(floor(
+               (SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_words) / 256.0)
+               AS BIGINT) AS bin
+      FROM w
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM packed
+    GROUP BY lang, bin
+    """,
+    tags="F9 W3 A1",
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (the fixed-context batching step):
+    assign documents, in deterministic doc_id order within each
+    language, to 256-word bins by their cumulative word offset — the
+    order-preserving approximation of greedy first-fit packing that
+    needs only a running sum, no sequential state. One window (prefix
+    sum per language partition) + one aggregate. At 100 TB the global
+    prefix sum is the scale point; the standard two-phase form
+    (per-partition subtotals, then broadcast offsets) replaces the
+    window when a single partition per group no longer fits."""
+    from karna_spark.operators.text import words
+    from pyspark.sql import Window
+
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(words(F.trim(F.col("text")))).alias("n_words")
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = w.select(
+        "lang",
+        "n_words",
+        F.floor((F.sum("n_words").over(win) - F.col("n_words")) / 256.0)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )

@@ -229,3 +229,48 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", original)
+
+
+def test_repetition_filter_single_shuffle(spark):
+    """The Gopher repetition features are pure column folds — the ONLY
+    Exchange in the plan is the final 5-key language aggregate (no
+    explode-driven per-doc shuffle anywhere)."""
+    plan = plan_of(spark, "text_repetition_filter", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Generate" not in plan  # no explode in this path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocabulary (distinct words) broadcasts onto the occurrence
+    stream; the corpus is never shuffled by word for the scoring join."""
+    plan = plan_of(spark, "text_unigram_logprob", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_assign_broadcast_argmax(spark):
+    """Centroid scoring is a broadcast nested loop over K rows plus a
+    map-side-combinable argmax — no sort-merge join, no per-row
+    Python."""
+    plan = plan_of(spark, "dedup_semantic_assign", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_max" in plan or "partial_" in plan  # two-phase argmax
+    assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_entity_join_blocked(spark):
+    """The fuzzy join must run inside the blocking key's equi-join —
+    never as a cartesian product with a distance filter."""
+    plan = plan_of(spark, "join_fuzzy_entity", mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_temperature_sampling_broadcasts_quotas(spark):
+    """Per-language quotas (5 rows) broadcast back onto the corpus;
+    the only wide operations are the rank window and final aggregate."""
+    plan = plan_of(spark, "sample_temperature_by_lang", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
