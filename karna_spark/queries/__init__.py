@@ -33,13 +33,13 @@ from karna_spark.queries import (  # noqa: F401,E402
 # Registry order is the order the driver's correctness harness visits
 # queries, and the harness is count-capped (~50 entries per round).
 # Rotation policy: every registered query's newest driver row must be
-# ≤3 rounds old — with 141 registered queries and a ~50/round cap,
-# ceil(141/50) = 3 is the arithmetic floor, so 3 is the contract, not
+# ≤3 rounds old — with 143 registered queries and a ~50/round cap,
+# ceil(143/50) = 3 is the arithmetic floor, so 3 is the contract, not
 # an aspiration. Each round leads with (a) the stalest cohort, (b)
 # queries new or materially changed this round, then (c) the next-
 # oldest cohort prioritizing families whose code churned. Round 6:
 # (a) = the 29 queries whose newest row is r2 (everything else is
-# r4/r5), (b) = the sixteen r6 additions (ANN recall gates, SimHash md5
+# r4/r5), (b) = the eighteen r6 additions (ANN recall gates, SimHash md5
 # gate, dynamic front-ends, SemDeDup pair, repetition filter,
 # temperature sampling, foreachBatch upsert), (c) = r4-certified rows
 # in the similarity/dedup/front-end families this round's changes
@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_foreachbatch_upsert", "text_unigram_logprob",
     "join_fuzzy_entity", "events_anomaly_mad",
     "text_chunk_documents", "text_sequence_packing",
+    "events_funnel_conversion", "dedup_shared_ngrams",
     # (c) r4 rows in families r6 code touched (similarity/dedup
     # operators, NL/GraphQL translators), then other r4 rows
     "dedup_simhash", "similarity_topk_lsh", "similarity_topk_ivf",

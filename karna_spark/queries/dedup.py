@@ -398,3 +398,69 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("is_dropped")).alias("n_kept"),
         )
     )
+
+
+# DuckDB spelling of the distinct word-5-gram set (posting-list dedup).
+_SQL_5GRAMS = (
+    "list_transform(generate_series(1, len(string_split(text,' '))-4),"
+    " i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+    " || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]"
+    " || ' ' || string_split(text,' ')[i+4])"
+)
+
+
+@register_query(
+    "dedup_shared_ngrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_SQL_5GRAMS}) AS g FROM documents
+      )
+    ),
+    df AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+    keep AS (
+      SELECT g.doc_id, g.g FROM g JOIN df USING (g)
+      WHERE df.c BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared_grams FROM pairs WHERE shared_grams >= 3
+    """,
+    tags="J9 F7 A1",
+)
+def dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap dedup (the Lee et al. 2022 exact-ngram
+    signal, pairwise form): doc pairs sharing ≥ 3 distinct word
+    5-grams. The scale mechanism is the POSTING-LIST join with a
+    document-frequency cap: grams are inverted (gram → docs), grams
+    with df outside [2, 50] are dropped — df=1 pairs with nothing,
+    df>50 is boilerplate whose postings would explode quadratically —
+    and only the surviving short postings self-join. Work is
+    Σ df² over kept grams (bounded by cap²·|grams|), never corpus².
+    The cap is the standard trick from suffix-array/ngram dedup at
+    web scale; lower it to tighten the bound, raise it for recall on
+    common-phrase overlap."""
+    from karna_spark.operators.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("c"))
+    keep = grams.join(
+        df_counts.where(F.col("c").between(2, 50)).select("g"), "g"
+    )
+    a = keep.select(F.col("g"), F.col("doc_id").alias("id_a"))
+    b = keep.select(F.col("g"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+        .where(F.col("shared_grams") >= 3)
+    )

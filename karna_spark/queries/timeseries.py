@@ -501,3 +501,82 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register_query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+        AND e.ts > t1.t AND e.ts <= t1.t + INTERVAL '1 day'
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+        AND e.ts > t2.t AND e.ts <= t2.t + INTERVAL '3 days'
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM t1) AS n_view,
+           (SELECT count(*) FROM t2) AS n_click_1d,
+           (SELECT count(*) FROM t3) AS n_purchase_3d,
+           ROUND((SELECT count(*) FROM t3)::DOUBLE
+                 / (SELECT count(*) FROM t1), 4) AS conversion
+    """,
+    tags="T1 J1 A2",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users whose first view is followed by a click
+    within 1 day and then a purchase within 3 days of that click —
+    the ordered-sequence conversion metric every product-analytics
+    engine ships. Each stage is one aggregate over the event stream
+    plus a broadcast join of the (tiny) qualifying-user frame from the
+    previous stage; the event table is scanned per stage with the
+    event_type filter pushed to parquet, never self-joined at scale.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = t1.agg(F.count("*").alias("n_view"))
+    c2 = t2.agg(F.count("*").alias("n_click_1d"))
+    c3 = t3.agg(F.count("*").alias("n_purchase_3d"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_view",
+            "n_click_1d",
+            "n_purchase_3d",
+            F.round(
+                F.col("n_purchase_3d").cast("double") / F.col("n_view"), 4
+            ).alias("conversion"),
+        )
+    )

@@ -274,3 +274,71 @@ def test_temperature_sampling_broadcasts_quotas(spark):
     plan = plan_of(spark, "sample_temperature_by_lang", mode="simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale gate for skewed keys: with the engine's pinned AQE posture
+    (adaptive + skewJoin enabled in session.py), a shuffle join whose
+    probe side has one hot key is split at RUNTIME — the executed plan
+    carries a ``skew=true`` SortMergeJoin instead of a straggler task.
+    Thresholds are scaled to fixture bytes (same ratios as the 256 MB
+    cluster defaults). Two planning subtleties this test pins on
+    purpose (also documented in scripts/skew_demo.py): broadcast must
+    be disabled (broadcasting IS the first defense and would hide the
+    path), and both join children must be FRESH shuffles — checkpoints
+    here, materialized tables in the demo — because OptimizeSkewedJoin
+    cannot split a join whose child is an inline aggregate, and a
+    single-file source gives the splitter no mapper ranges to cut."""
+    sf = "/root/testdata/sf0.01"
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        from karna_spark.queries.registry import table
+
+        # table() -> tune_session re-pins the engine's broadcast
+        # threshold, so the probe confs must be set AFTER it.
+        ev = table(spark, sf, "events")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8192"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        skewed = (
+            ev.repartition(32)  # many map tasks -> splittable ranges
+            .withColumn(
+                "user_id",
+                F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(
+                    F.col("user_id")
+                ),
+            )
+            .select("user_id", "event_type", "value")
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            skewed.groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        joined = skewed.join(stats, "user_id").groupBy("event_type").agg(
+            F.sum("n").alias("s")
+        )
+        joined.collect()  # executes through THIS QueryExecution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
