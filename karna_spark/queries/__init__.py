@@ -28,14 +28,17 @@ from karna_spark.queries import (  # noqa: F401,E402
     sources_q,
     udx,
     streaming_q,
+    analytics,
 )
 
 # Registry order is the order the driver's correctness harness visits
 # queries, and the harness is count-capped (~50 entries per round).
 # Rotation policy: every registered query's newest driver row must be
-# ≤3 rounds old — with 143 registered queries and a ~50/round cap,
-# ceil(143/50) = 3 is the arithmetic floor, so 3 is the contract, not
-# an aspiration. Each round leads with (a) the stalest cohort, (b)
+# ≤ ceil(N/50) rounds old — the arithmetic floor with N registered
+# queries and the driver's 50/round cap. At N=154 the floor is 4; in
+# practice the rotation targets 3 for everything except the handful of
+# newest additions, whose first certification lands the round after
+# they ship. Each round leads with (a) the stalest cohort, (b)
 # queries new or materially changed this round, then (c) the next-
 # oldest cohort prioritizing families whose code churned. Round 6:
 # (a) = the 29 queries whose newest row is r2 (everything else is
@@ -67,6 +70,16 @@ _PRIORITY: tuple[str, ...] = (
     "join_fuzzy_entity", "events_anomaly_mad",
     "text_chunk_documents", "text_sequence_packing",
     "events_funnel_conversion", "dedup_shared_ngrams",
+    # (b2) newest r6 additions — three fit under the 50-cap this
+    # round; the remaining eight lead r7's rotation (first driver
+    # certification due then; all eleven are pytest-parity-gated and
+    # driver-sim-swept now)
+    "source_time_travel", "pipeline_training_corpus",
+    "join_interval_overlap",
+    "events_cohort_retention", "scd2_dimension_build",
+    "timeseries_twap", "agg_linear_regression",
+    "agg_equidepth_histogram", "zorder_layout_stats",
+    "dedup_containment", "events_transition_matrix",
     # (c) r4 rows in families r6 code touched (similarity/dedup
     # operators, NL/GraphQL translators), then other r4 rows
     "dedup_simhash", "similarity_topk_lsh", "similarity_topk_ivf",

@@ -1,0 +1,481 @@
+"""Warehouse-analytics depth queries (SURVEY.md §2 extension rows
+A12/W8/T10/J14/A13/S13) over the events/orders/lineitem tables.
+
+Classic analytical patterns a reference user would run over tabular
+files (reference README.md:2): cohort retention, SCD Type-2 dimension
+builds, time-weighted averages, interval-overlap joins, grouped OLS
+regression, equi-depth histograms, and multidimensional (z-order)
+layout clustering. Each is expressed as a declarative DataFrame plan —
+windows and two-phase aggregations, never self-joins or driver loops —
+with the 100 TB variant documented per query.
+
+Float convention (see registry.py): every double output column is the
+result of deterministic arithmetic over EXACT intermediates (decimal
+sums, integer microseconds, integer counts) followed by one final
+round(), so engine-order noise cannot flip the driver's value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from karna_spark.queries.parity import ts_str
+from karna_spark.queries.registry import register_query, table
+
+# Microseconds between the fixture's event epoch and the events table
+# origin — x-axis recentering keeps regression sums inside BIGINT.
+_EPOCH_2024_US = 1_704_067_200_000_000
+_US_PER_HOUR = 3_600_000_000
+
+
+# ---------------------------------------------------------------- A12
+@register_query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_date,
+           datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags="A12 A3 J1",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: cohort retention matrix. Users are cohorted by first-event
+    date; each (cohort, day-offset) cell counts distinct active users.
+    Two shuffles total: the per-user MIN (map-side combinable to one
+    row per user) and the distinct-count aggregate. The cohort frame is
+    |users| rows — at 100 TB of events it is still only |users|, and
+    the join back is a plain co-partitioned equi-join on user_id (AQE
+    broadcasts it when small). No event-to-event self-join anywhere."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort_date", F.datediff("d", "cohort_date").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------- W8
+@register_query(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    tags="W8 W2 P4",
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: Slowly-Changing-Dimension Type 2 build from a change stream.
+    Per user, consecutive duplicate statuses are compressed away with
+    lag(); each surviving change opens a validity interval closed by
+    the next change's lead() (NULL valid_to + is_current flag on the
+    open row). ONE shuffle: both windows share the (user_id) partition
+    / (ts, event_id) order, so Catalyst plans a single Exchange+Sort
+    and evaluates lag and lead in the same Window node. This is the
+    standard dimension-history pattern — no self-join, no driver state;
+    at 100 TB it scales with the per-user change volume."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        ts_str(F.col("ts"), "valid_from"),
+        ts_str(nxt, "valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------- T10
+@register_query(
+    "timeseries_twap",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(18,2)) AS val,
+               epoch_us(ts) AS us,
+               epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id)) AS nxt_us
+        FROM events
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(val * (nxt_us - us)) AS DOUBLE)
+                 / CAST(MAX(us) - MIN(us) AS DOUBLE), 6) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM s
+    WHERE nxt_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags="T10 W2 F3",
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: time-weighted average (the TimescaleDB `time_weight`
+    pattern). Each sample's value is weighted by its holding duration
+    (microseconds to the next sample of the same series, last-observed-
+    carried-forward), divided by the observed span. Numerator is an
+    EXACT decimal×bigint sum — engine summation order cannot perturb
+    it — and the single division + round(6) happens once per group.
+    One window shuffle on event_type shared with the final aggregate's
+    key. At 100 TB: partition by series, order by time — the same plan
+    Spark uses for any as-of/LOCF computation; no self-join."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+        F.unix_micros("ts").alias("us"),
+        "ts",
+        "event_id",
+    )
+    s = ev.withColumn("nxt_us", F.lead("us").over(w)).filter(
+        F.col("nxt_us").isNotNull()
+    )
+    return s.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("val") * (F.col("nxt_us") - F.col("us"))).cast("double")
+            / (F.max("us") - F.min("us")).cast("double"),
+            6,
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+# ---------------------------------------------------------------- J14
+@register_query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderpriority,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE) + CAST((o_orderkey % 5 + 1) AS INT) AS e
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+    )
+    SELECT a.k AS a_orderkey, b.k AS b_orderkey,
+           datediff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1
+               AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.s <= b.e AND b.s <= a.e
+    WHERE a.o_orderpriority = '1-URGENT' AND b.o_orderpriority = '5-LOW'
+    """,
+    tags="J14 J6",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: interval-overlap join, the scale path for J6's theta-range
+    join. A naive `a.s <= b.e AND b.s <= a.e` predicate gives Spark no
+    equi-key → BroadcastNestedLoopJoin → O(n·m) at 100 TB. Instead each
+    interval is exploded onto the days it covers (bounded fan-out: ≤6
+    rows per interval here; bucket width is tuned to median interval
+    length in general) and candidates meet in a day-bucketed EQUI-join
+    — shuffle-partitionable, AQE-skew-splittable. A pair overlapping d
+    days appears in d buckets, so a distinct() collapses duplicates
+    before the exact overlap arithmetic. Plan-asserted: no
+    BroadcastNestedLoopJoin / CartesianProduct (tests/test_plans.py)."""
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01"))
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("s"),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.col("o_orderkey") % 5 + 1).cast("int"),
+            ).alias("e"),
+        )
+    )
+    days = iv.withColumn("day", F.explode(F.sequence("s", "e")))
+    a = (
+        days.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("k").alias("a_orderkey"), F.col("s").alias("a_s"),
+                F.col("e").alias("a_e"), "day")
+    )
+    b = (
+        days.filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("k").alias("b_orderkey"), F.col("s").alias("b_s"),
+                F.col("e").alias("b_e"), "day")
+    )
+    pairs = (
+        a.join(b, "day")
+        .select("a_orderkey", "b_orderkey", "a_s", "a_e", "b_s", "b_e")
+        .distinct()
+    )
+    return pairs.select(
+        "a_orderkey",
+        "b_orderkey",
+        (
+            F.datediff(
+                F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------- A13
+@register_query(
+    "agg_linear_regression",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               (epoch_us(ts) - {_EPOCH_2024_US}) // {_US_PER_HOUR} AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+    tags="A13 A5",
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: grouped OLS regression (value vs hours-since-origin) from
+    sufficient statistics. The five sums (Σx, Σx², Σy, Σxy, Σy²) are
+    computed over EXACT intermediates — x is an integer hour offset
+    (recentred so Σx² fits BIGINT), y an exact decimal — then slope /
+    intercept / r² are one deterministic double expression per group.
+    This is the map-side-combinable form: one shuffle moving 6 numbers
+    per group, the same plan `regr_slope` would produce but portable
+    and hash-stable across engines. At 100 TB: sufficient statistics
+    ARE the scalable regression — never collect points."""
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"(unix_micros(ts) - {_EPOCH_2024_US}) div {_US_PER_HOUR} AS x",
+        "CAST(value AS DECIMAL(18,2)) AS y",
+    )
+    sums = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------- A14
+@register_query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH counts AS (
+        SELECT l_quantity AS q, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT q, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY q ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+               CAST(SUM(c) OVER () AS BIGINT) AS total
+        FROM counts
+    )
+    SELECT CAST((cb * 8) // total AS INT) AS bucket,
+           MIN(q) AS lo, MAX(q) AS hi, CAST(SUM(c) AS BIGINT) AS n_rows
+    FROM cum GROUP BY 1
+    """,
+    tags="A14 A6 W3",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: equi-depth histogram (8 buckets over l_quantity) — the
+    optimizer-statistics primitive. The naive plan (ntile over raw
+    rows) needs a GLOBAL row sort: a single-reducer scan at 100 TB.
+    Instead the domain is run-length compressed first (groupBy value →
+    |distinct| rows, here 50), and the cumulative window + bucket
+    assignment runs over that tiny compressed frame — the global
+    window costs |distinct values|, never |rows|. Bucket = floor(8 ×
+    cumulative-count-before / total), all integer arithmetic, so both
+    engines land identical boundaries."""
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_quantity").alias("q"))
+    counts = li.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        "q",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cb"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    return (
+        cum.groupBy(
+            F.expr("CAST((cb * 8) div total AS INT)").alias("bucket")
+        )
+        .agg(
+            F.min("q").alias("lo"),
+            F.max("q").alias("hi"),
+            F.sum("c").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- S13
+def _zorder_sql_expr(a: str, b: str, bits: int, idiv: str) -> str:
+    """Bit-interleave SQL: z = Σᵢ ((a>>i)&1)<<2i | ((b>>i)&1)<<(2i+1),
+    spelled as pure non-negative integer arithmetic so the same formula
+    (modulo the integer-division spelling: Spark ``div``, DuckDB ``//``)
+    computes identical values in both engines."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _zorder_sql_expr("(l_partkey % 256)", "(l_suppkey % 256)", 8, "div")
+_Z_DUCK = _zorder_sql_expr("(l_partkey % 256)", "(l_suppkey % 256)", 8, "//")
+
+
+@register_query(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT CAST(({_Z_DUCK}) AS BIGINT) AS zval,
+               l_partkey % 256 AS pa, l_suppkey % 256 AS pb
+        FROM lineitem
+    )
+    SELECT CAST(zval // 256 AS BIGINT) AS file_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(pa) AS pa_lo, MAX(pa) AS pa_hi,
+           MIN(pb) AS pb_lo, MAX(pb) AS pb_hi
+    FROM z GROUP BY 1
+    """,
+    tags="S13 S8 F2",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: z-order (Morton) clustering layout — the multidimensional
+    file-skipping story behind Delta OPTIMIZE ZORDER. Interleaving the
+    bits of (partkey, suppkey) and bucketing rows by z-prefix assigns
+    each output file a z-range whose min-max envelope is TIGHT in both
+    dimensions simultaneously (each 256-wide z-prefix bucket spans ≤16
+    values per dimension — pytest-asserted), so a point/range filter
+    on either column prunes ~15/16 of files from footer stats alone.
+    The plan is a pure map (integer bit arithmetic, zero UDFs) + one
+    aggregate; at 100 TB the write path is `repartitionByRange(zval)`
+    with this same expression as the sort key."""
+    z = table(spark, sf_dir, "lineitem").selectExpr(
+        f"CAST(({_Z_SPARK}) AS BIGINT) AS zval",
+        "l_partkey % 256 AS pa",
+        "l_suppkey % 256 AS pb",
+    )
+    return (
+        z.groupBy(F.expr("zval div 256").alias("file_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("pa").alias("pa_lo"),
+            F.max("pa").alias("pa_hi"),
+            F.min("pb").alias("pb_lo"),
+            F.max("pb").alias("pb_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A15
+@register_query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    cnt AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM cnt
+    """,
+    tags="A15 W2 A1",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: first-order Markov transition matrix over per-user event
+    sequences — the sequence-statistics primitive behind session
+    modeling and next-action prediction features. lead() pairs each
+    event with its successor (one window shuffle on user_id), a count
+    aggregate collapses to |types|² rows, and the row-normalization
+    window runs over that tiny matrix — never the raw events.
+    Probabilities are exact-integer ratios rounded once, so both
+    engines hash identically. At 100 TB: the only data-scale shuffle
+    is the per-user window; everything after is |types|²."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", F.col("event_type").alias("cur"))
+        .withColumn("nxt", F.lead("cur").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    cnt = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
+        ).alias("p"),
+    )

@@ -464,3 +464,84 @@ def dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_grams"))
         .where(F.col("shared_grams") >= 3)
     )
+
+
+@register_query(
+    "dedup_containment",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_SQL_5GRAMS}) AS g FROM documents
+      )
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM g GROUP BY doc_id),
+    df AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+    keep AS (
+      SELECT g.doc_id, g.g FROM g JOIN df USING (g)
+      WHERE df.c BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM keep a JOIN keep b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, shared_grams,
+           ROUND(CAST(shared_grams AS DOUBLE) / sa.n_grams, 4) AS cont_a,
+           ROUND(CAST(shared_grams AS DOUBLE) / sb.n_grams, 4) AS cont_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 5 * shared_grams >= 3 * least(sa.n_grams, sb.n_grams)
+    """,
+    tags="J9 J15 A1",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: asymmetric CONTAINMENT dedup — the near-dup signal Jaccard
+    misses when one document embeds another (quotation, boilerplate
+    wrapping, partial scrapes): containment(A in B) = |grams(A) ∩
+    grams(B)| / |grams(A)| stays high even when |B| >> |A| crushes the
+    Jaccard score. Same posting-list mechanics as dedup_shared_ngrams
+    (df-capped inverted 5-gram index bounds the self-join at Σdf² —
+    never corpus²); the per-doc gram totals join back as a doc-level
+    frame (one row per doc). The ≥0.6 threshold on max(cont_a, cont_b)
+    is applied as INTEGER arithmetic (5·shared ≥ 3·min(n_a, n_b)) so
+    the cut is exact in both engines; the reported fractions are
+    round-4 doubles of exact integer ratios."""
+    from karna_spark.operators.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("g"),
+    )
+    sizes = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    df_counts = grams.groupBy("g").agg(F.count("*").alias("c"))
+    keep = grams.join(
+        df_counts.where(F.col("c").between(2, 50)).select("g"), "g"
+    )
+    a = keep.select(F.col("g"), F.col("doc_id").alias("id_a"))
+    b = keep.select(F.col("g"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(5 * F.col("shared_grams") >= 3 * F.least("na", "nb"))
+        .select(
+            "id_a",
+            "id_b",
+            "shared_grams",
+            F.round(F.col("shared_grams").cast("double") / F.col("na"), 4).alias("cont_a"),
+            F.round(F.col("shared_grams").cast("double") / F.col("nb"), 4).alias("cont_b"),
+        )
+    )

@@ -272,3 +272,68 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel.repartition(24).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(compact)
     return spark.read.parquet(compact)
+
+
+@register_query(
+    "source_time_travel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    delta AS (
+        SELECT o_orderkey, o_year, ROUND(o_totalprice + 1.00, 2) AS o_totalprice
+        FROM base
+        WHERE o_orderkey % 7 = 0 AND o_year IN (1995, 1996)
+    ),
+    v2 AS (
+        SELECT * FROM base
+        WHERE NOT (o_orderkey % 7 = 0 AND o_year IN (1995, 1996))
+        UNION ALL SELECT * FROM delta
+    )
+    SELECT 'v1' AS snapshot, * FROM base
+    UNION ALL
+    SELECT 'v2' AS snapshot, * FROM v2
+    """,
+    tags="S9 S12",
+)
+def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: snapshot isolation + time travel (io/snapshots.py — the
+    Iceberg-lite manifest store). Orders partitioned by year are
+    committed as snapshot v1; an upsert touching two year-partitions
+    produces v2 via copy-on-write (untouched years are inherited by
+    manifest pointer — zero data movement). The result reads BOTH
+    snapshots through their manifests and tags the rows; the oracle
+    recomputes each snapshot's expected content from the source table,
+    so a hash match proves (a) v1 still serves pre-upsert data after
+    v2 exists (isolation), (b) v2 reflects exactly the merged delta.
+    At 100 TB the upsert cost is the two affected partitions plus one
+    JSON rename — never the table."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+    root = _export_dir(sf_dir, "orders_snapshots")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)  # v1
+    delta = base.filter(
+        (F.col("o_orderkey") % 7 == 0) & F.col("o_year").isin(1995, 1996)
+    ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1.00, 2))
+    store.upsert(spark, delta, key_cols=["o_orderkey"])  # v2
+    cols = ["snapshot", "o_orderkey", "o_year", "o_totalprice"]
+    v1 = store.read(spark, version=1).withColumn("snapshot", F.lit("v1"))
+    v2 = store.read(spark, version=2).withColumn("snapshot", F.lit("v2"))
+    return v1.select(*cols).unionByName(v2.select(*cols)).withColumn(
+        "o_year", F.col("o_year").cast("int")
+    )

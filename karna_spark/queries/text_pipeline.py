@@ -934,3 +934,110 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
     )
+
+
+# ------------------------------------------------- end-to-end pipeline
+@register_query(
+    "pipeline_training_corpus",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, trim(text) AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc
+      FROM documents
+    ),
+    -- stage 1: quality gate (length floor)
+    quality AS (SELECT * FROM base WHERE wc >= 20),
+    -- stage 2: exact dedup, keep lowest doc_id per normalized fingerprint
+    fp AS (
+      SELECT *, md5(lower(regexp_replace(t, '\\s+', ' ', 'g'))) AS fp
+      FROM quality
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ),
+    -- stage 3: decontamination vs the 'src0' benchmark (shared 4-gram)
+    g AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(ws, i, i + 3), ' ') AS ngram
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(t, '\\s+') AS ws FROM base),
+           LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) ix
+    ),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ngram)
+      WHERE g.source <> 'src0'
+    ),
+    corpus AS (
+      SELECT * FROM deduped
+      WHERE source <> 'src0'
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    stats AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(wc) AS BIGINT) AS total_tokens
+      FROM corpus GROUP BY lang
+    )
+    SELECT lang, kept_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / CAST(SUM(total_tokens) OVER () AS DOUBLE), 6) AS token_share
+    FROM stats
+    """,
+    tags="F9 F10 J9 A1 O7",
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the composition the
+    individual operators exist FOR, in the standard order a 100 TB
+    pipeline runs them: (1) quality gate (length floor — cheapest
+    filter first, pushed to the scan), (2) exact dedup via normalized
+    md5 fingerprint keeping the lowest doc_id (one 16-byte-key
+    shuffle), (3) decontamination against the 'src0' benchmark by
+    4-gram membership (bench n-gram set broadcasts; corpus side is
+    one scan), then per-language corpus statistics with token shares
+    (|langs| rows — the window is over the final 5-row frame).
+    Every stage is an existing certified operator; this query proves
+    they compose without semantic drift. Stage order matters at scale:
+    quality+dedup shrink the corpus BEFORE the n-gram explosion."""
+    from pyspark.sql import Window
+
+    from karna_spark.operators.contamination import contaminated_docs
+    from karna_spark.operators.text import words
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.trim("text").alias("t")
+    ).withColumn("wc", F.size(words(F.col("t"))))
+    quality = docs.filter(F.col("wc") >= 20)
+    fp = quality.withColumn(
+        "fp", F.md5(F.lower(F.regexp_replace("t", r"\s+", " ")))
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        fp.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    dirty = contaminated_docs(train, bench, "doc_id", "t", n=4).select("doc_id")
+    corpus = deduped.filter(F.col("source") != "src0").join(
+        dirty, "doc_id", "left_anti"
+    )
+    stats = corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("wc").cast("bigint").alias("total_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return stats.select(
+        "lang",
+        "kept_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(w_all).cast("double"),
+            6,
+        ).alias("token_share"),
+    )

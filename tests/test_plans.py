@@ -160,6 +160,7 @@ _SLOW_BUILDERS = {
     "streaming_session_window",
     # recall gates: centroid/codebook seed rows collect at build time
     "similarity_ivf_recall", "similarity_pq_recall",
+    "source_time_travel",  # commits two snapshots at build time
 }
 
 
@@ -342,3 +343,65 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_interval_overlap_is_equi_not_nested_loop(spark):
+    # J14's whole point: the day-bucketed rewrite gives Catalyst an
+    # equi-key, so the overlap join must NOT degenerate to a nested
+    # loop / cartesian — that is the O(n·m) plan it replaces.
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_window_exchange(spark):
+    # lag (change compression) and lead (validity close) share one
+    # (user_id)/(ts,event_id) window spec -> exactly one shuffle.
+    plan = plan_of(spark, "scd2_dimension_build", "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_twap_window_shares_aggregate_key(spark):
+    # One Exchange for the event_type window; the groupBy(event_type)
+    # reuses that partitioning (no second wide shuffle of the data —
+    # only the 5-group partial-agg exchange may remain).
+    simple = plan_of(spark, "timeseries_twap", "simple")
+    assert simple.count("Exchange") <= 2, simple
+    assert "partial_sum" in plan_of(spark, "timeseries_twap")
+
+
+def test_equidepth_window_over_compressed_domain(spark):
+    # The global (single-partition) window must sit ABOVE the groupBy
+    # compression: HashAggregate before the SinglePartition exchange,
+    # so the sort/window costs |distinct values|, never |rows|.
+    plan = plan_of(spark, "agg_equidepth_histogram")
+    seg = plan.split("SinglePartition", 1)[0]
+    assert "HashAggregate" in seg, plan
+
+
+def test_zorder_pure_map_no_python(spark):
+    # Bit interleaving is integer column arithmetic: zero UDFs, one
+    # aggregate exchange, nothing else.
+    plan = plan_of(spark, "zorder_layout_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan_of(spark, "zorder_layout_stats", "simple").count("Exchange") == 1
+
+
+def test_containment_posting_join_is_equi(spark):
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_transition_matrix_normalizes_tiny_frame(spark):
+    # The row-normalization window must run ABOVE the (cur, nxt) count
+    # aggregate — |types|^2 rows — not over the raw events.
+    plan = plan_of(spark, "events_transition_matrix", "simple")
+    # one window shuffle (user_id), one agg exchange, one norm window
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_pipeline_contamination_side_broadcasts(spark):
+    plan = plan_of(spark, "pipeline_training_corpus")
+    assert "BroadcastHashJoin" in plan  # bench n-gram membership
+    assert "BatchEvalPython" not in plan
