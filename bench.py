@@ -47,6 +47,10 @@ HEADLINE = [
     # pair join) and the fold-based repetition filter
     "dedup_semantic_keep",
     "text_repetition_filter",
+    # r6 batch-2: the composed corpus pipeline (quality → dedup →
+    # decontamination → stats) and the posting-list containment join
+    "pipeline_training_corpus",
+    "dedup_containment",
 ]
 
 

@@ -479,3 +479,252 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------- A16
+@register_query(
+    "agg_sketch_accuracy_gate",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS hll_within_5pct,
+           TRUE AS p50_within_1pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags="A16 A4 A6",
+)
+def agg_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: sketch ACCURACY gate. A4's approx_count_distinct and A6's
+    approx_percentile are the 100 TB path (bounded-memory mergeable
+    sketches vs exact distinct/sort), but their value is an accuracy
+    CONTRACT. This query computes both the sketch estimate and the
+    exact answer in one aggregate and emits the tolerance verdicts
+    (HLL at rsd=0.015 within 5% of exact distinct — a >3σ margin, so
+    the gate tests the contract, not sketch luck;
+    approx_percentile(accuracy=10000) within 1% of the exact median). The oracle pins the verdicts TRUE:
+    if a Spark upgrade ever degrades a sketch past tolerance, the
+    driver's hash gate — not just a unit test — goes red. Exact
+    columns double as the A3 correctness anchor."""
+    od = table(spark, sf_dir, "orders")
+    agg = od.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", 0.015).alias("hll"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_distinct",
+        (
+            F.abs(F.col("hll") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("p50") - F.col("p50_exact")) <= 0.01 * F.col("p50_exact")
+        ).alias("p50_within_1pct"),
+    )
+
+
+# ---------------------------------------------------------------- T12
+@register_query(
+    "timeseries_ohlc",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY 1, 2
+    """,
+    tags="T12 T1 W1",
+)
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: OHLC candle aggregation — the financial-rollup primitive
+    (open/high/low/close per series per hour). Open/close are
+    positional (first/last in (ts, event_id) order), picked via two
+    row_number directions over ONE window partitioning; the aggregate
+    then groups on the same (series, bucket) key, so Catalyst reuses
+    the window's Exchange — one data-scale shuffle total. All outputs
+    are individual source values (no summation), so the hash is exact
+    with zero rounding. At 100 TB this is the plan a tick store runs
+    per candle build; at extreme per-bucket skew the open/close pick
+    degrades gracefully (window, not collect)."""
+    w_a = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    ).select(
+        "event_type",
+        ts_str(F.col("bucket"), "bucket_hour"),
+        "open", "high", "low", "close", "n_ticks",
+    )
+
+
+# ---------------------------------------------------------------- A17
+@register_query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d0 FROM events),
+    per_user AS (
+        SELECT user_id,
+               datediff('day', MAX(CAST(ts AS DATE)), (SELECT d0 FROM anchor))
+                   AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, ROUND(monetary, 2) AS monetary,
+           ntile(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+    FROM per_user
+    """,
+    tags="A17 A1 W1",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: RFM (recency/frequency/monetary) customer segmentation.
+    The data-scale work is ONE per-user aggregate (map-combinable);
+    the three ntile windows then rank the |users| frame — orders of
+    magnitude smaller than the event log — with user_id tie-breaks so
+    quartile assignment is total-order deterministic in both engines.
+    Monetary sums are exact decimals. At extreme |users| the ntile
+    global sort is replaced by approx-quantile cut points (A16's gate
+    pattern); the per-user aggregate shape is unchanged."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    anchor = ev.agg(F.max("d").alias("d0"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("val").cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("d0", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_quartile"),
+    )
+
+
+# ---------------------------------------------------------------- A18
+@register_query(
+    "basket_affinity_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+    brand_c AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY brand),
+    pair_c AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, c_ab,
+           ROUND(CAST(c_ab AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(c_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6) AS lift
+    FROM pair_c
+    JOIN brand_c ca ON ca.brand = brand_a
+    JOIN brand_c cb ON cb.brand = brand_b
+    CROSS JOIN n
+    WHERE c_ab >= 20
+    """,
+    tags="A18 J1 A1",
+)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: market-basket affinity (support + lift per brand pair).
+    The pair join is on the ORDER key, so fan-out is bounded by basket
+    width (≤7 lineitems per TPC-H order — never corpus²); brand
+    marginals and the order count are tiny frames that broadcast back
+    onto the |brands|² pair aggregate. Dimension lookup (part→brand)
+    broadcasts. Support/lift are exact integer ratios rounded once —
+    engine-identical. At 100 TB: identical shape; the only data-scale
+    shuffles are the distinct (order, brand) projection and the
+    order-keyed pair join, both partitioned on the basket key."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    # Order count stays IN the plan as a broadcast 1-row frame (no
+    # eager .count() at build — plan construction must run zero jobs).
+    n_frame = ob.agg(F.countDistinct("o").alias("n_orders"))
+    brand_c = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = ob.select("o", F.col("brand").alias("brand_a"))
+    b = ob.select("o", F.col("brand").alias("brand_b"))
+    pair_c = (
+        a.join(b, "o")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= 20)
+    )
+    ca = brand_c.select(F.col("brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = brand_c.select(F.col("brand").alias("brand_b"), F.col("c").alias("cb"))
+    return (
+        pair_c.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.round(F.col("c_ab").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                F.col("c_ab").cast("double") * F.col("n_orders") / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -228,3 +228,46 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+@register_query(
+    "streaming_snapshot_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           3 AS n_versions
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags="T8 S12 T5",
+)
+def streaming_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+S12: streaming continuous aggregate maintained in the
+    manifest-versioned SnapshotStore — each of the three micro-batches
+    commits a new time-travelable snapshot (copy-on-write on the
+    event_type partitions it touches; the manifest rename is the
+    atomic commit, exactly the Delta/Iceberg streaming-sink shape).
+    The result reads the FINAL snapshot and carries the version count:
+    a hash match proves three merge-commits reproduce the batch
+    recompute exactly AND that exactly one snapshot per micro-batch
+    was published. Per-version monotonicity (every snapshot remains
+    readable; counts only grow) is pytest-asserted — batch ORDER is
+    not part of the contract because merge commutes."""
+    from karna_spark.streaming.jobs import (
+        foreachbatch_snapshot_rollup,
+        stage_events_split,
+    )
+
+    landing = stage_events_split(spark, sf_dir, n_files=3)
+    root = os.path.join(_STREAM_CACHE, "snap_state", uuid.uuid4().hex[:10])
+    store = foreachbatch_snapshot_rollup(spark, landing, root)
+    n_versions = store.latest_version()
+    return store.read(spark).select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("bucket_day"),
+        "event_type",
+        "n_events",
+        "sum_value_c",
+        F.lit(n_versions).alias("n_versions"),
+    )

@@ -367,3 +367,62 @@ def foreachbatch_rollup(
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(state_dir, "live"))
+
+
+def foreachbatch_snapshot_rollup(
+    spark: SparkSession, landing_dir: str, store_root: str
+):
+    """T8+S12: the foreachbatch_rollup pattern upgraded from
+    write-new+rename to the manifest-versioned SnapshotStore — every
+    micro-batch commit becomes a time-travelable snapshot of the
+    continuous aggregate (the Delta/Iceberg streaming-sink shape).
+    Per batch: partial-aggregate the DELTA (one shuffle over the batch
+    only), merge with the CURRENT snapshot's rows for the affected
+    partitions (pruned read via the manifest), and upsert — copy-on-
+    write rewrites only the event_type partitions the batch touched,
+    and the manifest rename is the atomic commit. History costs one
+    manifest per batch, not a state rewrite; any past version stays
+    byte-stable and readable while the stream runs.
+
+    Returns (store, query-finished) with the store positioned at the
+    final version; merge is exact (integer cents) so the final
+    snapshot hash-matches the batch recompute regardless of how the
+    stream was split or ordered."""
+    from karna_spark.io.snapshots import SnapshotStore
+    from karna_spark.operators.rollup import merge_rollups, rollup_slice
+
+    store = SnapshotStore(store_root, "event_type")
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        delta = rollup_slice(batch_df, "ts", ["event_type"], "value", bucket="day")
+        if store.latest_version() == 0:
+            store.commit(delta)
+            return
+        affected = [
+            r[0] for r in delta.select("event_type").distinct().collect()
+        ]
+        manifest = store._manifest(store.latest_version())
+        known = [a for a in affected if str(a) in manifest]
+        if known:
+            base = store.read(spark, partition_values=[str(a) for a in known])
+            merged = merge_rollups(base, delta)
+        else:
+            merged = delta
+        # merged carries every row for the affected partitions, so the
+        # keyed upsert (replace-by-key) publishes exact merged state.
+        store.upsert(
+            spark, merged.localCheckpoint(eager=True), key_cols=["bucket_ts", "event_type"]
+        )
+
+    stream = events_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(_commit)
+        .option(
+            "checkpointLocation",
+            os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10]),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store

@@ -161,6 +161,7 @@ _SLOW_BUILDERS = {
     # recall gates: centroid/codebook seed rows collect at build time
     "similarity_ivf_recall", "similarity_pq_recall",
     "source_time_travel",  # commits two snapshots at build time
+    "streaming_snapshot_rollup",  # runs the micro-batch stream at build
 }
 
 
@@ -405,3 +406,25 @@ def test_pipeline_contamination_side_broadcasts(spark):
     plan = plan_of(spark, "pipeline_training_corpus")
     assert "BroadcastHashJoin" in plan  # bench n-gram membership
     assert "BatchEvalPython" not in plan
+
+
+def test_ohlc_window_and_agg_share_key(spark):
+    # Both row_number windows and the final aggregate group on
+    # (event_type, bucket): one data-scale Exchange for the windows;
+    # the agg reuses that partitioning.
+    plan = plan_of(spark, "timeseries_ohlc", "simple")
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_rfm_windows_rank_user_frame_not_events(spark):
+    # The ntile windows must sit above the per-user aggregate: the
+    # single-partition sort ranks |users| rows, never the event log.
+    plan = plan_of(spark, "events_rfm_segmentation")
+    seg = plan.split("SinglePartition", 1)[0]
+    assert "HashAggregate" in seg, plan
+
+
+def test_basket_affinity_marginals_broadcast(spark):
+    plan = plan_of(spark, "basket_affinity_lift")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

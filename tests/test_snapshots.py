@@ -78,3 +78,26 @@ def test_zorder_prefix_bounds_both_dimensions(spark):
         | ((F.col("pb_hi") - F.col("pb_lo")) > 15)
     ).count()
     assert bad == 0
+
+
+def test_streaming_snapshot_versions_monotone(spark):
+    # Every micro-batch publishes one snapshot; each stays readable
+    # after later commits and total event counts only grow.
+    import os
+    import uuid
+
+    from karna_spark.streaming.jobs import (
+        _STREAM_CACHE,
+        foreachbatch_snapshot_rollup,
+        stage_events_split,
+    )
+
+    landing = stage_events_split(spark, "/root/testdata/sf0.001", n_files=3)
+    root = os.path.join(_STREAM_CACHE, "snap_t", uuid.uuid4().hex[:10])
+    store = foreachbatch_snapshot_rollup(spark, landing, root)
+    assert store.latest_version() == 3
+    totals = [
+        store.read(spark, version=v).agg({"n_events": "sum"}).collect()[0][0]
+        for v in (1, 2, 3)
+    ]
+    assert totals[0] < totals[1] < totals[2]
