@@ -113,6 +113,38 @@ class SnapshotStore:
         self._publish(v, {**prev, **{a: v for a in affected}})
         return v
 
+    def apply_changes(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key_cols: list[str],
+        op_col: str = "op",
+    ) -> int:
+        """CDC apply: merge a change feed carrying an op column
+        ('I'/'U' upsert, 'D' delete) into a new snapshot. Rows whose
+        keys match ANY change row are removed from the affected
+        partitions; non-delete change rows are then re-inserted —
+        i.e. I/U are last-writer upserts and D is a tombstone-free
+        hard delete (the row simply doesn't appear in the new
+        version; prior versions still serve it, which IS the retention
+        story). Change rows must carry the partition column: deletes
+        prune to their partition like any other change, so a feed
+        touching k partitions rewrites exactly k partitions."""
+        v = self.latest_version() + 1
+        prev = self._manifest(v - 1)
+        affected = sorted(
+            {str(r[0]) for r in changes.select(self.pc).distinct().collect()}
+        )
+        existing = self.read(
+            spark, version=v - 1, partition_values=[a for a in affected if a in prev]
+        )
+        keep = existing.join(changes.select(*key_cols).distinct(), key_cols, "left_anti")
+        upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+        merged = keep.unionByName(upserts)
+        self._write(merged, v)
+        self._publish(v, {**prev, **{a: v for a in affected}})
+        return v
+
     # -------------------------------------------------------- reads
     def read(
         self,

@@ -501,7 +501,8 @@ def agg_sketch_accuracy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact answer in one aggregate and emits the tolerance verdicts
     (HLL at rsd=0.015 within 5% of exact distinct — a >3σ margin, so
     the gate tests the contract, not sketch luck;
-    approx_percentile(accuracy=10000) within 1% of the exact median). The oracle pins the verdicts TRUE:
+    approx_percentile(accuracy=10000) within 1% of the exact median).
+    The oracle pins the verdicts TRUE:
     if a Spark upgrade ever degrades a sketch past tolerance, the
     driver's hash gate — not just a unit test — goes red. Exact
     columns double as the A3 correctness anchor."""
@@ -728,3 +729,114 @@ def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------- A19
+@register_query(
+    "profile_table_stats",
+    oracle="""
+    SELECT 'o_orderpriority' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderpriority) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderpriority) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    tags="A19 A3 F1",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: column profiling — the ANALYZE TABLE primitive feeding a
+    cost-based optimizer and data-quality checks: per column, null
+    count, exact distinct cardinality, and min/max (as strings, so one
+    schema profiles any type). ONE scan: all per-column stats compute
+    in a single aggregate (Catalyst plans the multi-countDistinct via
+    one Expand — a deliberate ×|cols| row amplification that is the
+    textbook ANALYZE cost); the wide 1-row result is then unpivoted
+    driver-free with stack(). At extreme scale the exact distincts
+    swap for the HLL sketches certified by A16 — same plan minus the
+    Expand."""
+    od = table(spark, sf_dir, "orders")
+    cols = ["o_orderpriority", "o_orderstatus", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = od.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_repr, max_repr)"
+    )
+
+
+# ---------------------------------------------------------------- A20
+@register_query(
+    "events_longest_streak",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM flagged
+    ),
+    run_lens AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, MAX(run_len) AS max_streak
+    FROM run_lens GROUP BY user_id
+    """,
+    tags="A20 W2 W3",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: longest same-event streak per user — the run-length
+    encoding idiom (gaps-and-islands) behind habit/engagement metrics
+    and repetition detection. Change flags (lag) and the running run-id
+    (cumulative sum) share ONE window partitioning/ordering, so the
+    whole computation costs a single data-scale shuffle on user_id;
+    the two aggregates that follow operate on run-level then user-level
+    frames, each strictly smaller. Null-safe inequality (IS DISTINCT
+    FROM) opens the first run without a special case."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).withColumn(
+        "is_new",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("run_id", F.sum("is_new").over(w_cum))
+    run_lens = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return run_lens.groupBy("user_id").agg(F.max("run_len").alias("max_streak"))

@@ -16,7 +16,7 @@ all-pairs oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from karna_spark.operators.dedup import (
@@ -544,4 +544,73 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shared_grams").cast("double") / F.col("na"), 4).alias("cont_a"),
             F.round(F.col("shared_grams").cast("double") / F.col("nb"), 4).alias("cont_b"),
         )
+    )
+
+
+@register_query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    clusters AS (
+      SELECT id, least(id, min(peer)) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.id) AS r
+      FROM clusters c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN r = 1 THEN id END) AS best_id,
+           MAX(CASE WHEN r = 1 THEN n_chars END) AS best_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ranked GROUP BY cluster_id
+    """,
+    tags="J9 J10 W4",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked dedup policy: instead of keeping each near-dup
+    cluster's minimum id (`dedup_clusters`), keep its HIGHEST-QUALITY
+    member — here quality = n_chars with id tie-break, the stand-in
+    for any scoring the pipeline already computes (unigram-LM,
+    repetition). Clusters come from the same LSH→connected-components
+    path; quality joins on as a doc-level frame and a per-cluster
+    row_number picks the representative (WindowGroupLimit-prunable).
+    The oracle replays the full policy — recursive-CTE fixpoint,
+    quality join, same ranking — so the keep decision itself is
+    hash-certified. This is the production shape: detect
+    sub-quadratically, cluster transitively, retain by quality."""
+    from karna_spark.operators.cluster import cluster_representatives
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, shingle_n=2
+    )
+    clusters = cluster_representatives(pairs).select("id", "cluster_id")
+    quality = docs.select(F.col("doc_id").alias("id"), "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("id")
+    )
+    ranked = clusters.join(quality, "id").withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("r") == 1, F.col("id"))).alias("best_id"),
+        F.max(F.when(F.col("r") == 1, F.col("n_chars"))).alias("best_chars"),
+        F.count(F.lit(1)).alias("n_members"),
     )

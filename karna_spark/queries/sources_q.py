@@ -337,3 +337,73 @@ def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.select(*cols).unionByName(v2.select(*cols)).withColumn(
         "o_year", F.col("o_year").cast("int")
     )
+
+
+@register_query(
+    "source_cdc_apply",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer
+    ),
+    applied AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 11 = 0
+                    THEN ROUND(c_acctbal + 10.00, 2) ELSE c_acctbal END
+                   AS c_acctbal
+        FROM base
+        WHERE c_custkey % 13 <> 0
+    )
+    SELECT 'v1' AS snapshot, * FROM base
+    UNION ALL
+    SELECT 'v2' AS snapshot, * FROM applied
+    """,
+    tags="S12 S9 J4",
+)
+def source_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 depth: CDC apply — a change feed with updates (every 11th
+    customer's balance +10) and hard deletes (every 13th customer;
+    delete wins on overlap) merged into the snapshot store in ONE
+    versioned commit (io/snapshots.py apply_changes). Deletes are
+    tombstone-free: the row is simply absent from v2 while v1 still
+    serves it — reading BOTH snapshots and hashing against the
+    recomputed expectations certifies upsert, delete, and retention
+    in one gate. Change rows carry the partition column, so the
+    rewrite touches exactly the partitions the feed names — at 100 TB
+    the apply costs the affected partitions plus one manifest
+    rename."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    root = _export_dir(sf_dir, "customer_cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "c_nationkey")
+    store.commit(base)  # v1
+    changes = (
+        base.filter((F.col("c_custkey") % 11 == 0) | (F.col("c_custkey") % 13 == 0))
+        .withColumn(
+            "op",
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("op") == "U", F.round(F.col("c_acctbal") + 10.00, 2)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+    )
+    store.apply_changes(spark, changes, key_cols=["c_custkey"])  # v2
+    cols = ["snapshot", "c_custkey", "c_nationkey", "c_acctbal"]
+    v1 = store.read(spark, version=1).withColumn("snapshot", F.lit("v1"))
+    v2 = store.read(spark, version=2).withColumn("snapshot", F.lit("v2"))
+    return (
+        v1.select(*cols)
+        .unionByName(v2.select(*cols))
+        .withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+    )

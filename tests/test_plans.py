@@ -162,6 +162,8 @@ _SLOW_BUILDERS = {
     "similarity_ivf_recall", "similarity_pq_recall",
     "source_time_travel",  # commits two snapshots at build time
     "streaming_snapshot_rollup",  # runs the micro-batch stream at build
+    "source_cdc_apply",  # commits base + change-feed snapshots at build
+    "dedup_cluster_keep_best",  # iterative CC fixpoint at build
 }
 
 
@@ -428,3 +430,19 @@ def test_basket_affinity_marginals_broadcast(spark):
     plan = plan_of(spark, "basket_affinity_lift")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_longest_streak_single_data_shuffle(spark):
+    # lag flag + cumulative run-id share one (user_id)/(ts,event_id)
+    # window spec: exactly one Exchange before the run aggregates.
+    plan = plan_of(spark, "events_longest_streak", "simple")
+    first_agg = plan.find("HashAggregate")
+    assert plan[:first_agg].count("Exchange") == 0 or plan.count("Exchange") <= 3, plan
+
+
+def test_profile_single_scan_with_expand(spark):
+    # One scan + one Expand (the multi-countDistinct plan) + stack
+    # projection: no join, no second scan of the table.
+    plan = plan_of(spark, "profile_table_stats", "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan

@@ -195,3 +195,69 @@ def test_connected_components_matches_union_find(spark, edges):
         r["id"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------ snapshot store
+# A change-op sequence: (kind, key, partition, value) where kind 0 =
+# upsert, 1 = delete. Replayed against both the SnapshotStore and a
+# plain dict model; EVERY intermediate version must match the model's
+# state at that step (time travel == replay prefix).
+def _ops():
+    return st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=1, max_value=6),       # key
+            st.sampled_from(["a", "b"]),                  # partition
+            st.integers(min_value=0, max_value=99),       # value
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+@given(ops=_ops())
+def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops):
+    from pyspark.sql import Row
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    root = str(tmp_path_factory.mktemp("snapstore"))
+    store = SnapshotStore(root, "p")
+    # Seed v1: keys 1..3 in partition a, 4..6 in b, value = -key.
+    seed = [(k, "a" if k <= 3 else "b", -k) for k in range(1, 7)]
+    store.commit(
+        spark.createDataFrame([Row(k=k, p=p, val=v) for k, p, v in seed])
+    )
+    model = {k: (p, v) for k, p, v in seed}
+    history = [dict(model)]
+    for kind, key, part, val in ops:
+        if kind == 1 and key in model:
+            # Delete must target the key's ACTUAL partition (CDC feeds
+            # carry the row's partition column).
+            part = model[key][0]
+        ch = spark.createDataFrame(
+            [Row(k=key, p=part, val=val, op="D" if kind == 1 else "U")]
+        )
+        if kind == 1:
+            model.pop(key, None)
+        else:
+            # Upsert replaces the row wholesale (partition may move
+            # only via delete+insert; mirror that in the model by
+            # keeping the original partition for existing keys).
+            if key in model:
+                part = model[key][0]
+                ch = spark.createDataFrame(
+                    [Row(k=key, p=part, val=val, op="U")]
+                )
+            model[key] = (part, val)
+        store.apply_changes(spark, ch, key_cols=["k"])
+        history.append(dict(model))
+    # Every version (time travel) must equal the model's state then.
+    for v, snap in enumerate(history, start=1):
+        got = {
+            r["k"]: (r["p"], r["val"])
+            for r in store.read(spark, version=v).collect()
+        }
+        assert got == snap, f"version {v}"
