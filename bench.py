@@ -72,6 +72,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
 
     def run(name: str) -> float:
+        # Each query is timed standalone: persisted intermediates from
+        # the PREVIOUS query (operators cache sources/candidates for
+        # their own multi-consumer plans) are dropped first, so one
+        # query's cache pressure can't evict/spill into the next
+        # query's measurement — without this, later anchors in the
+        # pass degrade as leaked blocks accumulate.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = REGISTRY[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

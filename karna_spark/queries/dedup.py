@@ -444,26 +444,46 @@ def dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap is the standard trick from suffix-array/ngram dedup at
     web scale; lower it to tighten the bound, raise it for recall on
     common-phrase overlap."""
-    from karna_spark.operators.text import word_ngrams
-
-    docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("g"),
-    )
+    grams = _posting_grams(spark, sf_dir)
     df_counts = grams.groupBy("g").agg(F.count("*").alias("c"))
     keep = grams.join(
         df_counts.where(F.col("c").between(2, 50)).select("g"), "g"
     )
     a = keep.select(F.col("g"), F.col("doc_id").alias("id_a"))
     b = keep.select(F.col("g"), F.col("doc_id").alias("id_b"))
-    return (
+    out = (
         a.join(b, "g")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("shared_grams"))
         .where(F.col("shared_grams") >= 3)
     )
+    out._karna_persisted = [grams]  # type: ignore[attr-defined]
+    return out
+
+
+def _posting_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, word-5-gram) pairs, PERSISTED with an eager
+    barrier. The n-gram explosion (split → transform/concat → distinct
+    → explode) is by far the dominant cost of the posting-list dedup
+    family, and every consumer (document-frequency counts, the keep
+    join, per-doc totals) would otherwise re-evaluate it — 2-3 corpus
+    text passes instead of one. The count() pins the cache before the
+    plan fans out (the lazy-persist race documented in
+    operators/dedup.py). At 100 TB the cached frame spills to disk,
+    which still beats recomputing string ops; callers hand the
+    persisted handle back on the result for release."""
+    from pyspark.storagelevel import StorageLevel
+
+    from karna_spark.operators.text import word_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("g"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams.count()
+    return grams
 
 
 @register_query(
@@ -509,13 +529,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is applied as INTEGER arithmetic (5·shared ≥ 3·min(n_a, n_b)) so
     the cut is exact in both engines; the reported fractions are
     round-4 doubles of exact integer ratios."""
-    from karna_spark.operators.text import word_ngrams
-
-    docs = table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("g"),
-    )
+    grams = _posting_grams(spark, sf_dir)
     sizes = grams.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_grams")
     )
@@ -533,7 +547,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
-    return (
+    out = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .where(5 * F.col("shared_grams") >= 3 * F.least("na", "nb"))
@@ -545,6 +559,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shared_grams").cast("double") / F.col("nb"), 4).alias("cont_b"),
         )
     )
+    out._karna_persisted = [grams]  # type: ignore[attr-defined]
+    return out
 
 
 @register_query(

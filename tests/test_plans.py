@@ -164,6 +164,8 @@ _SLOW_BUILDERS = {
     "streaming_snapshot_rollup",  # runs the micro-batch stream at build
     "source_cdc_apply",  # commits base + change-feed snapshots at build
     "dedup_cluster_keep_best",  # iterative CC fixpoint at build
+    # posting-gram cache barrier (one count) pins the shared explosion
+    "dedup_shared_ngrams", "dedup_containment",
 }
 
 
