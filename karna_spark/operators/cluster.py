@@ -69,18 +69,18 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Materialize the edge cache BEFORE it fans out: edges feeds both
-    # the label seed and every round's join, and persist() is lazy —
-    # without this barrier the first count job evaluates the (possibly
-    # expensive) upstream pair pipeline once per DAG branch, racing to
-    # fill the same cache blocks. One cheap count pins it exactly once.
-    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # ONE action pins BOTH caches: the label seed reads edges through a
+    # single branch, so evaluating it fills the edges cache blocks as a
+    # side effect (no fan-out race — that needs 2+ branches over the
+    # unpinned frame inside one action) and then the labels cache. The
+    # loop's first join reads edges from cache. One scheduler round
+    # saved per call vs separate count barriers.
     labels.count()
     # ``cached`` is the persisted handle for the current label frame;
     # ``labels`` may be a projection over it (unpersist must target the
