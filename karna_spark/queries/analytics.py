@@ -840,3 +840,184 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("run_len")
     )
     return run_lens.groupBy("user_id").agg(F.max("run_len").alias("max_streak"))
+
+
+# ---------------------------------------------------------------- A21
+@register_query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS lt_type,
+             last_value(CASE WHEN event_type IN ('click','view')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS lt_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+      SELECT COALESCE(CASE WHEN lt_ts >= ts - INTERVAL 3 DAY
+                           THEN lt_type END, 'none') AS attributed
+      FROM marked WHERE event_type = 'purchase'
+    )
+    SELECT attributed, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+    FROM attributed GROUP BY attributed
+    """,
+    tags="A21 W2 J8",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: last-touch conversion attribution — every purchase is
+    credited to the user's most recent preceding click/view within a
+    3-day lookback, else 'none'. The carry is ignore-nulls last_value
+    over the (user, time) window — the LOCF idiom shared with as-of
+    joins and TWAP, ONE data-scale shuffle, no event self-join (the
+    naive formulation is purchases × touches). The share window runs
+    over the 3-row attribution summary. Same total semantics in both
+    engines because the frame excludes the current row and ties break
+    on event_id."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_type = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    touch_ts = F.when(F.col("event_type").isin("click", "view"), F.col("ts"))
+    marked = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn("lt_type", F.last(touch_type, ignorenulls=True).over(w)).withColumn(
+        "lt_ts", F.last(touch_ts, ignorenulls=True).over(w)
+    )
+    attributed = marked.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(
+            F.when(
+                F.col("lt_ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"),
+                F.col("lt_type"),
+            ),
+            F.lit("none"),
+        ).alias("attributed")
+    )
+    counts = attributed.groupBy("attributed").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        "attributed",
+        "n_purchases",
+        F.round(
+            F.col("n_purchases").cast("double")
+            / F.sum("n_purchases").over(w_all).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------- A22
+@register_query(
+    "events_path_mining",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    paths AS (
+      SELECT array_to_string(list_slice(seq, i, i+2), '>') AS path
+      FROM seqs, LATERAL (SELECT unnest(range(1, len(seq)-1)) AS i) t
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    tags="A22 A9 O3",
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: behavioral path mining — the top-10 most common 3-step
+    event sequences (the Sankey/user-journey primitive). Per-user
+    ordered sequences come from sort_array(collect_list(struct)) — the
+    struct's (ts, event_id) prefix makes the sort total, so the
+    per-user list is deterministic at any parallelism — and the
+    sliding 3-grams reuse the text-pipeline's slice idiom (pure map,
+    no extra shuffle). The final top-k is count DESC with a full path
+    tie-break: a total order, so the LIMIT is engine-stable. At 100 TB
+    the per-user list is bounded by per-user activity (same contract
+    as sessionization); the path aggregate is |distinct paths| ≤
+    |types|³ rows."""
+    seqs = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("e")), lambda s: s["event_type"]
+            ).alias("seq")
+        )
+    )
+    paths = seqs.select(
+        F.explode(
+            F.when(
+                F.size("seq") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seq") - 2),
+                    lambda i: F.concat_ws(">", F.slice("seq", i, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- A23
+@register_query(
+    "agg_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_c
+      FROM orders GROUP BY 1
+    )
+    SELECT yr, revenue_c,
+           ROUND(CAST(revenue_c AS DOUBLE)
+                 / CAST(lag(revenue_c) OVER (ORDER BY yr) AS DOUBLE) - 1, 6)
+               AS yoy_growth
+    FROM yearly
+    """,
+    tags="A23 W2 F3",
+)
+def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: year-over-year growth — the reporting staple. Revenue is
+    summed in integer cents (exact, order-independent) per year; the
+    lag window then runs over the |years| frame (7 rows), so the
+    global ordering costs nothing at any data scale. Growth is one
+    double division of exact integers, rounded once."""
+    yearly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_c"
+            )
+        )
+    )
+    w = Window.orderBy("yr")
+    return yearly.select(
+        "yr",
+        "revenue_c",
+        F.round(
+            F.col("revenue_c").cast("double")
+            / F.lag("revenue_c").over(w).cast("double")
+            - 1,
+            6,
+        ).alias("yoy_growth"),
+    )

@@ -448,3 +448,17 @@ def test_profile_single_scan_with_expand(spark):
     plan = plan_of(spark, "profile_table_stats", "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_attribution_single_data_shuffle_no_self_join(spark):
+    # The LOCF carry costs one (user_id) window shuffle; there is no
+    # purchases-to-touches join anywhere in the plan.
+    plan = plan_of(spark, "events_attribution_last_touch", "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_path_mining_topk_take_ordered(spark):
+    plan = plan_of(spark, "events_path_mining", "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
