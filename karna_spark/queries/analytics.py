@@ -1021,3 +1021,124 @@ def agg_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------------------------- A24
+@register_query(
+    "agg_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT brand, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, brand) AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS total_c
+      FROM rev
+    )
+    SELECT brand, rev_c,
+           ROUND(CAST(cum_c AS DOUBLE) / total_c, 6) AS cum_share,
+           CASE WHEN cum_c * 10 <= total_c * 8 THEN 'A'
+                WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    tags="A24 W3 J1",
+)
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: ABC / Pareto classification — brands ranked by revenue and
+    cut at cumulative 80% (A) / 95% (B), the inventory-prioritization
+    staple. Revenue aggregates to the |brands| frame first (exact
+    integer cents), so the cumulative window ranks ~25 rows, never the
+    fact table. Class cuts are INTEGER comparisons (cum·10 ≤ total·8)
+    — no float threshold can flip a boundary row differently per
+    engine; the reported share is a round-6 display value only.
+    Dimension lookup broadcasts."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "rev_c"
+            )
+        )
+    )
+    w_cum = Window.orderBy(F.col("rev_c").desc(), "brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "brand",
+        "rev_c",
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.sum("rev_c").over(w_all).alias("total_c"),
+    )
+    return ranked.select(
+        "brand",
+        "rev_c",
+        F.round(F.col("cum_c").cast("double") / F.col("total_c"), 6).alias(
+            "cum_share"
+        ),
+        F.when(F.col("cum_c") * 10 <= F.col("total_c") * 8, "A")
+        .when(F.col("cum_c") * 100 <= F.col("total_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------- T13
+@register_query(
+    "orders_backlog_timeline",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m_open,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)
+                  + CAST((o_orderkey % 90 + 1) AS INT)) AS DATE) AS m_close
+      FROM orders
+    ),
+    deltas AS (
+      SELECT m_open AS m, CAST(1 AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT m_close, CAST(-1 AS BIGINT) FROM iv
+    ),
+    agg AS (SELECT m, CAST(SUM(d) AS BIGINT) AS net FROM deltas GROUP BY m)
+    SELECT m, net, CAST(SUM(net) OVER (ORDER BY m) AS BIGINT) AS open_orders
+    FROM agg
+    """,
+    tags="T13 T7 W3",
+)
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: concurrent-interval counting (open orders per month) via
+    DELTA ENCODING — each order contributes +1 at its open month and
+    -1 at its close month; a per-month sum then a cumulative window
+    yields the live backlog. This replaces the naive interval-stabbing
+    join (months × orders, a theta join) with O(n) delta rows and a
+    window over the |months| frame — the same trick behind
+    "concurrent sessions over time" at any scale. Lifetime here is a
+    deterministic function of the key ((o_orderkey % 90)+1 days) so
+    both engines derive identical intervals. All-integer arithmetic."""
+    iv = table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m_open"),
+        F.date_trunc(
+            "month",
+            F.date_add(
+                F.to_date("o_orderdate"), (F.col("o_orderkey") % 90 + 1).cast("int")
+            ),
+        )
+        .cast("date")
+        .alias("m_close"),
+    )
+    deltas = iv.select(F.col("m_open").alias("m"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("m_close").alias("m"), F.lit(-1).alias("d"))
+    )
+    agg = deltas.groupBy("m").agg(F.sum("d").cast("bigint").alias("net"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return agg.select(
+        "m", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )

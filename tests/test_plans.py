@@ -462,3 +462,19 @@ def test_path_mining_topk_take_ordered(spark):
     plan = plan_of(spark, "events_path_mining", "simple")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_window_over_brand_frame(spark):
+    # The cumulative window must rank the |brands| aggregate, not the
+    # fact table: HashAggregate before the SinglePartition sort.
+    plan = plan_of(spark, "agg_abc_pareto")
+    seg = plan.split("SinglePartition", 1)[0]
+    assert "HashAggregate" in seg, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_backlog_delta_encoding_no_interval_join(spark):
+    # Delta encoding means NO join at all — just union, aggregate, and
+    # a window over the |months| frame.
+    plan = plan_of(spark, "orders_backlog_timeline", "simple")
+    assert "Join" not in plan, plan
