@@ -261,3 +261,93 @@ def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops):
             for r in store.read(spark, version=v).collect()
         }
         assert got == snap, f"version {v}"
+# appended to tests/test_properties.py after the current sweep finishes
+
+
+# ------------------------------------------- interval-overlap rewrite
+# J14's day-bucketed equi-join rewrite must return EXACTLY the pairs
+# the naive theta join returns, on arbitrary interval layouts
+# (nested, touching, disjoint, duplicated endpoints).
+def _intervals(n=8):
+    return st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # start day offset
+            st.integers(min_value=0, max_value=5),   # length in days
+        ),
+        min_size=0,
+        max_size=n,
+    )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+@given(left=_intervals(), right=_intervals())
+def test_interval_overlap_bucketing_equals_theta(spark, left, right):
+    import datetime
+
+    from pyspark.sql import Row
+
+    base = datetime.date(2020, 1, 1)
+
+    def frame(rows, prefix):
+        if not rows:
+            return None
+        return spark.createDataFrame(
+            [
+                Row(
+                    k=i,
+                    s=base + datetime.timedelta(days=s),
+                    e=base + datetime.timedelta(days=s + ln),
+                )
+                for i, (s, ln) in enumerate(rows)
+            ]
+        )
+
+    fa, fb = frame(left, "a"), frame(right, "b")
+    if fa is None or fb is None:
+        return
+    # Naive reference: theta join (fine at property scale).
+    naive = {
+        (ra["k"], rb["k"])
+        for ra in fa.collect()
+        for rb in fb.collect()
+        if ra["s"] <= rb["e"] and rb["s"] <= ra["e"]
+    }
+    # Scale rewrite: explode to covered days, equi-join, distinct.
+    da = fa.select(F.col("k").alias("ka"), F.explode(F.sequence("s", "e")).alias("day"))
+    db = fb.select(F.col("k").alias("kb"), F.explode(F.sequence("s", "e")).alias("day"))
+    got = {
+        (r["ka"], r["kb"])
+        for r in da.join(db, "day").select("ka", "kb").distinct().collect()
+    }
+    assert got == naive
+
+
+# --------------------------------------------- delta-encoding backlog
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow], derandomize=True)
+@given(iv=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10),
+              st.integers(min_value=0, max_value=10)),
+    min_size=1, max_size=12))
+def test_backlog_delta_encoding_matches_stabbing_count(spark, iv):
+    # T13's +1/-1 delta encoding vs the naive per-month stabbing count
+    # #(open <= m) - #(close <= m), on arbitrary month pairs.
+    from pyspark.sql import Row
+
+    rows = [Row(o=o, c=o + ln) for o, ln in iv]
+    df = spark.createDataFrame(rows)
+    deltas = df.select(F.col("o").alias("m"), F.lit(1).alias("d")).unionByName(
+        df.select(F.col("c").alias("m"), F.lit(-1).alias("d"))
+    )
+    from pyspark.sql import Window
+
+    agg = deltas.groupBy("m").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {
+        r["m"]: r["open"]
+        for r in agg.select("m", F.sum("net").over(w).alias("open")).collect()
+    }
+    for m in got:
+        expect = sum(1 for r in rows if r.o <= m) - sum(1 for r in rows if r.c <= m)
+        assert got[m] == expect, m
