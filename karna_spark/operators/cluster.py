@@ -69,10 +69,16 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Seed with propagation round 0 FUSED IN: label(v) = min(v, min
+    # neighbor). The symmetrized edge list contains every (v, neighbor)
+    # pair, so one aggregate computes what the loop's first round would
+    # — saving a full join+aggregate+count action per call. For
+    # diameter-1 components (the bulk of near-dup clusters) the loop
+    # then confirms the fixpoint in a single round.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("mn"))
+        .select("id", F.least("id", "mn").alias("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # ONE action pins BOTH caches: the label seed reads edges through a

@@ -1,13 +1,18 @@
 """Warehouse-analytics depth queries (SURVEY.md §2 extension rows
-A12/W8/T10/J14/A13/S13) over the events/orders/lineitem tables.
+A12-A24, W8, T10/T12/T13, J14, S13) over the events/orders/lineitem
+tables.
 
 Classic analytical patterns a reference user would run over tabular
 files (reference README.md:2): cohort retention, SCD Type-2 dimension
-builds, time-weighted averages, interval-overlap joins, grouped OLS
-regression, equi-depth histograms, and multidimensional (z-order)
-layout clustering. Each is expressed as a declarative DataFrame plan —
-windows and two-phase aggregations, never self-joins or driver loops —
-with the 100 TB variant documented per query.
+builds, time-weighted averages and OHLC candles, interval-overlap
+joins, grouped OLS regression, equi-depth histograms, z-order layout
+clustering, sketch accuracy gates, RFM segmentation, market-basket
+affinity, Markov transitions, column profiling, gaps-and-islands
+streaks, last-touch attribution, path mining, YoY growth, ABC/Pareto
+classification, and delta-encoded interval counting. Each is expressed
+as a declarative DataFrame plan — windows and two-phase aggregations,
+never self-joins or driver loops — with the 100 TB variant documented
+per query.
 
 Float convention (see registry.py): every double output column is the
 result of deterministic arithmetic over EXACT intermediates (decimal
