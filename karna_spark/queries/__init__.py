@@ -86,6 +86,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_keep_best",
     "events_attribution_last_touch", "events_path_mining",
     "agg_yoy_growth", "agg_abc_pareto", "orders_backlog_timeline",
+    # r7 rotation pre-plan: lead with every (b2) entry past position
+    # 50 (first driver certification due — they are pytest-parity and
+    # driver-sim green but carry no CORRECTNESS row yet), then the
+    # r3-certified cohort, then r4.
     # (c) r4 rows in families r6 code touched (similarity/dedup
     # operators, NL/GraphQL translators), then other r4 rows
     "dedup_simhash", "similarity_topk_lsh", "similarity_topk_ivf",
