@@ -1147,3 +1147,47 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "m", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
     )
+
+
+# ---------------------------------------------------------------- A25
+@register_query(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM ud) d
+      JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT day, dau, wau FROM dau JOIN wau USING (day)
+    """,
+    tags="A25 A3 T2",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: daily/weekly active users — the sliding DISTINCT
+    aggregation, which windows cannot express (no count-distinct over
+    a frame). The scalable shape: dedup to (user, day) FIRST (one
+    shuffle, |users|·|days| rows max), then each active day
+    contributes to the 7 trailing report days via a bounded ×7
+    explode, and a plain count-distinct per report day finishes. The
+    oracle uses the naive day×activity range join — the plan this
+    rewrite avoids, because at 100 TB the range join re-scans the
+    activity table once per day while the contribution explode is one
+    linear pass. Same family as T13's delta encoding: turn a sliding
+    predicate into bounded per-row fan-out."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day")

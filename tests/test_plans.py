@@ -478,3 +478,11 @@ def test_backlog_delta_encoding_no_interval_join(spark):
     # a window over the |months| frame.
     plan = plan_of(spark, "orders_backlog_timeline", "simple")
     assert "Join" not in plan, plan
+
+
+def test_dau_wau_bounded_explode_no_range_join(spark):
+    # The sliding-distinct rewrite: no day-by-activity range join —
+    # just dedup, a x7 contribution explode (Generate), and aggregates.
+    plan = plan_of(spark, "events_dau_wau", "simple")
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
