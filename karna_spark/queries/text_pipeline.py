@@ -1041,3 +1041,59 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_share"),
     )
+
+
+@register_query(
+    "sample_weighted_pps",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, wt,
+             CAST(SUM(wt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS c,
+             CAST(SUM(wt) OVER () AS BIGINT) AS total
+      FROM w
+    )
+    SELECT doc_id, wt, CAST(c // (total // 50) AS BIGINT) AS pick_idx
+    FROM cum
+    WHERE (c - wt) // (total // 50) < c // (total // 50)
+    """,
+    tags="O6 O7 W3",
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 depth: systematic PPS (probability-proportional-to-size)
+    sampling — selection probability ∝ document weight (n_chars), the
+    classic survey-sampling / corpus-mixing design. A document is
+    picked iff a multiple of step = total//50 lands inside its
+    cumulative-weight interval, so heavy documents are proportionally
+    likelier, exactly ~50 picks come out, and the whole decision is
+    INTEGER arithmetic over a deterministic (doc_id) order — no RNG,
+    no float threshold, engine- and parallelism-exact. The prefix sum
+    is a window here; at 100 TB it becomes the two-phase
+    per-partition-subtotal + offset form documented for
+    text_sequence_packing (same axis, same rewrite)."""
+    from pyspark.sql import Window
+
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    win = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "doc_id",
+        "wt",
+        F.sum("wt").over(win).alias("c"),
+        F.sum("wt").over(Window.partitionBy()).alias("total"),
+    )
+    step = F.expr("total div 50")
+    return cum.filter(
+        F.expr("(c - wt) div (total div 50)") < F.expr("c div (total div 50)")
+    ).select(
+        "doc_id",
+        "wt",
+        F.expr("c div (total div 50)").cast("bigint").alias("pick_idx"),
+    )
