@@ -35,7 +35,7 @@ from karna_spark.queries import (  # noqa: F401,E402
 # queries, and the harness is count-capped (~50 entries per round).
 # Rotation policy: every registered query's newest driver row must be
 # ≤ ceil(N/50) rounds old — the arithmetic floor with N registered
-# queries and the driver's 50/round cap. At N=170 the floor is 4; in
+# queries and the driver's 50/round cap. At N=171 the floor is 4; in
 # practice the rotation targets 3 for everything except the handful of
 # newest additions, whose first certification lands the round after
 # they ship. Each round leads with (a) the stalest cohort, (b)
@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_keep_best",
     "events_attribution_last_touch", "events_path_mining",
     "agg_yoy_growth", "agg_abc_pareto", "orders_backlog_timeline",
-    "events_dau_wau", "sample_weighted_pps",
+    "events_dau_wau", "sample_weighted_pps", "dq_referential_integrity",
     # r7 rotation pre-plan: lead with every (b2) entry past position
     # 50 (first driver certification due — they are pytest-parity and
     # driver-sim green but carry no CORRECTNESS row yet), then the

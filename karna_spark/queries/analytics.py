@@ -1191,3 +1191,72 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
     return dau.join(wau, "day")
+
+
+# ---------------------------------------------------------------- A26
+@register_query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS child_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphan_rows
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer.c_custkey',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    """,
+    tags="A26 J4 A2",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: referential-integrity audit — the dbt-style relationship
+    test (child rows whose foreign key has no parent), the data-quality
+    gate a landing zone runs before publishing. Each relationship is
+    one LEFT ANTI join (hash relationship, parent side broadcast when
+    small) counted map-side — never a full outer materialization. The
+    oracle pins the fixture's conformance (zero orphans) alongside the
+    child-row totals, so the hash certifies both the mechanism and the
+    dataset contract; a regression that drops parent rows or breaks
+    the join key turns this row red."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    pt = table(spark, sf_dir, "part")
+
+    def audit(child, ckey, parent, pkey, label):
+        total = child.select(F.count(F.lit(1)).alias("child_rows"))
+        orphans = (
+            child.join(parent.select(pkey), child[ckey] == parent[pkey], "left_anti")
+            .select(F.count(F.lit(1)).alias("orphan_rows"))
+        )
+        return (
+            total.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("relationship"), "child_rows", "orphan_rows"
+            )
+        )
+
+    return (
+        audit(li, "l_orderkey", od, "o_orderkey",
+              "lineitem.l_orderkey -> orders.o_orderkey")
+        .unionByName(
+            audit(od, "o_custkey", cu, "c_custkey",
+                  "orders.o_custkey -> customer.c_custkey")
+        )
+        .unionByName(
+            audit(li, "l_partkey", pt, "p_partkey",
+                  "lineitem.l_partkey -> part.p_partkey")
+        )
+    )
