@@ -69,48 +69,118 @@ class SnapshotStore:
         with open(self._mpath(v)) as fh:
             return json.load(fh)["partitions"]
 
+    def _claim_version(self) -> int:
+        """Reserve the next version number exclusively. A ``.claim``
+        marker is created with O_EXCL before any data is written, so a
+        crashed commit's half-written ``v=<N>`` files are simply
+        orphaned (never referenced — the retry claims N+1) and two
+        concurrent writers can never write into the same version
+        directory. Orphans are unreferenced garbage, Iceberg-style;
+        a vacuum can drop any v=<N> dir with no published manifest."""
+        v = self.latest_version() + 1
+        while True:
+            try:
+                fd = os.open(
+                    self._mpath(v) + ".claim",
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                return v
+            except FileExistsError:
+                v += 1
+
     def _publish(self, v: int, partitions: dict[str, int]) -> None:
         tmp = self._mpath(v) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": v, "partitions": partitions}, fh, sort_keys=True)
-        os.rename(tmp, self._mpath(v))  # atomic commit point
+        # Link-then-unlink instead of rename: os.link fails with EEXIST
+        # if this version was somehow already published (rename would
+        # silently last-win), so a version can only ever be created
+        # once — the atomic commit point.
+        os.link(tmp, self._mpath(v))
+        os.unlink(tmp)
 
     # ------------------------------------------------------- writes
     def _write(self, df: DataFrame, v: int) -> list[str]:
-        """Write ``df`` under v=<v> subdirs; return affected values."""
-        affected = [str(r[0]) for r in df.select(self.pc).distinct().collect()]
+        """Write ``df`` under v=<v> subdirs; return the partition
+        values actually WRITTEN (computed from the materialized result
+        so the manifest never points at a directory the write did not
+        create — a partition whose rows were all merged away yields no
+        ``v=<N>`` subdir and must not be published)."""
         (
             df.withColumn("v", F.lit(v))
             .write.mode("append")
             .partitionBy(self.pc, "v")
             .parquet(self.data)
         )
-        return affected
+        prefix = f"{self.pc}="
+        return [
+            d[len(prefix):]
+            for d in os.listdir(self.data)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(self.data, d, f"v={v}"))
+        ]
 
     def commit(self, df: DataFrame) -> int:
         """Full-snapshot commit (initial load or full rewrite)."""
-        v = self.latest_version() + 1
-        affected = self._write(df, v)
-        self._publish(v, {a: v for a in affected})
+        v = self._claim_version()
+        written = self._write(df, v)
+        self._publish(v, {a: v for a in written})
         return v
 
-    def upsert(self, spark: SparkSession, delta: DataFrame, key_cols: list[str]) -> int:
+    def upsert(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        key_cols: list[str],
+        validate_keys: bool = False,
+    ) -> int:
         """Partition-scoped merge producing a new snapshot. Rows whose
         ``key_cols`` match a delta row are replaced; only partitions
         the delta touches are rewritten (copy-on-write), everything
-        else is inherited by manifest pointer."""
-        v = self.latest_version() + 1
-        prev = self._manifest(v - 1)
+        else is inherited by manifest pointer.
+
+        INVARIANT — partition immutability: a key lives in one
+        partition for its lifetime. The anti-join that retires old row
+        versions only scans the partitions the delta names, so a delta
+        row that moves an existing key to a DIFFERENT partition value
+        would leave the old copy in place and duplicate the key across
+        two partitions (the same contract Hive-style partitioned
+        MERGE has). Pass ``validate_keys=True`` to detect moves with a
+        full-snapshot key join and raise instead — O(|table|) per
+        upsert, so it is opt-in."""
+        v = self._claim_version()
+        prev_v = self.latest_version()
+        prev = self._manifest(prev_v)
         affected = sorted(
             {str(r[0]) for r in delta.select(self.pc).distinct().collect()}
         )
+        if validate_keys and prev:
+            moved = (
+                self.read(spark, version=prev_v)
+                .withColumnRenamed(self.pc, "_prev_pc")
+                .select(*key_cols, "_prev_pc")
+                .join(delta.select(*key_cols, self.pc).distinct(), key_cols)
+                .filter(F.col("_prev_pc").cast("string") != F.col(self.pc).cast("string"))
+                .limit(1)
+                .collect()
+            )
+            if moved:
+                raise ValueError(
+                    f"upsert moves key {[moved[0][k] for k in key_cols]} "
+                    f"across partitions ({moved[0]['_prev_pc']!r} -> "
+                    f"{moved[0][self.pc]!r}); partition values are "
+                    "immutable per key"
+                )
         existing = self.read(
-            spark, version=v - 1, partition_values=[a for a in affected if a in prev]
+            spark, version=prev_v, partition_values=[a for a in affected if a in prev]
         )
         keep = existing.join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(delta)
-        self._write(merged, v)
-        self._publish(v, {**prev, **{a: v for a in affected}})
+        written = self._write(merged, v)
+        manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
+        manifest.update({a: v for a in written})
+        self._publish(v, manifest)
         return v
 
     def apply_changes(
@@ -129,20 +199,28 @@ class SnapshotStore:
         version; prior versions still serve it, which IS the retention
         story). Change rows must carry the partition column: deletes
         prune to their partition like any other change, so a feed
-        touching k partitions rewrites exactly k partitions."""
-        v = self.latest_version() + 1
-        prev = self._manifest(v - 1)
+        touching k partitions rewrites exactly k partitions. A feed
+        that deletes EVERY remaining row of a partition empties it:
+        the write produces no ``v=<N>`` directory for it, and the new
+        manifest simply drops the partition (it reads as zero rows
+        from this version on — no dangling pointer). Partition values
+        are immutable per key, as in :meth:`upsert`."""
+        v = self._claim_version()
+        prev_v = self.latest_version()
+        prev = self._manifest(prev_v)
         affected = sorted(
             {str(r[0]) for r in changes.select(self.pc).distinct().collect()}
         )
         existing = self.read(
-            spark, version=v - 1, partition_values=[a for a in affected if a in prev]
+            spark, version=prev_v, partition_values=[a for a in affected if a in prev]
         )
         keep = existing.join(changes.select(*key_cols).distinct(), key_cols, "left_anti")
         upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
         merged = keep.unionByName(upserts)
-        self._write(merged, v)
-        self._publish(v, {**prev, **{a: v for a in affected}})
+        written = self._write(merged, v)
+        manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
+        manifest.update({a: v for a in written})
+        self._publish(v, manifest)
         return v
 
     # -------------------------------------------------------- reads

@@ -1,0 +1,143 @@
+"""Scalable (two-phase) prefix sums and total-order ranks.
+
+A naive running total — ``SUM(x) OVER (ORDER BY k)`` — is the classic
+Spark scale trap: an ORDER-BY window with no PARTITION BY collapses the
+whole frame onto ONE reducer ("No Partition Defined for Window
+operation"), and ``PARTITION BY lang`` with a handful of languages is
+the same trap sharded a handful of ways. This module implements the
+textbook two-phase decomposition (the scan primitive of Blelloch's
+prefix-sums literature, and what every MPP engine does for global
+running totals):
+
+1. **Range-repartition** the frame on the sort key so partition *i*
+   holds keys strictly below partition *i+1* (``repartitionByRange`` —
+   Spark samples split points; any split is correct because prefix
+   sums are split-invariant).
+2. **Local pass**: a window partitioned by ``spark_partition_id()``
+   (and the group keys) computes each row's within-partition running
+   total. Every window group is now ≤ |data| / numPartitions rows —
+   balanced, never a single reducer.
+3. **Offsets**: per-(partition-id, group) subtotals form a tiny frame
+   (numPartitions × |groups| rows); a window over THAT frame turns
+   subtotals into exclusive offsets. This is the only unpartitioned
+   (or group-partitioned) window left, and it runs on metadata-scale
+   input by construction.
+4. **Broadcast** the offsets back and add: global cum = offset + local.
+
+The arithmetic is identical to the single-window form (same integer
+sums in the same order), so results — and oracle hashes — are
+unchanged; only the plan shape differs.
+
+Reference capability: declared query surface over tabular files
+(reference README.md:2); the reference has no implementation
+(karna-core/src/lib.rs:1-14 is the cargo template), so this design is
+Spark-first by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_pfx_pid"
+_LOCAL = "_pfx_local"
+_SUB = "_pfx_sub"
+_OFF = "_pfx_off"
+
+
+def _cols(spec: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in spec]
+
+
+def prefix_sum(
+    df: DataFrame,
+    value: str | Column,
+    order_by: Sequence[str | Column],
+    group_by: Sequence[str] = (),
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value`` over ``order_by`` (within each
+    ``group_by`` group), inclusive of the current row, computed with
+    the two-phase plan described in the module docstring.
+
+    ``order_by`` entries may be Columns (e.g. ``F.col("x").desc()``)
+    — they are passed to both ``repartitionByRange`` and the local
+    window, which must agree. The total order (group_by + order_by)
+    must be unique per row for the result to be well-defined; all
+    callers here order by a key column.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = _cols(order_by)
+    keys = [*_cols(group_by), *order]
+
+    ranged = df.repartitionByRange(n, *keys).withColumn(_PID, F.spark_partition_id())
+
+    # Phase 1: balanced local running totals (window groups are range
+    # partitions, ≤ |df|/n rows each).
+    w_local = (
+        Window.partitionBy(_PID, *group_by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(_LOCAL, F.sum(value).over(w_local))
+
+    # Phase 2: tiny per-(pid, group) subtotals -> exclusive offsets.
+    # The shuffle that produced `ranged` is reused for both consumers.
+    subs = ranged.groupBy(_PID, *group_by).agg(F.sum(value).alias(_SUB))
+    w_off = (
+        (Window.partitionBy(*group_by) if group_by else Window.partitionBy())
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = subs.select(
+        _PID,
+        *group_by,
+        (F.sum(_SUB).over(w_off) - F.col(_SUB)).alias(_OFF),
+    )
+
+    # Phase 3: broadcast offsets back; add. Input column order is
+    # preserved, with out_col appended.
+    return (
+        local.join(F.broadcast(offs), [_PID, *group_by])
+        .withColumn(out_col, F.col(_LOCAL) + F.col(_OFF))
+        .select(*df.columns, out_col)
+    )
+
+
+def row_rank(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    group_by: Sequence[str] = (),
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based position of each row in the (group-wise) total order —
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` without the single-reducer
+    sort: a two-phase prefix sum of ones."""
+    return prefix_sum(
+        df, F.lit(1), order_by, group_by, out_col=out_col,
+        num_partitions=num_partitions,
+    ).withColumn(out_col, F.col(out_col).cast("bigint"))
+
+
+def ntile_from_rank(k: int, rn: Column, n: Column) -> Column:
+    """Exact ``NTILE(k)`` bucket from a precomputed 1-based rank ``rn``
+    and group size ``n`` (both bigint), replicating SQL semantics: the
+    first ``n % k`` buckets get ``n div k + 1`` rows, the rest get
+    ``n div k``. Integer arithmetic only, so it hash-matches a real
+    NTILE over the same total order."""
+    size = ((n - n % k) / k).cast("bigint")  # exact: numerator divisible
+    rem = n % k
+    big = size + 1
+    head = big * rem  # rows covered by the oversized buckets
+    ceil_div = lambda a, b: ((a + b - 1) - (a - 1) % b) / b  # noqa: E731
+    return (
+        F.when(size == 0, rn)  # fewer rows than buckets: bucket == rank
+        .when(rn <= head, ceil_div(rn, big))
+        .otherwise(rem + ceil_div(rn - head, size))
+        .cast("int")
+    )

@@ -137,7 +137,7 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            ROUND(CAST(SUM(val * (nxt_us - us)) AS DOUBLE)
-                 / CAST(MAX(us) - MIN(us) AS DOUBLE), 6) AS twap,
+                 / CAST(SUM(nxt_us - us) AS DOUBLE), 6) AS twap,
            CAST(COUNT(*) AS BIGINT) AS n_samples
     FROM s
     WHERE nxt_us IS NOT NULL
@@ -152,7 +152,11 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried-forward), divided by the observed span. Numerator is an
     EXACT decimal×bigint sum — engine summation order cannot perturb
     it — and the single division + round(6) happens once per group.
-    One window shuffle on event_type shared with the final aggregate's
+    The divisor is the SUM of the weights actually used — which
+    telescopes to last-minus-first sample time over the consecutive
+    filtered rows — so weights/divisor are consistent and the result
+    is a true convex average (never exceeds the observed max). One
+    window shuffle on event_type shared with the final aggregate's
     key. At 100 TB: partition by series, order by time — the same plan
     Spark uses for any as-of/LOCF computation; no self-join."""
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -169,7 +173,7 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("event_type").agg(
         F.round(
             F.sum(F.col("val") * (F.col("nxt_us") - F.col("us"))).cast("double")
-            / (F.max("us") - F.min("us")).cast("double"),
+            / F.sum(F.col("nxt_us") - F.col("us")).cast("double"),
             6,
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_samples"),
@@ -617,13 +621,17 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A17: RFM (recency/frequency/monetary) customer segmentation.
-    The data-scale work is ONE per-user aggregate (map-combinable);
-    the three ntile windows then rank the |users| frame — orders of
-    magnitude smaller than the event log — with user_id tie-breaks so
-    quartile assignment is total-order deterministic in both engines.
-    Monetary sums are exact decimals. At extreme |users| the ntile
-    global sort is replaced by approx-quantile cut points (A16's gate
-    pattern); the per-user aggregate shape is unchanged."""
+    The data-scale work is ONE per-user aggregate (map-combinable).
+    Quartiles are then EXACT NTILE(4) semantics, but computed without
+    a global single-reducer sort: each metric's total-order rank comes
+    from the two-phase range-partitioned prefix count
+    (operators/prefix.py row_rank — balanced local windows + a
+    metadata-scale offsets window), and ntile_from_rank converts
+    (rank, |users|) to the bucket with the same first-buckets-get-the-
+    remainder rule SQL NTILE uses. user_id tie-breaks make each total
+    order unique, so assignment is deterministic in both engines and
+    hash-matches the oracle's real ntile. Monetary sums are exact
+    decimals; the rounded double is only displayed, never ranked."""
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         F.to_date("ts").alias("d"),
@@ -645,18 +653,24 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    return per_user.select(
+    from karna_spark.operators.prefix import ntile_from_rank, row_rank
+
+    n_users = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = row_rank(per_user, ["recency_days", "user_id"], out_col="_rn_r")
+    ranked = row_rank(
+        ranked, [F.col("frequency").desc(), F.col("user_id")], out_col="_rn_f"
+    )
+    ranked = row_rank(
+        ranked, [F.col("monetary").desc(), F.col("user_id")], out_col="_rn_m"
+    )
+    return ranked.crossJoin(F.broadcast(n_users)).select(
         "user_id",
         "recency_days",
         "frequency",
         F.round("monetary", 2).alias("monetary"),
-        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m_quartile"),
+        ntile_from_rank(4, F.col("_rn_r"), F.col("_n")).alias("r_quartile"),
+        ntile_from_rank(4, F.col("_rn_f"), F.col("_n")).alias("f_quartile"),
+        ntile_from_rank(4, F.col("_rn_m"), F.col("_n")).alias("m_quartile"),
     )
 
 

@@ -907,28 +907,24 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign documents, in deterministic doc_id order within each
     language, to 256-word bins by their cumulative word offset — the
     order-preserving approximation of greedy first-fit packing that
-    needs only a running sum, no sequential state. One window (prefix
-    sum per language partition) + one aggregate. At 100 TB the global
-    prefix sum is the scale point; the standard two-phase form
-    (per-partition subtotals, then broadcast offsets) replaces the
-    window when a single partition per group no longer fits."""
+    needs only a running sum, no sequential state. The per-language
+    prefix sum uses the two-phase range-partitioned form
+    (operators/prefix.py): a PARTITION BY lang window would put
+    |corpus|/|languages| rows on each of ~5 reducers, so instead the
+    corpus range-partitions on (lang, doc_id), local running totals
+    stay balanced, and only the numPartitions×|langs| subtotal frame
+    sees a per-group window. Then one aggregate."""
+    from karna_spark.operators.prefix import prefix_sum
     from karna_spark.operators.text import words
-    from pyspark.sql import Window
 
     w = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(words(F.trim(F.col("text")))).alias("n_words")
     )
-    win = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = w.select(
+    cum = prefix_sum(w, "n_words", ["doc_id"], group_by=["lang"], out_col="c")
+    packed = cum.select(
         "lang",
         "n_words",
-        F.floor((F.sum("n_words").over(win) - F.col("n_words")) / 256.0)
-        .cast("bigint")
-        .alias("bin"),
+        F.floor((F.col("c") - F.col("n_words")) / 256.0).cast("bigint").alias("bin"),
     )
     return packed.groupBy("lang", "bin").agg(
         F.count("*").alias("n_docs"),
@@ -1072,24 +1068,17 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     likelier, exactly ~50 picks come out, and the whole decision is
     INTEGER arithmetic over a deterministic (doc_id) order — no RNG,
     no float threshold, engine- and parallelism-exact. The prefix sum
-    is a window here; at 100 TB it becomes the two-phase
-    per-partition-subtotal + offset form documented for
-    text_sequence_packing (same axis, same rewrite)."""
-    from pyspark.sql import Window
+    is the two-phase range-partitioned form (operators/prefix.py):
+    balanced local running totals + a metadata-scale offsets window —
+    no unpartitioned window ever sees the corpus, so the plan holds at
+    100 TB. The grand total is a one-row aggregate broadcast back."""
+    from karna_spark.operators.prefix import prefix_sum
 
     w = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("wt")
     )
-    win = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = w.select(
-        "doc_id",
-        "wt",
-        F.sum("wt").over(win).alias("c"),
-        F.sum("wt").over(Window.partitionBy()).alias("total"),
-    )
-    step = F.expr("total div 50")
+    total = w.agg(F.sum("wt").cast("bigint").alias("total"))
+    cum = prefix_sum(w, "wt", ["doc_id"], out_col="c").crossJoin(F.broadcast(total))
     return cum.filter(
         F.expr("(c - wt) div (total div 50)") < F.expr("c div (total div 50)")
     ).select(

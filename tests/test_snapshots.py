@@ -101,3 +101,48 @@ def test_streaming_snapshot_versions_monotone(spark):
         for v in (1, 2, 3)
     ]
     assert totals[0] < totals[1] < totals[2]
+
+
+def test_cdc_delete_all_rows_of_partition_drops_pointer(spark, tmp_path):
+    # r6 ADVICE: a change feed that deletes EVERY remaining row of a
+    # partition must not publish a dangling manifest pointer — the
+    # partition reads as zero rows in the new version (and in every
+    # later version that inherits the manifest), while time travel to
+    # the prior version still serves it.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    changes = _mk(spark, [(1, "a", 0), (2, "a", 0)]).withColumn("op", F.lit("D"))
+    v2 = store.apply_changes(spark, changes, ["k"])
+    assert _rows(store.read(spark, v2)) == [(3, "b", 30)]
+    assert "a" not in store._manifest(v2)
+    # A later commit touching only b inherits the dropped pointer.
+    v3 = store.upsert(spark, _mk(spark, [(3, "b", 31)]), ["k"])
+    assert _rows(store.read(spark, v3)) == [(3, "b", 31)]
+    # History intact.
+    assert _rows(store.read(spark, 1)) == [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+
+
+def test_upsert_validate_keys_raises_on_partition_move(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))
+    mover = _mk(spark, [(1, "b", 11)])  # k=1 lives in partition a
+    with pytest.raises(ValueError, match="across partitions"):
+        store.upsert(spark, mover, ["k"], validate_keys=True)
+    # Same-partition updates pass validation.
+    v = store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"], validate_keys=True)
+    assert _rows(store.read(spark, v)) == [(1, "a", 11), (3, "b", 30)]
+
+
+def test_crashed_commit_version_is_never_reused(spark, tmp_path):
+    # A claim marker with no manifest == a writer that died mid-commit.
+    # The retry must claim a FRESH version (no append into v=2's dir,
+    # which would serve duplicated rows), and reads skip the hole.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    open(store._mpath(2) + ".claim", "w").close()  # simulate crash at v2
+    v = store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])
+    assert v == 3
+    assert _rows(store.read(spark)) == [(1, "a", 11)]
+    assert not os.path.exists(store._mpath(2))
