@@ -51,7 +51,86 @@ HEADLINE = [
     # decontamination → stats) and the posting-list containment join
     "pipeline_training_corpus",
     "dedup_containment",
+    # r7: the snapshot/CDC write paths (the only heavy IO-path
+    # newcomers without a regression anchor) and the two-phase
+    # prefix-sum rewrite of PPS sampling
+    "source_cdc_apply",
+    "streaming_snapshot_rollup",
+    "sample_weighted_pps",
 ]
+
+
+def run_skew_anchor(spark, sf_dir: str) -> float:
+    """AQE skew-join probe, timed (plan shape is separately asserted in
+    tests/test_plans.py; SKEW.md carries the narrative). Builds a copy
+    of events where one hot user owns ~50% of rows, forces the shuffle
+    join path with fixture-scaled skew thresholds, and times the warm
+    enrichment join. Scratch build + stats materialization are outside
+    the timed region. Prints the observed skew=true split count to
+    stderr for SKEW.md cross-checking."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from karna_spark.queries.registry import table
+
+    work = tempfile.mkdtemp(prefix="bench_skew_")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        events = table(spark, sf_dir, "events")
+        skew_path = os.path.join(work, "events_skewed.parquet")
+        events.withColumn(
+            "user_id",
+            F.when(F.rand(42) < 0.5, F.lit(0)).otherwise(F.col("user_id")),
+        ).repartition(32).write.mode("overwrite").parquet(skew_path)
+        skewed = spark.read.parquet(skew_path)
+        stats_path = os.path.join(work, "stats.parquet")
+        skewed.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.avg("value").alias("avg_value")
+        ).write.mode("overwrite").parquet(stats_path)
+        stats = spark.read.parquet(stats_path)
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        def probe():
+            return skewed.join(stats, "user_id").groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.round(F.avg(F.col("value") - F.col("avg_value")), 4).alias(
+                    "avg_dev"
+                ),
+            )
+
+        probe().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        df = probe()
+        df.collect()
+        sec = round(time.perf_counter() - t0, 3)
+        marks = df._jdf.queryExecution().executedPlan().toString().count("skew=true")
+        print(f"skew_join_aqe: {marks} skew=true split(s)", file=sys.stderr)
+        return sec
+    finally:
+        for k, val in saved.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -90,6 +169,12 @@ def main() -> None:
     # regressions from one-time warm-up drift under sandbox noise.
     cold = {name: run(name) for name in names}
     per_query = {name: run(name) for name in names}
+    # The AQE skew-join probe manages its own warm pass and scratch
+    # data; it reports warm-only (the cold slot repeats the number so
+    # both maps stay same-keyed for round-over-round diffing).
+    spark.catalog.clearCache()
+    skew_sec = run_skew_anchor(spark, sf_dir)
+    cold["skew_join_aqe"] = per_query["skew_join_aqe"] = skew_sec
     load_after = os.getloadavg()
 
     total = round(sum(per_query.values()), 3)

@@ -116,12 +116,19 @@ def main(argv: list[str] | None = None) -> int:
         ))
         return 0
 
-    if args.fmt == "table":
-        df.show(args.limit, truncate=False)
+    from karna_spark.operators.dedup import release_intermediates
+
+    try:
+        if args.fmt == "table":
+            df.show(args.limit, truncate=False)
+            return 0
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(recursive=True), default=str, sort_keys=True))
         return 0
-    for row in df.limit(args.limit).collect():
-        print(json.dumps(row.asDict(recursive=True), default=str, sort_keys=True))
-    return 0
+    finally:
+        # Drop any operator-persisted intermediates now that the
+        # result is materialized (see operators/dedup.py).
+        release_intermediates(df)
 
 
 if __name__ == "__main__":

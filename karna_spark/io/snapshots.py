@@ -223,6 +223,49 @@ class SnapshotStore:
         self._publish(v, manifest)
         return v
 
+    # ------------------------------------------------------ vacuum
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Garbage-collect data directories no retained manifest
+        references: expired-version data (time travel keeps the last
+        ``retain_last`` published versions) and orphans from crashed
+        commits (a claimed version with no manifest). Returns the
+        deleted ``<pc>=<val>/v=<N>`` relative paths.
+
+        Mirrors Iceberg's expire-snapshots/orphan-file split: manifest
+        JSONs for expired versions are removed too, so
+        ``latest_version`` stays correct and a reader asking for an
+        expired version fails loudly rather than reading half a
+        snapshot. Claim markers are kept — version numbers must never
+        be reused even after a vacuum."""
+        import shutil
+
+        published = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        retained = published[-retain_last:] if retain_last > 0 else []
+        live: set[tuple[str, int]] = set()
+        for v in retained:
+            live.update((val, pv) for val, pv in self._manifest(v).items())
+        deleted = []
+        prefix = f"{self.pc}="
+        for d in sorted(os.listdir(self.data)):
+            if not d.startswith(prefix):
+                continue
+            val = d[len(prefix):]
+            pdir = os.path.join(self.data, d)
+            for vd in sorted(os.listdir(pdir)):
+                if not vd.startswith("v="):
+                    continue
+                if (val, int(vd[2:])) not in live:
+                    shutil.rmtree(os.path.join(pdir, vd))
+                    deleted.append(os.path.join(d, vd))
+        for f in os.listdir(self.mdir):
+            if f.endswith(".json") and int(f[1:-5]) not in retained:
+                os.unlink(os.path.join(self.mdir, f))
+        return deleted
+
     # -------------------------------------------------------- reads
     def read(
         self,

@@ -32,50 +32,27 @@ from karna_spark.queries import (  # noqa: F401,E402
 )
 
 # Registry order is the order the driver's correctness harness visits
-# queries, and the harness is count-capped (~50 entries per round).
-# Rotation policy: every registered query's newest driver row must be
-# ≤ ceil(N/50) rounds old — the arithmetic floor with N registered
-# queries and the driver's 50/round cap. At N=171 the floor is 4; in
-# practice the rotation targets 3 for everything except the handful of
-# newest additions, whose first certification lands the round after
-# they ship. Each round leads with (a) the stalest cohort, (b)
-# queries new or materially changed this round, then (c) the next-
-# oldest cohort prioritizing families whose code churned. Round 6:
-# (a) = the 29 queries whose newest row is r2 (everything else is
-# r4/r5), (b) = the eighteen r6 additions (ANN recall gates, SimHash md5
-# gate, dynamic front-ends, SemDeDup pair, repetition filter,
-# temperature sampling, foreachBatch upsert), (c) = r4-certified rows
-# in the similarity/dedup/front-end families this round's changes
-# touched. The remaining r4/r5 rows spill past the cap via the
-# setdefault loop and are due in r7.
+# queries, and the harness is count-capped (the first 50 entries per
+# round — CORRECTNESS_rN.json always holds exactly 50 rows).
+# ROTATION POLICY (restated at N>171, r7): every registered query's
+# newest driver row must be ≤ ceil(N/50) rounds old (the arithmetic
+# floor; 4 rounds at the current N). Each round's top-50 is, in
+# order: (a) queries with NO driver row yet (new or past-cap), (b)
+# queries materially changed this round, (c) the stalest certified
+# cohort, preferring families whose code churned. Whatever spills past
+# 50 via the setdefault loop leads the NEXT round's (c). Round 7:
+# (a) = the 25 r6-born queries past r6's cap (first driver rows due —
+# the r6 verdict's top item) and the 4 r7-born queries, (b) is empty
+# as a separate block because every r7-modified query (PPS, packing,
+# RFM, TWAP, CDC) is already in (a), (c) = 21 of the 46 r4-certified
+# rows, preferring families r7 code touched (sources/snapshots, the
+# server result path behind sink_result_page, similarity/dedup,
+# multimodal, UDx, streaming). The remaining 25 r4 rows lead r8's (c);
+# r8 then continues into the oldest r5 rows so nothing crosses the
+# 4-round floor.
 _PRIORITY: tuple[str, ...] = (
-    # (a) r2-stale — re-certify before anything else
-    "agg_collect", "agg_distinct", "agg_percentiles", "agg_pivot",
-    "agg_rollup", "agg_statistical", "array_functions",
-    "asof_join_events", "datetime_functions", "dedup_exact_stats",
-    "dedup_minhash_lsh", "frontend_graphql_filter_join",
-    "intersect_except", "join_anti", "join_semi", "join_theta_range",
-    "json_functions", "limit_offset_page", "similarity_topk_bruteforce",
-    "sort_multi_key", "string_functions", "text_lang_id",
-    "tumbling_window_agg", "union_all_vs_distinct", "vector_ops",
-    "window_offsets", "window_ranking", "window_running_aggs",
-    "window_topk_per_group",
-    # (b) new in r6
-    "similarity_lsh_recall", "similarity_ivf_recall",
-    "similarity_pq_recall", "dedup_simhash_md5_pairs",
-    "frontend_nl_dynamic_view", "frontend_graphql_dynamic_rel",
-    "dedup_semantic_assign", "dedup_semantic_keep",
-    "text_repetition_filter", "sample_temperature_by_lang",
-    "streaming_foreachbatch_upsert", "text_unigram_logprob",
-    "join_fuzzy_entity", "events_anomaly_mad",
-    "text_chunk_documents", "text_sequence_packing",
-    "events_funnel_conversion", "dedup_shared_ngrams",
-    # (b2) newest r6 additions — three fit under the 50-cap this
-    # round; the remaining eight lead r7's rotation (first driver
-    # certification due then; all eleven are pytest-parity-gated and
-    # driver-sim-swept now)
-    "source_time_travel", "pipeline_training_corpus",
-    "join_interval_overlap",
+    # (a) no driver row yet: the 25 r6-born queries past r6's 50-cap
+    # (SURVEY.md §8 r7 pre-plan, executed verbatim) ...
     "events_cohort_retention", "scd2_dimension_build",
     "timeseries_twap", "agg_linear_regression",
     "agg_equidepth_histogram", "zorder_layout_stats",
@@ -87,19 +64,37 @@ _PRIORITY: tuple[str, ...] = (
     "events_attribution_last_touch", "events_path_mining",
     "agg_yoy_growth", "agg_abc_pareto", "orders_backlog_timeline",
     "events_dau_wau", "sample_weighted_pps", "dq_referential_integrity",
-    # r7 rotation pre-plan: lead with every (b2) entry past position
-    # 50 (first driver certification due — they are pytest-parity and
-    # driver-sim green but carry no CORRECTNESS row yet), then the
-    # r3-certified cohort, then r4.
-    # (c) r4 rows in families r6 code touched (similarity/dedup
-    # operators, NL/GraphQL translators), then other r4 rows
+    # ... and the queries born in r7 (two-phase prefix-sum family +
+    # data-quality additions)
+    "sample_top_p_by_lang", "text_train_val_test_split",
+    "events_winsorized_stats", "dq_k_anonymity", "text_ngram_novelty",
+    "events_session_length_histogram",
+    # (c) r4-stale rows, churned families first: sources/sinks
+    # (SnapshotStore + server result path changed this round),
+    "source_csv_roundtrip", "source_tsv_roundtrip",
+    "source_multifile_glob", "source_partitioned_layout",
+    "source_bucketed_join", "sink_result_page",
+    # multimodal + UDx + streaming (r4-certified, untouched since),
+    "multimodal_metadata", "multimodal_decode_pipeline",
+    "multimodal_frame_sampling",
+    "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
+    "udtf_tokenize_lateral",
+    "streaming_stateful_user_stats", "streaming_tumbling_watermark",
+    # similarity/dedup r4 rows (operators churned in r6-r7)
     "dedup_simhash", "similarity_topk_lsh", "similarity_topk_ivf",
-    "frontend_nl_aggregate", "frontend_nl_count",
-    "frontend_nl_join_aggregate", "frontend_nl_topn",
-    "frontend_graphql_aggregate", "frontend_graphql_nested_list",
-    "frontend_sql_passthrough",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard_blocked",
-    "agg_approx_count_distinct", "multimodal_metadata", "join_cross",
+    "dedup_embedding_cosine",
+    # ---- 50-cap boundary: everything below is r8's (c) head ----
+    "dedup_ngram_jaccard_blocked", "similarity_threshold_search",
+    "agg_approx_count_distinct", "agg_count_if_bool", "agg_cube",
+    "agg_grouping_sets", "agg_having", "agg_listagg",
+    "explode_posexplode", "frontend_graphql_aggregate",
+    "frontend_graphql_nested_list", "frontend_nl_aggregate",
+    "frontend_nl_count", "frontend_nl_join_aggregate",
+    "frontend_nl_topn", "frontend_sql_passthrough", "hash_functions",
+    "join_cross", "map_struct_functions", "math_functions",
+    "q11_important_parts", "sample_systematic", "sliding_window_agg",
+    "text_fingerprint", "text_quality", "text_token_counts",
+    "unpivot_melt",
 )
 
 

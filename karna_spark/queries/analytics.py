@@ -1274,3 +1274,133 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "lineitem.l_partkey -> part.p_partkey")
         )
     )
+
+
+# ---------------------------------------------------------------- A27
+@register_query(
+    "events_winsorized_stats",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS val
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, val,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY val, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    cuts AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN val END) AS lo,
+               MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN val END) AS hi
+        FROM r GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+           ROUND(CAST(SUM(least(greatest(val, lo), hi)) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_winsorized,
+           CAST(SUM(CASE WHEN val < lo OR val > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped
+    FROM v JOIN cuts USING (event_type)
+    GROUP BY v.event_type
+    """,
+    tags="A27 A6 W1",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: exact winsorization — clip each series' values to its
+    nearest-rank [p5, p95] and report raw vs winsorized means (the
+    robust-statistics preprocessing step). Cut points are ACTUAL data
+    values at rank ceil(p·n) — no float interpolation, so both engines
+    pick byte-identical cuts, and the means are exact decimal sums
+    divided once. The per-series ranking is the two-phase
+    range-partitioned prefix count (operators/prefix.py): a PARTITION
+    BY event_type window would put |events|/|types| rows on ~5
+    reducers; here every window group is a range partition. Cut rows
+    are filtered to 2·|types| rows and broadcast back."""
+    from karna_spark.operators.prefix import row_rank
+
+    v = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    n_g = v.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = row_rank(
+        v, ["val", "event_id"], group_by=["event_type"], out_col="rn"
+    ).join(F.broadcast(n_g), "event_type")
+    k_lo = ((F.col("n") * 5 + 99) - (F.col("n") * 5 + 99) % 100) / 100
+    k_hi = ((F.col("n") * 95 + 99) - (F.col("n") * 95 + 99) % 100) / 100
+    cuts = (
+        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == k_lo, F.col("val"))).alias("lo"),
+            F.max(F.when(F.col("rn") == k_hi, F.col("val"))).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("val"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum("val").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_winsorized"),
+            F.sum(
+                ((F.col("val") < F.col("lo")) | (F.col("val") > F.col("hi")))
+                .cast("bigint")
+            ).alias("n_clipped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- A28
+@register_query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM qi)
+    SELECT c_nationkey, c_mktsegment, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS row_share
+    FROM qi CROSS JOIN t
+    WHERE n < 30
+    """,
+    tags="A28 A1",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: k-anonymity audit — group the table by its quasi-identifier
+    columns (nation × market segment) and surface every equivalence
+    class smaller than k=30: the classes a release would have to
+    suppress or generalize. One map-combinable aggregate over the
+    table; the class-count frame is |QI-combinations| (metadata-scale),
+    so the share computation broadcasts a one-row total. At 100 TB the
+    shape is unchanged — the only data-scale operation is the grouped
+    count."""
+    qi = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = qi.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        qi.crossJoin(F.broadcast(total))
+        .filter(F.col("n") < 30)
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "row_share"
+            ),
+        )
+    )

@@ -630,3 +630,59 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r") == 1, F.col("n_chars"))).alias("best_chars"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+@register_query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest({_SQL_5GRAMS}) AS g FROM documents
+      )
+    ),
+    f AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM g JOIN f USING (g)
+    GROUP BY g.doc_id
+    """,
+    tags="F9 J13 A1",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (the diagnostic twin of exact-substring
+    dedup): for each document, the fraction of its distinct word
+    5-grams whose FIRST corpus occurrence (min doc_id — the stable
+    "arrival order") is this document. Boilerplate-heavy or
+    near-duplicate documents score near 0; original content scores
+    near 1 — the per-document signal curation pipelines threshold on
+    before the pairwise dedup even runs. Mechanics: one persisted gram
+    explosion (shared with the posting-list family via
+    _posting_grams), a map-combinable min-per-gram aggregate, an
+    equi-join back on the gram key (the inverted-index shuffle — never
+    corpus²), and a per-doc aggregate. The ratio is an exact integer
+    division rounded once."""
+    grams = _posting_grams(spark, sf_dir)
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("doc_id") == F.col("first_doc")).cast("bigint")
+    out = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )
+    out._karna_persisted = [grams]  # type: ignore[attr-defined]
+    return out

@@ -1086,3 +1086,113 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wt",
         F.expr("c div (total div 50)").cast("bigint").alias("pick_idx"),
     )
+
+
+@register_query(
+    "sample_top_p_by_lang",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+      FROM documents
+    ),
+    t AS (SELECT lang, SUM(n_words) AS total FROM w GROUP BY lang),
+    c AS (
+      SELECT w.doc_id, w.lang, w.n_words, t.total,
+             SUM(n_words) OVER (PARTITION BY w.lang
+                                ORDER BY n_words DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c
+      FROM w JOIN t USING (lang)
+    )
+    SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+           CAST(c AS BIGINT) AS cum_words
+    FROM c WHERE (c - n_words) * 5 < total * 4
+    """,
+    tags="O6 O7 F9",
+)
+def sample_top_p_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 depth: top-p ("nucleus") corpus selection — per language,
+    keep the largest documents until they cover 80% of the language's
+    tokens (the data-mixing analogue of nucleus sampling: a fixed
+    probability mass, not a fixed count, so verbose languages keep
+    more documents). A document is kept iff its cumulative interval
+    STARTS before the cut — pure integer cross-multiplication, no
+    float threshold. The per-language running total is the two-phase
+    range-partitioned prefix sum (operators/prefix.py) ordered by
+    (n_words DESC, doc_id): no unpartitioned or per-language
+    single-reducer window, so the plan survives 100 TB; language
+    totals are a tiny aggregate broadcast back."""
+    from karna_spark.operators.prefix import prefix_sum
+    from karna_spark.operators.text import words
+
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(words(F.trim(F.col("text")))).alias("n_words")
+    )
+    totals = w.groupBy("lang").agg(F.sum("n_words").alias("total"))
+    cum = prefix_sum(
+        w,
+        "n_words",
+        [F.col("n_words").desc(), F.col("doc_id")],
+        group_by=["lang"],
+        out_col="c",
+    ).join(F.broadcast(totals), "lang")
+    return cum.filter(
+        (F.col("c") - F.col("n_words")) * 5 < F.col("total") * 4
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("c").cast("bigint").alias("cum_words"),
+    )
+
+
+@register_query(
+    "text_train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS h
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h < 13 THEN 'train'
+                WHEN h = 13 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM b GROUP BY 1, 2
+    """,
+    tags="O6 F9 F7",
+)
+def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split: each document's
+    bucket is the first hex digit of md5(doc_id) — train 13/16
+    (81.25%), val 1/16, test 2/16. Content-independent, stable across
+    engines/runs/reshards (the property a training pipeline needs so a
+    doc never migrates between splits when the corpus is re-processed),
+    and a pure map + one aggregate: zero windows, zero joins, fully
+    map-combinable at any scale."""
+    from karna_spark.operators.text import words
+
+    b = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(words(F.trim(F.col("text")))).alias("n_words"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("h"),
+    )
+    return (
+        b.withColumn(
+            "split",
+            F.when(F.col("h") < 13, F.lit("train"))
+            .when(F.col("h") == 13, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+    )

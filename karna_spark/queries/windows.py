@@ -257,3 +257,81 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id"
         " ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rolling_median",
     )
+
+
+# ---------------------------------------------------------------- W9
+@register_query(
+    "events_session_length_histogram",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM tagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    ),
+    bucketed AS (
+      SELECT CASE WHEN n_events = 1 THEN '1 (bounce)'
+                  WHEN n_events <= 4 THEN '2-4'
+                  WHEN n_events <= 9 THEN '5-9'
+                  ELSE '10+' END AS size_bucket,
+             n_events
+      FROM per_session
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM per_session)
+    SELECT size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / total, 6) AS session_share
+    FROM bucketed CROSS JOIN t
+    GROUP BY size_bucket, total
+    """,
+    tags="W5 A1",
+)
+def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 depth: session-length distribution + bounce rate — the
+    product-analytics rollup on top of gap sessionization: bucket every
+    session by event count ('1 (bounce)', '2-4', '5-9', '10+') and
+    report each bucket's session share. Composes the certified
+    sessionize operator (lag→flag→running sum, one window shuffle on
+    user_id); sessions collapse to a |sessions| frame before
+    bucketing, and the grand total is a one-row broadcast. Shares are
+    exact integer ratios rounded once."""
+    from karna_spark.operators.sessionize import session_stats
+
+    ev = table(spark, sf_dir, "events")
+    per_session = session_stats(ev, "user_id", "ts", gap_seconds=1800).select(
+        "n_events"
+    )
+    total = per_session.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    bucket = (
+        F.when(F.col("n_events") == 1, F.lit("1 (bounce)"))
+        .when(F.col("n_events") <= 4, F.lit("2-4"))
+        .when(F.col("n_events") <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    return (
+        per_session.select(bucket.alias("size_bucket"), "n_events")
+        .crossJoin(F.broadcast(total))
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.first("total"), 6
+            ).alias("session_share"),
+        )
+    )

@@ -155,7 +155,17 @@ def _page_payload(df: DataFrame, body: dict) -> dict:
         raise ApiError(400, "offset requires order_by for a stable page")
     else:
         out = df.limit(limit)
-    rows = out.collect()
+    try:
+        rows = out.collect()
+    finally:
+        # Operators that persist intermediates for their own
+        # multi-consumer plans (posting-gram dedup, MinHash, CC) hang
+        # the cache handles on the result; a long-lived server must
+        # drop those blocks once the page is materialized or they
+        # accumulate across requests.
+        from karna_spark.operators.dedup import release_intermediates
+
+        release_intermediates(df)
     return {
         "columns": out.columns,
         "rows": [[_json_cell(v) for v in r] for r in rows],

@@ -195,3 +195,18 @@ def test_index_serves_console(server):
         assert "text/html" in resp.headers["Content-Type"]
         html = resp.read().decode()
     assert "query console" in html and "/query" in html
+
+
+def test_page_payload_releases_persisted_intermediates(spark):
+    # r6 verdict item 7: the server result path must release operator
+    # cache handles after materialization — callers can't be trusted
+    # to know the _karna_persisted contract.
+    from karna_spark.server import _page_payload
+
+    cached = spark.range(10).persist()
+    cached.count()  # pin
+    df = cached.selectExpr("id * 2 AS x")
+    df._karna_persisted = [cached]
+    payload = _page_payload(df, {"limit": 5})
+    assert payload["row_count"] == 5
+    assert cached.storageLevel.useMemory is False  # unpersisted

@@ -146,3 +146,29 @@ def test_crashed_commit_version_is_never_reused(spark, tmp_path):
     assert v == 3
     assert _rows(store.read(spark)) == [(1, "a", 11)]
     assert not os.path.exists(store._mpath(2))
+
+
+def test_vacuum_expires_history_and_orphans(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))     # v1
+    store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])      # v2 (a only)
+    # Orphan: a crashed commit claimed v3 and wrote into it, no manifest.
+    open(store._mpath(3) + ".claim", "w").close()
+    orphan = os.path.join(store.data, "p=a", "v=3")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-junk.parquet"), "w").close()
+    v4 = store.upsert(spark, _mk(spark, [(3, "b", 31)]), ["k"])  # v4
+
+    # Retain the last TWO published snapshots — v2 {a:2, b:1} and
+    # v4 {a:2, b:4}; the v3 claim gap doesn't eat the retention
+    # budget. Live dirs: a@v2, b@v1, b@v4. Collectible: a@v1 and the
+    # v3 orphan.
+    deleted = store.vacuum(retain_last=2)
+    assert _rows(store.read(spark, v4)) == [(1, "a", 11), (3, "b", 31)]
+    assert _rows(store.read(spark, 2)) == [(1, "a", 11), (3, "b", 30)]
+    assert os.path.join("p=a", "v=3") in deleted
+    assert os.path.join("p=a", "v=1") in deleted
+    assert not os.path.exists(orphan)
+    # Version numbers still never reused after vacuum.
+    v5 = store.upsert(spark, _mk(spark, [(1, "a", 12)]), ["k"])
+    assert v5 == 5
