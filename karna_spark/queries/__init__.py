@@ -68,7 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     # data-quality additions)
     "sample_top_p_by_lang", "text_train_val_test_split",
     "events_winsorized_stats", "dq_k_anonymity", "text_ngram_novelty",
-    "events_session_length_histogram",
+    "events_session_length_histogram", "agg_hll_mergeable_rollup",
+    "source_jsonl_roundtrip", "window_distribution_ranks",
     # (c) r4-stale rows, churned families first: sources/sinks
     # (SnapshotStore + server result path changed this round),
     "source_csv_roundtrip", "source_tsv_roundtrip",
@@ -81,9 +82,9 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_tokenize_lateral",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
     # similarity/dedup r4 rows (operators churned in r6-r7)
-    "dedup_simhash", "similarity_topk_lsh", "similarity_topk_ivf",
-    "dedup_embedding_cosine",
+    "dedup_simhash",
     # ---- 50-cap boundary: everything below is r8's (c) head ----
+    "similarity_topk_lsh", "similarity_topk_ivf", "dedup_embedding_cosine",
     "dedup_ngram_jaccard_blocked", "similarity_threshold_search",
     "agg_approx_count_distinct", "agg_count_if_bool", "agg_cube",
     "agg_grouping_sets", "agg_having", "agg_listagg",

@@ -179,3 +179,66 @@ def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "token"),
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+# ---------------------------------------------------------------- A29
+@register_query(
+    "agg_hll_mergeable_rollup",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    daily AS (
+        SELECT CAST(day AS VARCHAR) AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM d GROUP BY day
+    )
+    SELECT scope, n_exact, TRUE AS within_tol FROM daily
+    UNION ALL
+    SELECT 'ALL' AS scope,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS within_tol
+    FROM d
+    """,
+    tags="A29 A4 A16",
+)
+def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: MERGEABLE distinct-count sketches (Apache DataSketches HLL
+    via ``hll_sketch_agg``) — the capability ``approx_count_distinct``
+    lacks: per-day sketches are built ONCE, then re-aggregated to any
+    coarser scope by sketch union without touching raw data (the
+    pre-aggregated rollup/OLAP-cube workflow at 100 TB: store one
+    sketch per partition, answer distinct-count queries over arbitrary
+    date ranges from sketch unions). Certified with the A16 gate
+    pattern: both the per-day estimates and the UNION-merged overall
+    estimate must land within 5% of exact counts computed in the same
+    job; the emitted columns are the exact counts and the gate
+    booleans (engine-portable), never raw float estimates. The
+    tolerance test is integer-free-form |est − exact|·20 ≤ exact, one
+    comparison per scope."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("n_exact"),
+    )
+
+    def gate(est, exact):
+        return (F.abs(est - exact) * 20 <= exact).alias("within_tol")
+
+    daily_rows = daily.select(
+        F.col("day").cast("string").alias("scope"),
+        "n_exact",
+        gate(F.expr("hll_sketch_estimate(sk)"), F.col("n_exact")),
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_all")
+    )
+    exact_all = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    all_row = exact_all.crossJoin(F.broadcast(merged)).select(
+        F.lit("ALL").alias("scope"),
+        "n_exact",
+        gate(F.col("est_all"), F.col("n_exact")),
+    )
+    return daily_rows.unionByName(all_row)

@@ -407,3 +407,23 @@ def source_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(v2.select(*cols))
         .withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
     )
+
+
+@register_query(
+    "source_jsonl_roundtrip",
+    oracle="SELECT * FROM nation",
+    tags="S1 S8",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S8 (JSON lines): nation → newline-delimited JSON export →
+    JSON scan with schema inference. NDJSON is the third schemaless
+    text format next to CSV/TSV ("tabular files like CSV, TSV or
+    parquet", reference README.md:2 — "like" includes the other
+    self-describing line format every log pipeline emits). Spark's
+    JSON reader infers long/string; column order is normalized
+    alphabetically on read, which the name-keyed comparison (and any
+    sane consumer) is insensitive to. Ints and strings round-trip
+    losslessly."""
+    out = _export_dir(sf_dir, "nation_jsonl")
+    write_table(table(spark, sf_dir, "nation"), out, fmt="json")
+    return read_table(spark, out, fmt="json")

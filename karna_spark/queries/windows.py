@@ -335,3 +335,52 @@ def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("session_share"),
         )
     )
+
+
+# ---------------------------------------------------------------- W10
+@register_query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(row_number() OVER w AS BIGINT) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags="W1 W3",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 depth: distribution ranks (percent_rank, cume_dist) per
+    nation over account balance — computed WITHOUT per-group window
+    sorts: the (c_acctbal, c_custkey) tie-break makes the total order
+    unique, so rank comes from the two-phase range-partitioned prefix
+    count (operators/prefix.py), and then percent_rank = (rn-1)/(n-1),
+    cume_dist = rn/n are pure arithmetic against broadcast group
+    sizes — exactly the SQL definitions under a unique order, which
+    the oracle's real window functions confirm. A PARTITION BY
+    c_nationkey window would bound parallelism at 25 groups; this
+    shape keeps every window group at |frame|/shuffle-partitions."""
+    from karna_spark.operators.prefix import row_rank
+
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    sizes = cu.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = row_rank(
+        cu, ["c_acctbal", "c_custkey"], group_by=["c_nationkey"], out_col="rn"
+    ).join(F.broadcast(sizes), "c_nationkey")
+    return ranked.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(
+            F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                (F.col("rn") - 1).cast("double") / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("rn").cast("double") / F.col("n"), 6).alias("cume"),
+        "rn",
+    )

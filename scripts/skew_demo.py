@@ -174,6 +174,12 @@ rewritten onto ~50% of rows):
 - skewed keys (AQE skew-join): **{skewed_s} s**
 - `skew=true` markers in the final adaptive plan: **{skew_marks}**
 
+Since round 7 this probe is also a standing bench anchor
+(`skew_join_aqe` in `bench.py`): every BENCH_r{{N}}.json times the
+skewed warm join and prints the observed split count to stderr, so
+skew resilience is measured round-over-round, not just demonstrated
+here.
+
 AQE split the hot partition at runtime — the `SortMergeJoin ... skew=true`
 marker(s) below are read from the *executed* (post-adaptive) plan, and
 wall-time stays within a small factor of the uniform baseline instead of

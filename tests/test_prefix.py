@@ -83,6 +83,8 @@ def test_prefix_queries_have_no_datascale_unpartitioned_window(spark):
         "sample_weighted_pps",
         "text_sequence_packing",
         "events_rfm_segmentation",
+        "sample_top_p_by_lang",
+        "events_winsorized_stats",
     ):
         df = REGISTRY[name].builder(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -351,3 +351,38 @@ def test_backlog_delta_encoding_matches_stabbing_count(spark, iv):
     for m in got:
         expect = sum(1 for r in rows if r.o <= m) - sum(1 for r in rows if r.c <= m)
         assert got[m] == expect, m
+
+
+# ------------------------------------------------- two-phase prefix sum
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),        # group
+            st.integers(min_value=-(10**9), max_value=10**9),  # value
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_prefix_sum_equals_single_window(spark, rows, nparts):
+    """Two-phase prefix sum == the naive single window on random
+    groups (including singleton and empty-after-filter groups),
+    negative values, and partition counts that don't divide the data."""
+    from pyspark.sql import Window
+
+    from karna_spark.operators.prefix import prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g int, v long"
+    )
+    got = prefix_sum(df, "v", ["id"], group_by=["g"], out_col="c",
+                     num_partitions=nparts)
+    win = (
+        Window.partitionBy("g")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("c", F.sum("v").over(win))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
