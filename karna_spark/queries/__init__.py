@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_winsorized_stats", "dq_k_anonymity", "text_ngram_novelty",
     "events_session_length_histogram", "agg_hll_mergeable_rollup",
     "source_jsonl_roundtrip", "window_distribution_ranks",
+    "text_bpe_merges",
     # (c) r4-stale rows, churned families first: sources/sinks
     # (SnapshotStore + server result path changed this round),
     "source_csv_roundtrip", "source_tsv_roundtrip",
@@ -82,8 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_tokenize_lateral",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
     # similarity/dedup r4 rows (operators churned in r6-r7)
-    "dedup_simhash",
     # ---- 50-cap boundary: everything below is r8's (c) head ----
+    "dedup_simhash",
     "similarity_topk_lsh", "similarity_topk_ivf", "dedup_embedding_cosine",
     "dedup_ngram_jaccard_blocked", "similarity_threshold_search",
     "agg_approx_count_distinct", "agg_count_if_bool", "agg_cube",

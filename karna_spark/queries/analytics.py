@@ -1342,8 +1342,10 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     clipped = F.least(F.greatest(F.col("val"), F.col("lo")), F.col("hi"))
+    # Final aggregate reads `ranked` (already materialized through the
+    # rank shuffle) rather than re-scanning events a second time.
     return (
-        v.join(F.broadcast(cuts), "event_type")
+        ranked.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

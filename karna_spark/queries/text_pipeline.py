@@ -1128,14 +1128,18 @@ def sample_top_p_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.size(words(F.trim(F.col("text")))).alias("n_words")
     )
-    totals = w.groupBy("lang").agg(F.sum("n_words").alias("total"))
     cum = prefix_sum(
         w,
         "n_words",
         [F.col("n_words").desc(), F.col("doc_id")],
         group_by=["lang"],
         out_col="c",
-    ).join(F.broadcast(totals), "lang")
+    )
+    # Each language's total IS its final cumulative value — derive it
+    # from the prefix result instead of re-scanning (and re-tokenizing)
+    # the corpus for a separate grouped sum.
+    totals = cum.groupBy("lang").agg(F.max("c").alias("total"))
+    cum = cum.join(F.broadcast(totals), "lang")
     return cum.filter(
         (F.col("c") - F.col("n_words")) * 5 < F.col("total") * 4
     ).select(
@@ -1195,4 +1199,31 @@ def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").cast("bigint").alias("total_words"),
         )
+    )
+
+
+@register_query(
+    "text_bpe_merges",
+    tags="F9 F22",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22: REAL byte-pair-encoding merge learning over the corpus
+    (Sennrich 2016) — one corpus pass builds the word-frequency table,
+    then each merge is one distributed pair-count aggregate over the
+    |vocab| frame plus a 1-row argmax collect; the merge itself is a
+    JVM-side greedy fold (operators/bpe.py). Deterministic at any
+    parallelism (count-desc + lexicographic tie-break), so the merge
+    table is stable output. Iterative and therefore not
+    SQL-expressible — rows-only driver check; the differential gate is
+    tests/test_operators.py::test_learn_bpe_matches_reference (exact
+    match against an independent pure-Python implementation, the CC
+    vs union-find pattern)."""
+    from karna_spark.operators.bpe import learn_bpe, word_frequencies
+
+    wf = word_frequencies(table(spark, sf_dir, "documents"))
+    merges = learn_bpe(wf, num_merges=20)
+    return spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string, "
+        "merged string, pair_freq bigint",
     )

@@ -316,24 +316,31 @@ def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     per_session = session_stats(ev, "user_id", "ts", gap_seconds=1800).select(
         "n_events"
     )
-    total = per_session.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     bucket = (
         F.when(F.col("n_events") == 1, F.lit("1 (bounce)"))
         .when(F.col("n_events") <= 4, F.lit("2-4"))
         .when(F.col("n_events") <= 9, F.lit("5-9"))
         .otherwise(F.lit("10+"))
     )
-    return (
+    # Aggregate to the ≤4-row bucket frame FIRST; the session total is
+    # then a sum over that tiny frame — sessionization runs once, not
+    # once per consumer.
+    bucket_counts = (
         per_session.select(bucket.alias("size_bucket"), "n_events")
-        .crossJoin(F.broadcast(total))
         .groupBy("size_bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
             F.sum("n_events").cast("bigint").alias("n_events"),
-            F.round(
-                F.count(F.lit(1)).cast("double") / F.first("total"), 6
-            ).alias("session_share"),
         )
+    )
+    total = bucket_counts.agg(F.sum("n_sessions").cast("bigint").alias("total"))
+    return bucket_counts.crossJoin(F.broadcast(total)).select(
+        "size_bucket",
+        "n_sessions",
+        "n_events",
+        F.round(F.col("n_sessions").cast("double") / F.col("total"), 6).alias(
+            "session_share"
+        ),
     )
 
 

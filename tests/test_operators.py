@@ -621,3 +621,25 @@ def test_semdedup_assign_is_argmax(spark):
         cosine(F.col("embedding"), F.col("cvec")).alias("alt_cos"),
     )
     assert probe.where(F.col("alt_cos") > F.col("cos")).count() == 0
+
+
+# ------------------------------------------------------------- BPE
+def test_learn_bpe_matches_reference(spark):
+    """Distributed BPE merge learning == the pure-Python reference on
+    the same word-frequency table (the union-find-vs-CC differential
+    pattern): identical merge order, pairs, and counts."""
+    from karna_spark.operators.bpe import (
+        learn_bpe,
+        reference_bpe,
+        word_frequencies,
+    )
+    from karna_spark.queries.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(120)
+    wf = word_frequencies(docs)
+    expected = reference_bpe(
+        {r["w"]: r["freq"] for r in wf.collect()}, num_merges=12
+    )
+    got = learn_bpe(wf, num_merges=12)
+    assert got == expected
+    assert len(got) > 0  # the fixture corpus actually yields merges
