@@ -70,7 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_winsorized_stats", "dq_k_anonymity", "text_ngram_novelty",
     "events_session_length_histogram", "agg_hll_mergeable_rollup",
     "source_jsonl_roundtrip", "window_distribution_ranks",
-    "text_bpe_merges",
+    "text_bpe_merges", "agg_theta_set_algebra", "agg_kll_quantile_rollup",
+    "agg_topk_sketch_merge",
     # (c) r4-stale rows, churned families first: sources/sinks
     # (SnapshotStore + server result path changed this round),
     "source_csv_roundtrip", "source_tsv_roundtrip",
@@ -80,10 +81,9 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_metadata", "multimodal_decode_pipeline",
     "multimodal_frame_sampling",
     "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
+    # ---- 50-cap boundary: everything below is r8's (c) head ----
     "udtf_tokenize_lateral",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
-    # similarity/dedup r4 rows (operators churned in r6-r7)
-    # ---- 50-cap boundary: everything below is r8's (c) head ----
     "dedup_simhash",
     "similarity_topk_lsh", "similarity_topk_ivf", "dedup_embedding_cosine",
     "dedup_ngram_jaccard_blocked", "similarity_threshold_search",

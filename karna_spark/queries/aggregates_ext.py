@@ -242,3 +242,194 @@ def agg_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate(F.col("est_all"), F.col("n_exact")),
     )
     return daily_rows.unionByName(all_row)
+
+
+# ---------------------------------------------------------------- A30
+@register_query(
+    "agg_theta_set_algebra",
+    oracle="""
+    WITH e AS (
+        SELECT user_id * 100 + date_part('day', ts) AS ud,
+               date_part('day', ts) AS d
+        FROM events
+    )
+    SELECT 'p1_first20d' AS scope,
+           CAST(COUNT(DISTINCT CASE WHEN d <= 20 THEN ud END) AS BIGINT)
+               AS n_exact, TRUE AS within_tol FROM e
+    UNION ALL
+    SELECT 'p2_last20d',
+           CAST(COUNT(DISTINCT CASE WHEN d >= 11 THEN ud END) AS BIGINT),
+           TRUE FROM e
+    UNION ALL
+    SELECT 'union', CAST(COUNT(DISTINCT ud) AS BIGINT), TRUE FROM e
+    UNION ALL
+    SELECT 'intersection',
+           CAST(COUNT(DISTINCT CASE WHEN d BETWEEN 11 AND 20 THEN ud END)
+                AS BIGINT), TRUE FROM e
+    UNION ALL
+    SELECT 'difference',
+           CAST(COUNT(DISTINCT CASE WHEN d <= 10 THEN ud END) AS BIGINT),
+           TRUE FROM e
+    """,
+    tags="A30 A4 A16",
+)
+def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: Theta sketches (Apache DataSketches) — distinct counting
+    with SET ALGEBRA, which neither approx_count_distinct nor HLL
+    offers: build one sketch per period over active user-days, then
+    estimate union (either period), intersection (active in BOTH — the
+    retention overlap), and difference (only-first-period — churn)
+    WITHOUT re-scanning raw data. At 100 TB: one sketch per
+    partition/period answers any overlap question by sketch algebra.
+    A16-gate certification: every estimate must land within 5% of the
+    exact count computed in the same job (both periods + all three
+    algebra results); emitted columns are exact counts + gate
+    booleans, engine-portable."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("ud"),
+        F.dayofmonth("ts").alias("d"),
+    )
+    row = ev.agg(
+        F.expr("theta_sketch_agg(CASE WHEN d <= 20 THEN ud END)").alias("s1"),
+        F.expr("theta_sketch_agg(CASE WHEN d >= 11 THEN ud END)").alias("s2"),
+        F.count_distinct(F.expr("CASE WHEN d <= 20 THEN ud END")).alias("e1"),
+        F.count_distinct(F.expr("CASE WHEN d >= 11 THEN ud END")).alias("e2"),
+        F.count_distinct("ud").alias("eu"),
+        F.count_distinct(
+            F.expr("CASE WHEN d BETWEEN 11 AND 20 THEN ud END")
+        ).alias("ei"),
+        F.count_distinct(F.expr("CASE WHEN d <= 10 THEN ud END")).alias("ed"),
+    ).selectExpr(
+        "theta_sketch_estimate(s1) AS est1",
+        "theta_sketch_estimate(s2) AS est2",
+        "theta_sketch_estimate(theta_union(s1, s2)) AS estu",
+        "theta_sketch_estimate(theta_intersection(s1, s2)) AS esti",
+        "theta_sketch_estimate(theta_difference(s1, s2)) AS estd",
+        "e1", "e2", "eu", "ei", "ed",
+    )
+
+    def entry(scope, est, exact):
+        return F.struct(
+            F.lit(scope).alias("scope"),
+            F.col(exact).cast("bigint").alias("n_exact"),
+            (F.abs(F.col(est) - F.col(exact)) * 20 <= F.col(exact)).alias(
+                "within_tol"
+            ),
+        )
+
+    return row.select(
+        F.explode(
+            F.array(
+                entry("p1_first20d", "est1", "e1"),
+                entry("p2_last20d", "est2", "e2"),
+                entry("union", "estu", "eu"),
+                entry("intersection", "esti", "ei"),
+                entry("difference", "estd", "ed"),
+            )
+        ).alias("r")
+    ).select("r.scope", "r.n_exact", "r.within_tol")
+
+
+# ---------------------------------------------------------------- A31
+@register_query(
+    "agg_kll_quantile_rollup",
+    oracle="""
+    WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events)
+    SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM v GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(*) AS BIGINT), TRUE, TRUE FROM v
+    """,
+    tags="A31 A6 A16",
+)
+def agg_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: MERGEABLE quantile sketches (DataSketches KLL) — the
+    quantile analog of the A29 HLL rollup: one KLL sketch per series
+    is built once, then group sketches fold-merge
+    (``kll_sketch_merge_double``) into an all-data sketch whose
+    quantiles come from the merged sketch alone — no second pass over
+    raw values, the pre-aggregated-percentile workflow
+    approx_percentile can't re-aggregate. Gate: per-series and merged
+    p50/p90 estimates must land within 5% of the observed value range
+    of the exact interpolated percentiles computed in the same job.
+    Emitted: row counts + gate booleans (engine-portable)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(v)").alias("sk"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(v, 0.5D)").alias("x50"),
+        F.expr("percentile(v, 0.9D)").alias("x90"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+    def ok(q, x):
+        return (F.abs(q - F.col(x)) * 20 <= (F.col("hi") - F.col("lo"))).alias(
+            f"{x.replace('x', 'p')}_ok"
+        )
+
+    per_rows = per.select(
+        F.col("event_type").alias("scope"),
+        "n",
+        ok(F.expr("kll_sketch_get_quantile_double(sk, 0.5D)"), "x50"),
+        ok(F.expr("kll_sketch_get_quantile_double(sk, 0.9D)"), "x90"),
+    )
+    merged = per.agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    ).selectExpr(
+        "aggregate(slice(sks, 2, size(sks) - 1), element_at(sks, 1),"
+        " (acc, x) -> kll_sketch_merge_double(acc, x)) AS m",
+        "n", "lo", "hi",
+    )
+    exact_all = ev.agg(
+        F.expr("percentile(v, 0.5D)").alias("x50"),
+        F.expr("percentile(v, 0.9D)").alias("x90"),
+    )
+    all_row = merged.crossJoin(F.broadcast(exact_all)).select(
+        F.lit("ALL").alias("scope"),
+        "n",
+        ok(F.expr("kll_sketch_get_quantile_double(m, 0.5D)"), "x50"),
+        ok(F.expr("kll_sketch_get_quantile_double(m, 0.9D)"), "x90"),
+    )
+    return per_rows.unionByName(all_row)
+
+
+# ---------------------------------------------------------------- A32
+@register_query(
+    "agg_topk_sketch_merge",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags="A32 A4 A16",
+)
+def agg_topk_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: mergeable heavy-hitters — ``approx_top_k_accumulate`` per
+    data shard, ``approx_top_k_combine`` across shards,
+    ``approx_top_k_estimate`` on the combined state: the
+    frequent-items workflow where per-partition sketch states are
+    stored once and any union of shards is answered by state combine
+    (at 100 TB: one state per file/day, no raw re-scan). The tracked
+    capacity exceeds the item cardinality here, so the sketch is in
+    its exact regime and the emitted (item, count) rows hash-match the
+    plain GROUP BY oracle — certifying the accumulate→combine→estimate
+    path end to end, not just within a tolerance."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    states = (
+        ev.withColumn("h", F.col("event_id") % 8)
+        .groupBy("h")
+        .agg(F.expr("approx_top_k_accumulate(event_type, 5)").alias("st"))
+    )
+    combined = states.agg(F.expr("approx_top_k_combine(st)").alias("c"))
+    return combined.select(
+        F.explode(F.expr("approx_top_k_estimate(c, 5)")).alias("r")
+    ).select(
+        F.col("r.item").alias("item"),
+        F.col("r.count").cast("bigint").alias("n"),
+    )
