@@ -85,6 +85,7 @@ def test_prefix_queries_have_no_datascale_unpartitioned_window(spark):
         "events_rfm_segmentation",
         "sample_top_p_by_lang",
         "events_winsorized_stats",
+        "window_distribution_ranks",
     ):
         df = REGISTRY[name].builder(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()

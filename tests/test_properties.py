@@ -261,7 +261,6 @@ def test_snapshot_store_matches_dict_model(spark, tmp_path_factory, ops):
             for r in store.read(spark, version=v).collect()
         }
         assert got == snap, f"version {v}"
-# appended to tests/test_properties.py after the current sweep finishes
 
 
 # ------------------------------------------- interval-overlap rewrite

@@ -172,3 +172,32 @@ def test_vacuum_expires_history_and_orphans(spark, tmp_path):
     # Version numbers still never reused after vacuum.
     v5 = store.upsert(spark, _mk(spark, [(1, "a", 12)]), ["k"])
     assert v5 == 5
+
+
+def test_vacuum_after_streaming_rollup(spark):
+    # The streaming snapshot sink commits one version per micro-batch;
+    # vacuum must keep the retained tail readable byte-for-byte and
+    # make expired versions fail loudly instead of half-reading.
+    import uuid
+
+    import pytest
+
+    from karna_spark.streaming.jobs import (
+        _STREAM_CACHE,
+        foreachbatch_snapshot_rollup,
+        stage_events_split,
+    )
+
+    landing = stage_events_split(spark, "/root/testdata/sf0.001", n_files=3)
+    root = os.path.join(_STREAM_CACHE, "snap_vac", uuid.uuid4().hex[:10])
+    store = foreachbatch_snapshot_rollup(spark, landing, root)
+    before = {
+        v: sorted(map(tuple, store.read(spark, version=v).collect()))
+        for v in (2, 3)
+    }
+    store.vacuum(retain_last=2)
+    for v in (2, 3):
+        got = sorted(map(tuple, store.read(spark, version=v).collect()))
+        assert got == before[v], f"version {v} changed after vacuum"
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, version=1)
