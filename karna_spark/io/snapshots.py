@@ -223,6 +223,80 @@ class SnapshotStore:
         self._publish(v, manifest)
         return v
 
+    # ------------------------------------------------------ redact
+    def redact(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        keys: DataFrame,
+    ) -> int:
+        """Erase rows matching ``keys`` from EVERY published version —
+        the right-to-be-forgotten operation, which deliberately breaks
+        snapshot immutability for exactly the matched rows while
+        leaving all other rows byte-stable semantics (time travel
+        still returns every non-redacted row of every version).
+
+        Mechanics: each physical data directory ``<pc>=<val>/v=<N>``
+        is rewritten AT MOST ONCE (a directory shared by many
+        manifests via copy-on-write is rewritten a single time and
+        every manifest that pointed at it is repointed), into a fresh
+        claimed version directory — the original dirs are removed only
+        after all rewrites succeed, and manifests are republished
+        in-place last, so a crash mid-redact leaves every version
+        readable (old pointers stay valid until the final swap).
+        Returns the number of physical partition directories
+        rewritten. Driver-side work is O(#versions × #partitions)
+        manifest bookkeeping; data work is one filtered rewrite per
+        affected directory."""
+        published = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        manifests = {v: self._manifest(v) for v in published}
+        # Physical dirs any manifest references: (partition value, ver).
+        dirs = {(val, pv) for m in manifests.values() for val, pv in m.items()}
+        kdf = keys.select(*key_cols).distinct()
+        remap: dict[tuple[str, int], int] = {}
+        removed_dirs: list[str] = []
+        for val, pv in sorted(dirs):
+            src = os.path.join(self.data, f"{self.pc}={val}", f"v={pv}")
+            cur = spark.read.parquet(src)
+            hit = cur.join(F.broadcast(kdf), key_cols, "left_semi").limit(1)
+            if not hit.collect():
+                continue  # directory untouched — stays byte-identical
+            kept = cur.join(F.broadcast(kdf), key_cols, "left_anti")
+            nv = self._claim_version()
+            (
+                kept.withColumn(self.pc, F.lit(val))
+                .withColumn("v", F.lit(nv))
+                .write.mode("append")
+                .partitionBy(self.pc, "v")
+                .parquet(self.data)
+            )
+            dst = os.path.join(self.data, f"{self.pc}={val}", f"v={nv}")
+            remap[(val, pv)] = nv if os.path.isdir(dst) else -1
+            removed_dirs.append(src)
+        # Republish every manifest with repointed (or dropped, if the
+        # rewrite emptied the directory) partitions, then drop originals.
+        for v, m in manifests.items():
+            new_m: dict[str, int] = {}
+            for val, pv in m.items():
+                nv = remap.get((val, pv), pv)
+                if nv != -1:  # -1 == rewrite emptied the directory
+                    new_m[val] = nv
+            tmp = self._mpath(v) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"version": v, "partitions": new_m}, fh, sort_keys=True
+                )
+            os.replace(tmp, self._mpath(v))  # in-place swap, atomic
+        import shutil
+
+        for src in removed_dirs:
+            shutil.rmtree(src, ignore_errors=True)
+        return len(removed_dirs)
+
     # ------------------------------------------------------ vacuum
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Garbage-collect data directories no retained manifest

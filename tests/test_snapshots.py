@@ -201,3 +201,39 @@ def test_vacuum_after_streaming_rollup(spark):
         assert got == before[v], f"version {v} changed after vacuum"
     with pytest.raises(FileNotFoundError):
         store.read(spark, version=1)
+
+
+def test_redact_erases_key_from_all_versions(spark, tmp_path):
+    # Right-to-be-forgotten: the key disappears from EVERY version's
+    # reads (including time travel), other rows are untouched, shared
+    # copy-on-write directories are rewritten once, and untouched
+    # directories stay byte-identical.
+    root = str(tmp_path / "t")
+    store = SnapshotStore(root, "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))  # v1
+    store.upsert(spark, _mk(spark, [(3, "b", 31)]), ["k"])                # v2
+    store.upsert(spark, _mk(spark, [(2, "a", 21)]), ["k"])                # v3
+    b_v2 = sorted(glob.glob(os.path.join(root, "data", "p=b", "v=2", "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in b_v2}
+
+    n = store.redact(spark, ["k"], _mk(spark, [(1, "x", 0)]).select("k"))
+    # k=1 lived only in partition a — its dirs at v1 (shared by
+    # manifests v1+v2) and v3 are rewritten; partition b untouched.
+    assert n == 2
+    assert _rows(store.read(spark, 1)) == [(2, "a", 20), (3, "b", 30)]
+    assert _rows(store.read(spark, 2)) == [(2, "a", 20), (3, "b", 31)]
+    assert _rows(store.read(spark, 3)) == [(2, "a", 21), (3, "b", 31)]
+    assert {f: os.path.getmtime(f) for f in b_v2} == mtimes
+    # Store still fully operational post-redact.
+    v = store.upsert(spark, _mk(spark, [(4, "a", 40)]), ["k"])
+    assert (4, "a", 40) in _rows(store.read(spark, v))
+
+
+def test_redact_drops_partition_emptied_in_every_version(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))
+    store.redact(spark, ["k"], _mk(spark, [(1, "x", 0)]).select("k"))
+    # Partition a is emptied by the redact: its pointer is dropped, the
+    # version still reads (just without the erased row).
+    assert _rows(store.read(spark, 1)) == [(3, "b", 30)]
+    assert "a" not in store._manifest(1)
