@@ -499,3 +499,49 @@ def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 1)
         .select("nationkey", "id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------- J17
+@register_query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, NULLIF(date_part('day', ts) % 3, 0) AS grp
+        FROM events WHERE event_type = 'click'
+    ),
+    t AS (
+        SELECT user_id, NULLIF(date_part('day', ts) % 3, 0) AS grp
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM s JOIN t
+      ON s.grp IS NOT DISTINCT FROM t.grp AND s.user_id = t.user_id
+    GROUP BY s.grp
+    """,
+    tags="J1 P6",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the
+    3VL corner where a plain equi-join silently drops every NULL key:
+    here NULL group keys MUST pair with NULL group keys (the SQL
+    standard's distinct-predicate semantics). Spark plans `<=>` as a
+    regular hash join key (EqualNullSafe is a valid equi-join
+    expression), so this shuffles and scales exactly like J1 — no
+    fallback to a nested-loop join."""
+    ev = table(spark, sf_dir, "events")
+    grp = F.nullif(F.dayofmonth("ts") % 3, F.lit(0))
+    s = ev.filter(F.col("event_type") == "click").select(
+        "user_id", grp.alias("grp")
+    )
+    t = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("t_user"), grp.alias("t_grp")
+    )
+    joined = s.join(
+        t,
+        s["grp"].eqNullSafe(t["t_grp"]) & (s["user_id"] == t["t_user"]),
+    )
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )

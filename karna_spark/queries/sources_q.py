@@ -427,3 +427,19 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _export_dir(sf_dir, "nation_jsonl")
     write_table(table(spark, sf_dir, "nation"), out, fmt="json")
     return read_table(spark, out, fmt="json")
+
+
+@register_query(
+    "source_orc_roundtrip",
+    oracle="SELECT * FROM region",
+    tags="S1 S8",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S8 (ORC): region → ORC export → ORC scan. The second
+    self-describing columnar format next to parquet — same predicate
+    pushdown/column pruning machinery in Spark's reader, same
+    read_table/write_table surface. Lossless by construction (typed
+    columnar, no inference involved)."""
+    out = _export_dir(sf_dir, "region_orc")
+    write_table(table(spark, sf_dir, "region"), out, fmt="orc")
+    return read_table(spark, out, fmt="orc")
