@@ -55,12 +55,13 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_symbols(wf: DataFrame) -> DataFrame:
-    """(syms: array<string>, freq) — characters plus the end marker."""
+    """(w, syms: array<string>, freq) — characters plus end marker."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
     return wf.select(
+        "w",
         F.concat(chars, F.array(F.lit(END))).alias("syms"),
         F.col("freq").cast("bigint").alias("freq"),
     )
@@ -90,13 +91,18 @@ def learn_bpe(
     num_merges: int = 20,
     min_pair_freq: int = 2,
     checkpoint_every: int = 4,
-) -> list[tuple[int, str, str, str, int]]:
+    return_symbols: bool = False,
+):
     """Learn up to ``num_merges`` BPE merges from a (w, freq) table.
 
     Returns [(merge_idx, left, right, merged, pair_freq), ...] in
     learned order — deterministic at any parallelism (count-desc then
     lexicographic tie-break). Stops early when no adjacent pair
-    reaches ``min_pair_freq``.
+    reaches ``min_pair_freq``. With ``return_symbols=True``, returns
+    ``(merges, symbols_df)`` where symbols_df is the final
+    (w, syms, freq) tokenization of every vocabulary word — the
+    word→tokens lookup a corpus tokenizer joins against (the caller
+    owns unpersisting its `_karna_persisted` handle).
     """
     syms = _initial_symbols(wf).persist(StorageLevel.MEMORY_AND_DISK)
     syms.count()
@@ -125,7 +131,7 @@ def learn_bpe(
                 break
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((it, a, b, a + b, cnt))
-            new_syms = syms.select(_merge_expr(a, b).alias("syms"), "freq")
+            new_syms = syms.select("w", _merge_expr(a, b).alias("syms"), "freq")
             if (it + 1) % checkpoint_every == 0:
                 new_syms = new_syms.localCheckpoint(eager=False)
             new_syms = new_syms.persist(StorageLevel.MEMORY_AND_DISK)
@@ -133,8 +139,15 @@ def learn_bpe(
             cached.unpersist()
             cached = new_syms
             syms = new_syms
-    finally:
+    except BaseException:
         cached.unpersist()
+        raise
+    if return_symbols:
+        # Hand the persisted final tokenization to the caller; the
+        # release contract rides on the frame (operators/dedup.py).
+        syms._karna_persisted = [cached]  # type: ignore[attr-defined]
+        return merges, syms
+    cached.unpersist()
     return merges
 
 

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_jsonl_roundtrip", "window_distribution_ranks",
     "text_bpe_merges", "agg_theta_set_algebra", "agg_kll_quantile_rollup",
     "agg_topk_sketch_merge", "source_orc_roundtrip", "join_null_safe_eq",
+    "text_bpe_token_stats",
     # (c) r4-stale rows, churned families first: sources/sinks
     # (SnapshotStore + server result path changed this round),
     "source_csv_roundtrip", "source_tsv_roundtrip",
@@ -80,8 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal + UDx + streaming (r4-certified, untouched since),
     "multimodal_metadata", "multimodal_decode_pipeline",
     "multimodal_frame_sampling",
-    "udf_scalar_python",
     # ---- 50-cap boundary: everything below is r8's (c) head ----
+    "udf_scalar_python",
     "udf_vectorized_scalar", "udf_grouped_zscore",
     "udtf_tokenize_lateral",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",

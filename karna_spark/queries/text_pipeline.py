@@ -1227,3 +1227,57 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_idx int, left_sym string, right_sym string, "
         "merged string, pair_freq bigint",
     )
+
+
+@register_query(
+    "text_bpe_token_stats",
+    tags="F9 F22",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22 applied: tokenize the corpus with the LEARNED BPE merges —
+    the word→token-count lookup is the trainer's final symbol frame
+    (every vocabulary word's tokenization falls out of training for
+    free), so corpus tokenization is one (lang, word) aggregate joined
+    to the |vocab| lookup: no per-document merge replay, no Python in
+    the path. Emits per-language totals and tokens-per-word — the
+    fertility metric tokenizer work optimizes. Deterministic (the
+    merge table is), rows-only like the trainer."""
+    from karna_spark.operators.bpe import learn_bpe, word_frequencies
+    from karna_spark.operators.text import words
+
+    docs = table(spark, sf_dir, "documents")
+    _, syms = learn_bpe(
+        word_frequencies(docs), num_merges=20, return_symbols=True
+    )
+    tok_map = syms.select("w", F.size("syms").alias("n_tokens"))
+    per_lang = (
+        docs.select(
+            "lang",
+            F.explode(words(F.lower(F.trim(F.col("text"))))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        per_lang.join(tok_map, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_words"),
+            F.sum(F.col("c") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "total_words",
+            "total_bpe_tokens",
+            F.round(
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_words"),
+                6,
+            ).alias("avg_tokens_per_word"),
+        )
+    )
+    out._karna_persisted = getattr(syms, "_karna_persisted", [])  # type: ignore[attr-defined]
+    return out
