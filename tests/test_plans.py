@@ -486,3 +486,26 @@ def test_dau_wau_bounded_explode_no_range_join(spark):
     plan = plan_of(spark, "events_dau_wau", "simple")
     assert "Generate" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_r7_aggregates_are_two_phase(spark):
+    # The r7 sketch/DQ aggregates must combine map-side: the shuffle
+    # carries one partial state per group, not one row per input —
+    # including the sketch aggregates themselves (partial_hll/theta
+    # states merge, which is the whole point of mergeable sketches).
+    assert "partial_count" in plan_of(spark, "dq_k_anonymity", "simple")
+    assert "partial_hll_sketch_agg" in plan_of(
+        spark, "agg_hll_mergeable_rollup", "simple"
+    )
+    assert "partial_theta_sketch_agg" in plan_of(
+        spark, "agg_theta_set_algebra", "simple"
+    )
+
+
+def test_winsorized_cuts_broadcast(spark):
+    # The 2·|types| cut rows must broadcast back onto the ranked frame
+    # — a shuffle join here would re-partition the data frame to serve
+    # a metadata-scale lookup.
+    plan = plan_of(spark, "events_winsorized_stats", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
