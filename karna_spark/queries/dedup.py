@@ -118,13 +118,13 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("dedup_simhash", oracle=None, tags="J9 F7")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 8 of 64 bits, 16-bit slice
-    buckets). Rows-only for the driver (blake2b bit math has no cheap
-    SQL twin); recall against planted dups is unit-tested in
-    tests/test_operators.py. The pigeonhole machinery itself is
-    hash-certified by ``dedup_simhash_md5_pairs`` below."""
+    buckets). RETIRED from the driver registry in r8 (was rows-only —
+    blake2b bit math has no cheap SQL twin); the pigeonhole pipeline is
+    hash-certified by its driver twin ``dedup_simhash_md5_pairs``
+    below, and recall against planted dups stays unit-tested in
+    tests/test_operators.py."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8)
 

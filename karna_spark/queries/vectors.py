@@ -83,13 +83,15 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("similarity_topk_lsh", oracle=None, tags="F8 J9")
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: sign-LSH buckets (8 hyperplanes) probed for the
     same 10 queries — the scale path when both sides are large (the
-    bucket equi-join replaces the full cross product). Rows-only for
-    the driver (the hyperplane constants have no SQL twin); recall vs
-    the brute-force baseline is unit-tested."""
+    bucket equi-join replaces the full cross product). RETIRED from the
+    driver registry in r8 (was rows-only — no SQL twin for the
+    hyperplane constants); the pipeline is hash-certified by its
+    driver twin ``similarity_lsh_recall`` (recall@10 vs brute force,
+    exact oracle replay), and this builder stays as the bench anchor
+    + plan-test surface."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     res = ann_lsh_topk(
@@ -392,7 +394,6 @@ def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_bruteforce(emb, queries, ann, k=10)
 
 
-@register_query("similarity_topk_ivf", oracle=None, tags="F8 J9 U3")
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN, IVF path: a k-means coarse quantizer (8 cells,
     3 Lloyd iterations — all shuffles bounded by k·dim, not corpus
@@ -401,7 +402,10 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus assignment is one broadcast join and the probe cost is
     nprobe/k of the data per query. Rows-only for the driver (Lloyd
     iteration is not SQL-expressible); recall vs the brute-force
-    baseline is unit-tested in tests/test_operators.py."""
+    baseline is unit-tested in tests/test_operators.py. RETIRED from
+    the driver registry in r8: the IVF pipeline is hash-certified by
+    its driver twin ``similarity_ivf_recall``; this builder stays as a
+    plan-test surface."""
     from karna_spark.operators.similarity import ann_ivf_topk, train_kmeans
 
     emb = table(spark, sf_dir, "embeddings")
@@ -413,7 +417,6 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query("similarity_topk_pq", oracle=None, tags="F8 U2")
 def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN, product-quantization path: 8 subspaces × 16
     centroids compress each 64-dim float vector to 8 small codes
@@ -424,7 +427,10 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is capped at any corpus size. Rows-only for the driver (Lloyd
     training is not SQL-expressible); lossless-construction exactness
     and top-k agreement with brute force are unit-tested in
-    tests/test_operators.py."""
+    tests/test_operators.py. RETIRED from the driver registry in r8:
+    the PQ pipeline is hash-certified by its driver twin
+    ``similarity_pq_recall``; this builder stays as a plan-test
+    surface."""
     from karna_spark.operators.similarity import ann_pq_topk, train_pq
 
     emb = table(spark, sf_dir, "embeddings")
