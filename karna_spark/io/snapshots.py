@@ -38,9 +38,46 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A concurrent commit published between this writer's manifest
+    read and its publish attempt; the write was NOT published (its
+    data files are unreferenced orphans for vacuum). Retry the
+    operation against the new latest version."""
+
+
+# Spark/Hive partition-directory escaping (ExternalCatalogUtils):
+# these characters are written as %XX (uppercase hex) in dir names.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition(val: str) -> str:
+    """Raw partition value -> directory-name form (Hive escaping)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPED_CHARS else c for c in val
+    )
+
+
+def _unescape_partition(name: str) -> str:
+    """Directory-name form -> raw partition value (%XX decoding)."""
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
 
 
 class SnapshotStore:
@@ -58,16 +95,14 @@ class SnapshotStore:
         return os.path.join(self.mdir, f"v{v}.json")
 
     def latest_version(self) -> int:
-        vs = [
-            int(f[1:-5])
-            for f in os.listdir(self.mdir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(vs, default=0)
+        return max(self._published_versions(), default=0)
 
     def _manifest(self, v: int) -> dict[str, int]:
+        return self._manifest_doc(v)["partitions"]
+
+    def _manifest_doc(self, v: int) -> dict:
         with open(self._mpath(v)) as fh:
-            return json.load(fh)["partitions"]
+            return json.load(fh)
 
     def _claim_version(self) -> int:
         """Reserve the next version number exclusively. A ``.claim``
@@ -89,16 +124,62 @@ class SnapshotStore:
             except FileExistsError:
                 v += 1
 
-    def _publish(self, v: int, partitions: dict[str, int]) -> None:
+    def _publish(
+        self,
+        v: int,
+        partitions: dict[str, int],
+        schema_json: str | None = None,
+        base_version: int | None = None,
+    ) -> None:
+        """Publish manifest ``v``. When ``base_version`` is given the
+        publish is CAS-style (Iceberg's commit validation): the
+        manifest was derived from ``base_version``'s pointers, so any
+        OTHER version published in between means this writer would
+        silently drop the interleaved commit's partition pointers — a
+        lost update. The check runs immediately before the link AND is
+        re-validated after it (version numbers are totally ordered and
+        claims exclusive, so of two racers that both pass the
+        pre-check, each sees the other's manifest post-publish, rolls
+        its own back, and raises — in the worst case BOTH racers abort
+        and retry, but a lost update can never be published
+        silently)."""
+        if base_version is not None and self.latest_version() != base_version:
+            raise ConcurrentWriteError(
+                f"manifest base v{base_version} is stale (latest is "
+                f"v{self.latest_version()}); retry the write"
+            )
         tmp = self._mpath(v) + ".tmp"
+        doc = {"version": v, "partitions": partitions}
+        if schema_json is not None:
+            doc["schema"] = schema_json
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "partitions": partitions}, fh, sort_keys=True)
+            json.dump(doc, fh, sort_keys=True)
         # Link-then-unlink instead of rename: os.link fails with EEXIST
         # if this version was somehow already published (rename would
         # silently last-win), so a version can only ever be created
         # once — the atomic commit point.
         os.link(tmp, self._mpath(v))
         os.unlink(tmp)
+        if base_version is not None:
+            racers = [
+                w
+                for w in self._published_versions()
+                if w > base_version and w != v
+            ]
+            if racers:
+                os.unlink(self._mpath(v))  # roll back our own manifest
+                raise ConcurrentWriteError(
+                    f"commit v{racers[-1]} raced this write (base "
+                    f"v{base_version}, claimed v{v}); this write was "
+                    "rolled back — retry"
+                )
+
+    def _published_versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
 
     # ------------------------------------------------------- writes
     def _write(self, df: DataFrame, v: int) -> list[str]:
@@ -106,7 +187,14 @@ class SnapshotStore:
         values actually WRITTEN (computed from the materialized result
         so the manifest never points at a directory the write did not
         create — a partition whose rows were all merged away yields no
-        ``v=<N>`` subdir and must not be published)."""
+        ``v=<N>`` subdir and must not be published). Directory names
+        are Hive-escaped by Spark (space-free values pass through; a
+        value containing ``%``/``=``/``/``... is %XX-encoded), so they
+        are UNESCAPED back to raw values here — manifest keys always
+        hold the raw partition value, and path construction re-escapes
+        (r7 ADVICE: returning the escaped name verbatim made upsert
+        retain the old pointer AND add the escaped-name key, serving
+        that partition's rows twice)."""
         (
             df.withColumn("v", F.lit(v))
             .write.mode("append")
@@ -115,17 +203,36 @@ class SnapshotStore:
         )
         prefix = f"{self.pc}="
         return [
-            d[len(prefix):]
+            _unescape_partition(d[len(prefix):])
             for d in os.listdir(self.data)
             if d.startswith(prefix)
             and os.path.isdir(os.path.join(self.data, d, f"v={v}"))
         ]
 
+    def _pdir(self, val: str, pv: int) -> str:
+        """Physical leaf dir for (raw partition value, version)."""
+        return os.path.join(
+            self.data, f"{self.pc}={_escape_partition(val)}", f"v={pv}"
+        )
+
+    @staticmethod
+    def _affected_values(delta: DataFrame, pc: str) -> list[str]:
+        vals = [r[0] for r in delta.select(pc).distinct().collect()]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"NULL partition value in delta ({pc}); the snapshot "
+                "store requires non-null partition values"
+            )
+        return sorted(str(v) for v in vals)
+
     def commit(self, df: DataFrame) -> int:
-        """Full-snapshot commit (initial load or full rewrite)."""
+        """Full-snapshot commit (initial load or full rewrite). Not
+        CAS-validated: a full commit replaces every pointer by intent,
+        so concurrent full commits are last-writer-wins (incremental
+        writers racing a full commit DO fail their CAS check)."""
         v = self._claim_version()
         written = self._write(df, v)
-        self._publish(v, {a: v for a in written})
+        self._publish(v, {a: v for a in written}, schema_json=df.schema.json())
         return v
 
     def upsert(
@@ -152,9 +259,7 @@ class SnapshotStore:
         v = self._claim_version()
         prev_v = self.latest_version()
         prev = self._manifest(prev_v)
-        affected = sorted(
-            {str(r[0]) for r in delta.select(self.pc).distinct().collect()}
-        )
+        affected = self._affected_values(delta, self.pc)
         if validate_keys and prev:
             moved = (
                 self.read(spark, version=prev_v)
@@ -180,7 +285,9 @@ class SnapshotStore:
         written = self._write(merged, v)
         manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
         manifest.update({a: v for a in written})
-        self._publish(v, manifest)
+        self._publish(
+            v, manifest, schema_json=merged.schema.json(), base_version=prev_v
+        )
         return v
 
     def apply_changes(
@@ -208,9 +315,7 @@ class SnapshotStore:
         v = self._claim_version()
         prev_v = self.latest_version()
         prev = self._manifest(prev_v)
-        affected = sorted(
-            {str(r[0]) for r in changes.select(self.pc).distinct().collect()}
-        )
+        affected = self._affected_values(changes, self.pc)
         existing = self.read(
             spark, version=prev_v, partition_values=[a for a in affected if a in prev]
         )
@@ -220,7 +325,9 @@ class SnapshotStore:
         written = self._write(merged, v)
         manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
         manifest.update({a: v for a in written})
-        self._publish(v, manifest)
+        self._publish(
+            v, manifest, schema_json=merged.schema.json(), base_version=prev_v
+        )
         return v
 
     # ------------------------------------------------------ redact
@@ -246,37 +353,84 @@ class SnapshotStore:
         readable (old pointers stay valid until the final swap).
         Returns the number of physical partition directories
         rewritten. Driver-side work is O(#versions × #partitions)
-        manifest bookkeeping; data work is one filtered rewrite per
-        affected directory."""
-        published = sorted(
-            int(f[1:-5])
-            for f in os.listdir(self.mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        manifest bookkeeping; data work is ONE union-scan probe job
+        over all referenced directories (the keys broadcast, so the
+        probe is a map-side semi-join with no shuffle) plus ONE
+        partitioned write that rewrites every hit directory — at
+        #versions × #partitions in the hundreds the r7 per-directory
+        probe loop paid one driver round-trip per dir; this is O(1)
+        jobs total. Assumes no concurrent writers for the duration
+        (administrative op, like vacuum)."""
+        published = self._published_versions()
         manifests = {v: self._manifest(v) for v in published}
         # Physical dirs any manifest references: (partition value, ver).
         dirs = {(val, pv) for m in manifests.values() for val, pv in m.items()}
+        if not dirs:
+            return 0
         kdf = keys.select(*key_cols).distinct()
+        # ONE probe job: union-read every referenced dir with basePath
+        # so the partition column (valid in key_cols — r7 ADVICE) and
+        # the physical version come back from directory parsing, then
+        # a broadcast semi-join marks the (partition, version) dirs
+        # that actually hold a matching row.
+        union = (
+            spark.read.option("basePath", self.data)
+            .parquet(*(self._pdir(val, pv) for val, pv in sorted(dirs)))
+        )
+        # Align key types: directory-parsed partition values may infer
+        # a narrower type than the caller's keys frame.
+        kcast = kdf.select(
+            *[
+                F.col(c).cast(union.schema[c].dataType).alias(c)
+                for c in key_cols
+            ]
+        )
+        hits = {
+            (str(r["_pval"]), r["_pv"])
+            for r in (
+                union.join(F.broadcast(kcast), key_cols, "left_semi")
+                .select(
+                    F.col(self.pc).cast("string").alias("_pval"),
+                    F.col("v").alias("_pv"),
+                )
+                .distinct()
+                .collect()
+            )
+        }
+        # Claim one fresh version per hit dir, then rewrite ALL hit
+        # dirs in a single partitioned write: the probe's union frame
+        # is filtered to the hit (partition, version) pairs (partition
+        # pruning — only hit dirs are re-read), the erased keys
+        # anti-joined away map-side, and the physical version column
+        # remapped old->new by expression so ``partitionBy`` fans the
+        # one job out into every target directory at once.
         remap: dict[tuple[str, int], int] = {}
         removed_dirs: list[str] = []
-        for val, pv in sorted(dirs):
-            src = os.path.join(self.data, f"{self.pc}={val}", f"v={pv}")
-            cur = spark.read.parquet(src)
-            hit = cur.join(F.broadcast(kdf), key_cols, "left_semi").limit(1)
-            if not hit.collect():
-                continue  # directory untouched — stays byte-identical
-            kept = cur.join(F.broadcast(kdf), key_cols, "left_anti")
-            nv = self._claim_version()
-            (
-                kept.withColumn(self.pc, F.lit(val))
-                .withColumn("v", F.lit(nv))
-                .write.mode("append")
-                .partitionBy(self.pc, "v")
-                .parquet(self.data)
+        if hits:
+            claimed = {hd: self._claim_version() for hd in sorted(hits)}
+            ptype = union.schema[self.pc].dataType
+            hit_cond = None
+            nv_expr = F.col("v")
+            for (val, pv), nv in claimed.items():
+                # Literals cast to the partition column's parsed type:
+                # the comparison stays a plain partition-filter, so
+                # only the hit directories are re-read.
+                cond = (F.col(self.pc) == F.lit(val).cast(ptype)) & (
+                    F.col("v") == F.lit(pv)
+                )
+                hit_cond = cond if hit_cond is None else (hit_cond | cond)
+                nv_expr = F.when(cond, F.lit(nv)).otherwise(nv_expr)
+            kept = (
+                union.filter(hit_cond)
+                .withColumn("v", nv_expr)
+                .join(F.broadcast(kcast), key_cols, "left_anti")
             )
-            dst = os.path.join(self.data, f"{self.pc}={val}", f"v={nv}")
-            remap[(val, pv)] = nv if os.path.isdir(dst) else -1
-            removed_dirs.append(src)
+            kept.write.mode("append").partitionBy(self.pc, "v").parquet(self.data)
+            for (val, pv), nv in claimed.items():
+                remap[(val, pv)] = (
+                    nv if os.path.isdir(self._pdir(val, nv)) else -1
+                )
+                removed_dirs.append(self._pdir(val, pv))
         # Republish every manifest with repointed (or dropped, if the
         # rewrite emptied the directory) partitions, then drop originals.
         for v, m in manifests.items():
@@ -285,11 +439,11 @@ class SnapshotStore:
                 nv = remap.get((val, pv), pv)
                 if nv != -1:  # -1 == rewrite emptied the directory
                     new_m[val] = nv
+            doc = self._manifest_doc(v)
+            doc["partitions"] = new_m
             tmp = self._mpath(v) + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump(
-                    {"version": v, "partitions": new_m}, fh, sort_keys=True
-                )
+                json.dump(doc, fh, sort_keys=True)
             os.replace(tmp, self._mpath(v))  # in-place swap, atomic
         import shutil
 
@@ -298,12 +452,24 @@ class SnapshotStore:
         return len(removed_dirs)
 
     # ------------------------------------------------------ vacuum
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, orphan_grace_sec: float = 86400.0
+    ) -> list[str]:
         """Garbage-collect data directories no retained manifest
         references: expired-version data (time travel keeps the last
         ``retain_last`` published versions) and orphans from crashed
         commits (a claimed version with no manifest). Returns the
         deleted ``<pc>=<val>/v=<N>`` relative paths.
+
+        An UNPUBLISHED version is indistinguishable from an IN-FLIGHT
+        commit by layout alone — a live writer has claimed its version
+        and is writing ``v=<N>`` dirs that no manifest references YET
+        (r7 ADVICE: vacuuming those leaves the about-to-publish
+        manifest dangling). So, Iceberg's orphan-file age threshold:
+        an unpublished version's dirs are only collected once its
+        ``.claim`` marker is older than ``orphan_grace_sec`` (default
+        24h — far beyond any commit's write+publish window; pass 0
+        only when no writer can be live).
 
         Mirrors Iceberg's expire-snapshots/orphan-file split: manifest
         JSONs for expired versions are removed too, so
@@ -313,26 +479,34 @@ class SnapshotStore:
         be reused even after a vacuum."""
         import shutil
 
-        published = sorted(
-            int(f[1:-5])
-            for f in os.listdir(self.mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        published = self._published_versions()
         retained = published[-retain_last:] if retain_last > 0 else []
         live: set[tuple[str, int]] = set()
         for v in retained:
             live.update((val, pv) for val, pv in self._manifest(v).items())
+        now = time.time()
+        in_flight: set[int] = set()
+        for f in os.listdir(self.mdir):
+            if not f.endswith(".claim"):
+                continue
+            ver = int(f[1:-11])  # v<N>.json.claim
+            if ver in published:
+                continue  # published — not in flight
+            age = now - os.path.getmtime(os.path.join(self.mdir, f))
+            if age < orphan_grace_sec:
+                in_flight.add(ver)
         deleted = []
         prefix = f"{self.pc}="
         for d in sorted(os.listdir(self.data)):
             if not d.startswith(prefix):
                 continue
-            val = d[len(prefix):]
+            val = _unescape_partition(d[len(prefix):])
             pdir = os.path.join(self.data, d)
             for vd in sorted(os.listdir(pdir)):
                 if not vd.startswith("v="):
                     continue
-                if (val, int(vd[2:])) not in live:
+                ver = int(vd[2:])
+                if (val, ver) not in live and ver not in in_flight:
                     shutil.rmtree(os.path.join(pdir, vd))
                     deleted.append(os.path.join(d, vd))
         for f in os.listdir(self.mdir):
@@ -350,17 +524,28 @@ class SnapshotStore:
         """Read snapshot ``version`` (default: latest). Resolves the
         manifest to leaf dirs so Spark scans exactly the committed
         files; ``basePath`` restores the partition column and keeps
-        partition pruning live for downstream filters."""
+        partition pruning live for downstream filters. A version whose
+        manifest holds no partitions (every row deleted or redacted)
+        returns an EMPTY frame with the schema stored in the manifest
+        (r7 ADVICE — the time-travel contract says every version stays
+        readable); a MISSING manifest (never published, or expired by
+        vacuum) still fails loudly with FileNotFoundError."""
         v = self.latest_version() if version is None else version
-        manifest = self._manifest(v)
+        doc = self._manifest_doc(v)
+        manifest = doc["partitions"]
         if partition_values is not None:
             manifest = {k: manifest[k] for k in partition_values}
         dirs = [
-            os.path.join(self.data, f"{self.pc}={val}", f"v={pv}")
-            for val, pv in sorted(manifest.items())
+            self._pdir(val, pv) for val, pv in sorted(manifest.items())
         ]
         if not dirs:
-            raise ValueError(f"snapshot v{v} is empty")
+            schema_json = doc.get("schema")
+            if schema_json is None:
+                raise ValueError(
+                    f"snapshot v{v} is empty and carries no schema"
+                )
+            schema = StructType.fromJson(json.loads(schema_json))
+            return spark.createDataFrame([], schema)
         return (
             spark.read.option("basePath", self.data).parquet(*dirs).drop("v")
         )

@@ -162,8 +162,8 @@ def test_vacuum_expires_history_and_orphans(spark, tmp_path):
     # Retain the last TWO published snapshots — v2 {a:2, b:1} and
     # v4 {a:2, b:4}; the v3 claim gap doesn't eat the retention
     # budget. Live dirs: a@v2, b@v1, b@v4. Collectible: a@v1 and the
-    # v3 orphan.
-    deleted = store.vacuum(retain_last=2)
+    # v3 orphan (grace 0: the crashed commit's claim is "old enough").
+    deleted = store.vacuum(retain_last=2, orphan_grace_sec=0.0)
     assert _rows(store.read(spark, v4)) == [(1, "a", 11), (3, "b", 31)]
     assert _rows(store.read(spark, 2)) == [(1, "a", 11), (3, "b", 30)]
     assert os.path.join("p=a", "v=3") in deleted
@@ -237,3 +237,143 @@ def test_redact_drops_partition_emptied_in_every_version(spark, tmp_path):
     # version still reads (just without the erased row).
     assert _rows(store.read(spark, 1)) == [(3, "b", 30)]
     assert "a" not in store._manifest(1)
+
+
+def test_vacuum_grace_protects_in_flight_commit(spark, tmp_path):
+    # r7 ADVICE: a claimed-but-unpublished version may be a LIVE
+    # writer mid-commit — its freshly written dirs must survive a
+    # racing vacuum until the claim outlives the grace period.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    # Simulate an in-flight commit: claim v2 and write its data dir,
+    # manifest not yet published.
+    v = store._claim_version()
+    assert v == 2
+    store._write(_mk(spark, [(2, "a", 20)]), v)
+    inflight = os.path.join(store.data, "p=a", "v=2")
+    assert os.path.isdir(inflight)
+
+    deleted = store.vacuum(retain_last=1)  # default 24h grace
+    assert deleted == []
+    assert os.path.isdir(inflight)
+    # The writer can still publish and the snapshot reads whole.
+    store._publish(v, {"a": v}, base_version=1)
+    assert _rows(store.read(spark, 2)) == [(2, "a", 20)]
+    # Once the claim is stale (grace 0), an UNpublished claim's dirs
+    # would be collectible — but v2 published, so nothing to collect.
+    assert store.vacuum(retain_last=2, orphan_grace_sec=0.0) == []
+
+
+def test_concurrent_upsert_lost_update_detected(spark, tmp_path):
+    # r8 ADVICE (medium): two writers basing on the same manifest must
+    # not both publish — whichever lands second would silently drop
+    # the other's partition pointers. The CAS publish check raises
+    # ConcurrentWriteError instead; a retry against the new latest
+    # version succeeds and preserves both writes.
+    import pytest
+
+    from karna_spark.io.snapshots import ConcurrentWriteError
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))  # v1
+
+    # Writer A claims v2 (base v1) but hasn't published yet; writer B
+    # claims v3 (base v1), writes, and publishes first.
+    va = store._claim_version()
+    prev_a = store.latest_version()
+    written_a = store._write(_mk(spark, [(1, "a", 11)]), va)
+    vb = store.upsert(spark, _mk(spark, [(3, "b", 31)]), ["k"])
+    assert vb == 3
+
+    # A's publish is now stale — it must refuse, not drop B's b->3.
+    manifest_a = {"a": va, "b": 1}
+    with pytest.raises(ConcurrentWriteError):
+        store._publish(va, manifest_a, base_version=prev_a)
+    # B's commit is intact and A's data files are mere orphans.
+    assert _rows(store.read(spark)) == [(1, "a", 10), (3, "b", 31)]
+    assert written_a == ["a"]
+    # A retries against the new latest; both writes now visible.
+    v4 = store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])
+    assert _rows(store.read(spark, v4)) == [(1, "a", 11), (3, "b", 31)]
+
+
+def test_escaped_partition_values_roundtrip(spark, tmp_path):
+    # r8 ADVICE (low): partition values Spark %XX-escapes in dir names
+    # (':' and '=' here) must round-trip raw through manifest keys —
+    # the r7 code published the ESCAPED name as a new key while
+    # keeping the old pointer, double-serving the partition's rows.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    weird = "a:b=c"
+    store.commit(_mk(spark, [(1, weird, 10), (3, "plain", 30)]))
+    assert sorted(store._manifest(1)) == [weird, "plain"]
+    v2 = store.upsert(spark, _mk(spark, [(1, weird, 11)]), ["k"])
+    # One key, repointed — not duplicated under an escaped alias.
+    assert sorted(store._manifest(v2)) == [weird, "plain"]
+    assert store._manifest(v2)[weird] == v2
+    assert _rows(store.read(spark, v2)) == [(1, weird, 11), (3, "plain", 30)]
+    # Time travel, pruned read, vacuum all resolve the escaped dir.
+    assert _rows(store.read(spark, 1, partition_values=[weird])) == [(1, weird, 10)]
+    deleted = store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    assert any("v=1" in d for d in deleted)
+    assert _rows(store.read(spark, v2)) == [(1, weird, 11), (3, "plain", 30)]
+
+
+def test_null_partition_value_rejected(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    bad = spark.createDataFrame([Row(k=2, p=None, val=20)], "k int, p string, val int")
+    with pytest.raises(ValueError, match="NULL partition value"):
+        store.upsert(spark, bad, ["k"])
+
+
+def test_redact_with_partition_column_in_keys(spark, tmp_path):
+    # r8 ADVICE (low): key_cols may legitimately include the partition
+    # column (upsert/apply_changes key on it); redact must read leaf
+    # dirs with basePath so the join doesn't fail on a missing column.
+    from pyspark.sql import Row
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (1, "b", 30), (2, "a", 20)]))
+    keys = spark.createDataFrame([Row(k=1, p="a")])
+    n = store.redact(spark, ["k", "p"], keys)
+    assert n == 1  # only p=a/v=1 rewritten; (1, b) survives
+    assert _rows(store.read(spark, 1)) == [(1, "b", 30), (2, "a", 20)]
+
+
+def test_redact_fully_emptied_version_reads_as_zero_rows(spark, tmp_path):
+    # r8 ADVICE (low): redacting every row of a version must leave the
+    # version readable as an empty frame with the committed schema —
+    # not raise — per redact's own time-travel contract.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    store.redact(spark, ["k"], _mk(spark, [(1, "x", 0), (2, "x", 0)]).select("k"))
+    got = store.read(spark, 1)
+    assert got.count() == 0
+    assert sorted(got.columns) == ["k", "p", "val"]
+
+
+def test_redact_probe_is_one_job_not_one_per_dir(spark, tmp_path):
+    # r7 verdict: redact must launch O(hits) jobs after ONE batched
+    # probe, not one probe job per referenced directory. Eight
+    # referenced dirs, one hit: job count must stay far below the
+    # per-dir regime (>= 9 jobs before the batching).
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(i, p, i) for i in (1, 2) for p in "abcd"]))  # v1: 4 dirs
+    store.upsert(spark, _mk(spark, [(9, p, 9) for p in "abcd"]), ["k"])   # v2: 4 dirs
+    sc = spark.sparkContext
+    sc.setJobGroup("redact-probe", "job-count audit")
+    try:
+        n = store.redact(spark, ["k"], _mk(spark, [(9, "x", 0)]).select("k"))
+        jobs = sc.statusTracker().getJobIdsForGroup("redact-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert n == 4  # k=9 lives in all four v=2 dirs
+    # Constant-job regime: footer/listing + broadcast + probe-collect
+    # + ONE partitioned rewrite write (a handful of AQE sub-jobs),
+    # independent of both #dirs and #hits. Measured 8 on local[32];
+    # the pre-batching shape paid >= 8 probe jobs before any rewrite
+    # and ~4 more per hit (21 total on this exact store).
+    assert len(jobs) <= 9, jobs
