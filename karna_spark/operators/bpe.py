@@ -104,9 +104,17 @@ def learn_bpe(
     word→tokens lookup a corpus tokenizer joins against (the caller
     owns unpersisting its `_karna_persisted` handle).
     """
+    # ONE Spark job per merge: the pair-count argmax is the only
+    # action, and it doubles as the materializer of the current
+    # iteration's persisted symbol frame. The PREVIOUS frame stays
+    # persisted ("pending") until the argmax proves its successor is
+    # fully cached — only then is it dropped, so no unpersist can ever
+    # force a lineage replay back through earlier merges. (The r7
+    # shape paid an extra count() job per iteration to materialize
+    # eagerly — at the 200-merge bench depth that doubled wall time.)
     syms = _initial_symbols(wf).persist(StorageLevel.MEMORY_AND_DISK)
-    syms.count()
-    cached = syms
+    cached = syms    # persisted frame backing `syms`
+    pending = None   # predecessor frame awaiting safe release
     merges: list[tuple[int, str, str, str, int]] = []
     try:
         for it in range(num_merges):
@@ -127,6 +135,11 @@ def learn_bpe(
                 .limit(1)
                 .collect()
             )
+            # The argmax consumed every partition of `syms` — its
+            # persist is materialized; the predecessor can go.
+            if pending is not None:
+                pending.unpersist()
+                pending = None
             if not best or best[0]["cnt"] < min_pair_freq:
                 break
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
@@ -135,18 +148,25 @@ def learn_bpe(
             if (it + 1) % checkpoint_every == 0:
                 new_syms = new_syms.localCheckpoint(eager=False)
             new_syms = new_syms.persist(StorageLevel.MEMORY_AND_DISK)
-            new_syms.count()
-            cached.unpersist()
+            pending = cached
             cached = new_syms
             syms = new_syms
     except BaseException:
+        if pending is not None:
+            pending.unpersist()
         cached.unpersist()
         raise
     if return_symbols:
-        # Hand the persisted final tokenization to the caller; the
-        # release contract rides on the frame (operators/dedup.py).
+        # Materialize the final tokenization before releasing its
+        # predecessor, then hand the persisted frame to the caller;
+        # the release contract rides on it (operators/dedup.py).
+        if pending is not None:
+            syms.count()
+            pending.unpersist()
         syms._karna_persisted = [cached]  # type: ignore[attr-defined]
         return merges, syms
+    if pending is not None:
+        pending.unpersist()
     cached.unpersist()
     return merges
 

@@ -637,9 +637,29 @@ def test_learn_bpe_matches_reference(spark):
 
     docs = table(spark, "/root/testdata/sf0.001", "documents").limit(120)
     wf = word_frequencies(docs)
-    expected = reference_bpe(
-        {r["w"]: r["freq"] for r in wf.collect()}, num_merges=12
-    )
+    freqs = {r["w"]: r["freq"] for r in wf.collect()}
+    expected = reference_bpe(freqs, num_merges=12)
     got = learn_bpe(wf, num_merges=12)
     assert got == expected
     assert len(got) > 0  # the fixture corpus actually yields merges
+
+
+def test_learn_bpe_matches_reference_deep(spark):
+    """r8 depth: the differential must stay EXACT at tokenizer-scale
+    merge counts (the bench anchor runs 200; 60 here keeps the pure-
+    Python replay fast) — late merges exercise long-chain symbols,
+    checkpoint boundaries, and tie-breaks the first dozen never hit."""
+    from karna_spark.operators.bpe import (
+        learn_bpe,
+        reference_bpe,
+        word_frequencies,
+    )
+    from karna_spark.queries.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    wf = word_frequencies(docs)
+    freqs = {r["w"]: r["freq"] for r in wf.collect()}
+    expected = reference_bpe(freqs, num_merges=60)
+    got = learn_bpe(wf, num_merges=60)
+    assert got == expected
+    assert len(got) >= 40  # deep enough to cross checkpoint boundaries
