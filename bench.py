@@ -57,7 +57,36 @@ HEADLINE = [
     "source_cdc_apply",
     "streaming_snapshot_rollup",
     "sample_weighted_pps",
+    # r8: the mergeable-sketch rollup workhorses (new perf baselines —
+    # the 100 TB rollup layer leans on these)
+    "agg_hll_mergeable_rollup",
+    "agg_theta_set_algebra",
 ]
+
+
+def run_bpe_anchor(spark, sf_dir: str) -> float:
+    """Tokenizer-depth BPE anchor: learn 200 merges from the sf corpus
+    (the r7 query runs a toy 20). Each merge is one distributed
+    pair-count aggregate over the |vocab| frame + a 1-row argmax
+    collect, so this measures per-iteration cost at real tokenizer
+    scale — the number to watch round-over-round. Timed once (no
+    cold/warm split: the first merges ARE the warmup; a second 200-job
+    pass would double bench wall-clock for no signal). Prints
+    merges-learned + per-merge seconds to stderr."""
+    from karna_spark.operators.bpe import learn_bpe, word_frequencies
+    from karna_spark.queries.registry import table
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    wf = word_frequencies(table(spark, sf_dir, "documents"))
+    merges = learn_bpe(wf, num_merges=200)
+    sec = round(time.perf_counter() - t0, 3)
+    print(
+        f"text_bpe_merges_200: {len(merges)} merges learned, "
+        f"{sec / max(len(merges), 1):.3f} s/merge",
+        file=sys.stderr,
+    )
+    return sec
 
 
 def run_skew_anchor(spark, sf_dir: str) -> float:
@@ -186,6 +215,9 @@ def main() -> None:
     spark.catalog.clearCache()
     skew_sec = run_skew_anchor(spark, sf_dir)
     cold["skew_join_aqe"] = per_query["skew_join_aqe"] = skew_sec
+    # 200-merge BPE depth anchor (r8): single-run like the skew probe.
+    bpe_sec = run_bpe_anchor(spark, sf_dir)
+    cold["text_bpe_merges_200"] = per_query["text_bpe_merges_200"] = bpe_sec
     load_after = os.getloadavg()
 
     total = round(sum(per_query.values()), 3)

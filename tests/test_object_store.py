@@ -66,3 +66,37 @@ def test_s3_uri_shapes():
     # Leading slashes must not produce s3a://bucket//path.
     assert s3_uri("bucket", "/a/b/c.parquet") == "s3a://bucket/a/b/c.parquet"
     assert s3_uri("bucket", "dir/part=1/f.pq") == "s3a://bucket/dir/part=1/f.pq"
+
+
+def test_read_table_through_non_file_scheme_end_to_end(spark, tmp_path):
+    """S4 behavior test (r7 verdict item 6): exercise read_table and
+    write_table through a NON-file: URI scheme end to end. The sandbox
+    has no S3 endpoint (and no hadoop-aws jars), but Spark's Hadoop
+    filesystem abstraction is scheme-dispatched — the bundled viewfs://
+    filesystem mounts an arbitrary target URI behind its own scheme, so
+    the whole path-resolution → FileSystem.get → open/list/rename
+    machinery an object-store read exercises runs for real here, with
+    only the innermost byte transport differing from S3A."""
+    from karna_spark.catalog import read_table
+    from karna_spark.io.sinks import write_table
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "fs.viewfs.mounttable.karnatest.link./warehouse",
+        "file://" + str(tmp_path),
+    )
+    base = "viewfs://karnatest/warehouse"
+
+    src = spark.range(100).selectExpr("id", "id % 7 AS grp")
+    write_table(src, f"{base}/tbl.parquet")
+    got = read_table(spark, f"{base}/tbl.parquet")
+    assert got.count() == 100
+    assert sorted(got.columns) == ["grp", "id"]
+    # Format dispatch by extension works through the scheme too.
+    write_table(src, f"{base}/tbl.csv", fmt="csv")
+    csv = read_table(spark, f"{base}/tbl.csv")
+    assert csv.count() == 100
+    # And the files really landed under the mounted local target.
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "tbl.parquet" / "*.parquet"))
