@@ -310,6 +310,113 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_lsh_incremental_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch (``delta``)
+    against the existing corpus (``base``) AND against itself, without
+    ever recomparing base-base pairs — the steady-state ingest pattern
+    at 100 TB (you dedup each arriving batch against the corpus; you
+    do not re-dedup the corpus per ingest).
+
+    Join topology is the production one: only the delta side's band
+    keys sit on the probe side of the (band, band_hash) equi-join, so
+    per-ingest candidate cost scales with |delta| × bucket occupancy —
+    never |corpus|² and never |corpus| × |delta| (non-colliding
+    buckets don't pair). In production the corpus signatures are
+    precomputed once and stored (e.g. a SnapshotStore table keyed by
+    id, appended per ingest); here they are derived in-job from
+    ``base`` because the fixture has no signature store — the banded
+    join and verify are identical either way.
+
+    Output: (new_id, match_id, jaccard ≥ threshold) with new_id from
+    ``delta``; match_id ranges over base ∪ delta, and delta-delta
+    pairs appear once (match_id < new_id). Exact-Jaccard verification
+    runs only on colliding candidates, as in
+    :func:`minhash_lsh_pairs` (same S-curve contract: default 16×4
+    puts the knee at 0.5)."""
+    rows_per_band = num_perm // bands
+    src = (
+        base.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            delta.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("text")
+            ).withColumn("is_new", F.lit(True))
+        )
+        # Docs shorter than one shingle can't match anything.
+        .filter(F.size(F.split(F.col("text"), r"\s+")) >= shingle_n)
+    )
+    sc = base.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism, "id")
+    # Two consumers (signatures, verify re-shingle) — persist once.
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    sig_udf = minhash_signature_text_udf(num_perm, shingle_n)
+    sig = src.select(
+        "id", "is_new", sig_udf(F.col("text")).alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    banded = sig.select(
+        "id",
+        "is_new",
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band", "band_hash"
+        ),
+    )
+    probe = banded.filter(F.col("is_new")).select(
+        "band", "band_hash", F.col("id").alias("new_id")
+    )
+    build = banded.select(
+        "band", "band_hash", F.col("id").alias("match_id"), "is_new"
+    )
+    cands = (
+        probe.join(build, ["band", "band_hash"])
+        # base matches pair in any id order; delta-delta pairs only
+        # once and never self-pairs.
+        .filter(
+            F.when(F.col("is_new"), F.col("match_id") < F.col("new_id"))
+            .otherwise(F.col("match_id") != F.col("new_id"))
+        )
+        .select("new_id", "match_id")
+        .dropDuplicates(["new_id", "match_id"])
+    )
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    cands_persisted = cands
+    cands.count()  # cache barrier before the three consumers below
+    need = (
+        cands.select(F.col("new_id").alias("id"))
+        .union(cands.select(F.col("match_id").alias("id")))
+        .distinct()
+    )
+    sh = src.join(need, "id", "left_semi").select(
+        "id", word_ngrams(F.col("text"), shingle_n).alias("shingles")
+    )
+    verified = (
+        cands.join(
+            sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("match_id"), F.col("shingles").alias("sh_b")
+            ),
+            "match_id",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "match_id", "jaccard")
+    )
+    verified._karna_persisted = [cands_persisted, src]  # type: ignore[attr-defined]
+    return verified
+
+
 def release_intermediates(result: DataFrame, blocking: bool = False) -> None:
     """Unpersist the cached intermediates of an operator result.
 

@@ -52,6 +52,9 @@ from karna_spark.queries import (  # noqa: F401,E402
 # within the 4-round floor. scripts/rotation_check.py audits this
 # mechanically; run it after any reorder here.
 _PRIORITY: tuple[str, ...] = (
+    # (a) no driver row yet: the two r8-born queries (incremental
+    # MinHash ingest dedup J18, embedding centroid drift F23).
+    "dedup_incremental_minhash", "vector_centroid_drift",
     # (c) the 34 r4-stale rows — due this round or the floor breaks.
     # UDx + streaming first (the families the r7 verdict called out),
     "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
@@ -74,17 +77,17 @@ _PRIORITY: tuple[str, ...] = (
     # remaining r4 stragglers,
     "q11_important_parts", "sample_systematic", "sliding_window_agg",
     "text_fingerprint", "text_quality", "text_token_counts",
-    # (16 slots left) the oldest r5 rows in registry order — TPC-H
-    # head; the remaining 33 r5 rows lead r9.
+    # (14 slots left) the oldest r5 rows in registry order — TPC-H
+    # head; the remaining 35 r5 rows lead r9.
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_type_profit",
     "q12_shipping_delay_class", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_discounted_revenue",
+    "q17_small_quantity_revenue",
     # ---- 50-cap boundary: everything below is r9's (c) head ----
+    "q18_large_volume_customers", "q19_discounted_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
     "q16_supplier_relation_count", "projection_expressions",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from karna_spark.operators.dedup import (
     blocked_jaccard_pairs,
     embedding_near_dup_pairs,
+    minhash_lsh_incremental_pairs,
     minhash_lsh_pairs,
     simhash_near_dup_pairs,
 )
@@ -90,6 +91,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", threshold=0.5, num_perm=64, bands=16, shingle_n=2
+    )
+
+
+@register_query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SQL_BIGRAMS} AS sh FROM documents
+    )
+    SELECT d.doc_id AS new_id, o.doc_id AS match_id,
+           len(list_intersect(d.sh, o.sh))::DOUBLE
+             / len(list_distinct(list_concat(d.sh, o.sh))) AS jaccard
+    FROM s d JOIN s o
+      ON d.doc_id % 10 = 0
+     AND o.doc_id <> d.doc_id
+     AND (o.doc_id % 10 <> 0 OR o.doc_id < d.doc_id)
+    WHERE len(list_intersect(d.sh, o.sh))::DOUBLE
+            / len(list_distinct(list_concat(d.sh, o.sh))) >= 0.5
+    """,
+    tags="J18 J9 F7",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18: incremental-ingest dedup — the NEW batch (doc_id ≡ 0 mod
+    10, ~10% of the corpus) is matched against the existing corpus and
+    itself at Jaccard ≥ 0.5, WITHOUT recomparing corpus-corpus pairs:
+    only delta band keys probe the banded LSH join
+    (operators/dedup.py minhash_lsh_incremental_pairs), so per-ingest
+    cost scales with the batch, not the corpus — the steady-state
+    pattern a 100 TB pipeline actually runs per arrival. Oracle =
+    exact all-pairs Jaccard restricted to delta×(base ∪ earlier
+    delta); agreement holds for the same S-curve reasons as
+    `dedup_minhash_lsh` (true pairs at s ≥ 0.9, banded recall
+    1-(1-s⁴)¹⁶ ≥ 1-4e-8)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_incremental_pairs(
+        base, delta, "doc_id", "text",
+        threshold=0.5, num_perm=64, bands=16, shingle_n=2,
     )
 
 

@@ -22,6 +22,87 @@ EMB_DIM = 64
 
 
 @register_query(
+    "vector_centroid_drift",
+    oracle="""
+    WITH u AS (
+      SELECT label, vec_id % 2 = 0 AS is_old,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT label, is_old, dim,
+             CAST(round((CAST(v AS DOUBLE) + 2.0) * 1000.0) AS BIGINT) AS vq
+      FROM u
+    ),
+    per_dim AS (
+      SELECT label, dim,
+             SUM(CASE WHEN is_old THEN vq ELSE 0 END) AS s_old,
+             SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_old,
+             SUM(CASE WHEN NOT is_old THEN vq ELSE 0 END) AS s_new,
+             SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS n_new
+      FROM q GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(MAX(n_old) AS BIGINT) AS n_old,
+           CAST(MAX(n_new) AS BIGINT) AS n_new,
+           CAST(SUM(
+             ((1000 * s_old) // n_old - (1000 * s_new) // n_new)
+             * ((1000 * s_old) // n_old - (1000 * s_new) // n_new)
+           ) AS BIGINT) AS drift_ssq
+    FROM per_dim
+    WHERE n_old > 0 AND n_new > 0
+    GROUP BY label
+    """,
+    tags="F23 A1 F8",
+)
+def vector_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23: embedding distribution-drift monitor — squared L2 distance
+    between per-label centroids of two corpus slices (old = even
+    vec_id, new = odd), the pipeline check that catches an embedding
+    model or data-mix change between ingests. Integer-exact end to
+    end so the answer is identical on any engine, any partitioning:
+    elements are offset (+2, making them positive) and quantized to
+    e3 integers; per-dim quantized means use truncating integer
+    division (exact; positive operands make floor == truncate on both
+    engines); the drift is the BIGINT sum of squared mean deltas —
+    bounded by dims × (3·10⁶)² regardless of corpus size, so no
+    overflow at any scale. Plan: one posexplode (map-side ×64) into a
+    two-phase (label, dim) aggregate — shuffle carries ≤
+    |labels|×dims rows; the final per-label reduce is metadata-scale.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_old"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "is_old",
+        "dim",
+        F.round((F.col("v").cast("double") + F.lit(2.0)) * F.lit(1000.0))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_old"), F.col("vq")).otherwise(0)).alias("s_old"),
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), F.col("vq")).otherwise(0)).alias("s_new"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("n_new"),
+    )
+    delta = (F.expr("(1000 * s_old) div n_old") - F.expr("(1000 * s_new) div n_new"))
+    return (
+        per_dim.filter((F.col("n_old") > 0) & (F.col("n_new") > 0))
+        .groupBy("label")
+        .agg(
+            F.max("n_old").cast("bigint").alias("n_old"),
+            F.max("n_new").cast("bigint").alias("n_new"),
+            F.sum(delta * delta).cast("bigint").alias("drift_ssq"),
+        )
+    )
+
+
+@register_query(
     "vector_ops",
     oracle="""
     SELECT vec_id,

@@ -38,6 +38,45 @@ def test_minhash_lsh_finds_planted_dups(spark):
         assert a >= 100 or b >= 100 or a != b
 
 
+def test_minhash_incremental_matches_delta_only(spark):
+    """Incremental ingest dedup: split the planted-dups corpus into
+    base (ids < 100) and delta (ids >= 100); every planted pair must
+    surface as (new_id, match_id), base-base pairs must never appear,
+    and the result must agree with full-corpus LSH restricted to
+    pairs touching the delta."""
+    from karna_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    df, expected = _docs_with_near_dups(spark)
+    base = df.filter(F.col("doc_id") < 100)
+    delta = df.filter(F.col("doc_id") >= 100)
+    got = {
+        (r.new_id, r.match_id)
+        for r in minhash_lsh_incremental_pairs(
+            base, delta, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert {(b, a) for a, b in expected} <= got
+    for new_id, match_id in got:
+        assert new_id >= 100, "non-delta id on the new side"
+        assert match_id < 100 or match_id < new_id
+    # Differential vs the certified full-corpus operator: identical
+    # pair set once restricted to pairs that touch the delta.
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    full_delta = {
+        (max(a, b), min(a, b)) if (a >= 100 and b >= 100) else
+        ((a, b) if a >= 100 else (b, a))
+        for a, b in full
+        if a >= 100 or b >= 100
+    }
+    assert got == full_delta
+
+
 def test_minhash_signature_elements_differ(spark):
     """Regression: each permutation must use its own seed (a broken
     seed binding makes all 64 signature elements identical)."""

@@ -99,7 +99,11 @@ def test_partition_pruning(spark):
 def test_lsh_join_is_equi_not_cross(spark):
     # The whole point of LSH banding: the candidate join is an
     # equi-join on the band key, never an all-pairs product.
-    for name in ("dedup_minhash_lsh", "similarity_topk_lsh"):
+    for name in (
+        "dedup_minhash_lsh",
+        "similarity_topk_lsh",
+        "dedup_incremental_minhash",
+    ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
 
