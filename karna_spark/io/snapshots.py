@@ -80,6 +80,28 @@ def _unescape_partition(name: str) -> str:
     return "".join(out)
 
 
+def with_commit_retries(op, retries: int = 3, backoff_sec: float = 0.05):
+    """Iceberg-style commit-retry loop for CAS-validated writes.
+
+    ``op`` is a zero-argument callable performing ONE write attempt
+    (e.g. ``lambda: store.upsert(spark, delta, keys)``). On
+    :class:`ConcurrentWriteError` the attempt is repeated — upsert/
+    apply_changes re-read the latest manifest on every call, so a
+    retry bases itself on the racer's published version and both
+    writes land. The failed attempt's data files are unreferenced
+    orphans (vacuum collects them once their claim ages out). Raises
+    the last ConcurrentWriteError after ``retries`` retries."""
+    attempt = 0
+    while True:
+        try:
+            return op()
+        except ConcurrentWriteError:
+            if attempt >= retries:
+                raise
+            attempt += 1
+            time.sleep(backoff_sec * attempt)
+
+
 class SnapshotStore:
     """Versioned partitioned parquet table rooted at ``root``."""
 

@@ -289,16 +289,24 @@ def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") * 100 + F.dayofmonth("ts")).alias("ud"),
         F.dayofmonth("ts").alias("d"),
     )
-    row = ev.agg(
+    # One map-combinable groupBy(ud) replaces five COUNT(DISTINCT ...)
+    # in a single Aggregate — Spark plans multi-distinct as an Expand
+    # that pushes n_distincts × the corpus through the shuffle; here
+    # the shuffle carries one row per distinct user-day instead (and
+    # ud encodes its day, so every period/algebra membership is a
+    # function of that one row). The theta inputs are the same SETS as
+    # before (sketches are duplicate-insensitive), so estimates, exact
+    # counts, and gate booleans are identical. Measured 1.56s → ~0.8s
+    # warm at sf0.1; at 100 TB it removes a 5× shuffle expansion.
+    per_ud = ev.groupBy("ud").agg(F.max("d").alias("d"))
+    row = per_ud.agg(
         F.expr("theta_sketch_agg(CASE WHEN d <= 20 THEN ud END)").alias("s1"),
         F.expr("theta_sketch_agg(CASE WHEN d >= 11 THEN ud END)").alias("s2"),
-        F.count_distinct(F.expr("CASE WHEN d <= 20 THEN ud END")).alias("e1"),
-        F.count_distinct(F.expr("CASE WHEN d >= 11 THEN ud END")).alias("e2"),
-        F.count_distinct("ud").alias("eu"),
-        F.count_distinct(
-            F.expr("CASE WHEN d BETWEEN 11 AND 20 THEN ud END")
-        ).alias("ei"),
-        F.count_distinct(F.expr("CASE WHEN d <= 10 THEN ud END")).alias("ed"),
+        F.sum((F.col("d") <= 20).cast("long")).alias("e1"),
+        F.sum((F.col("d") >= 11).cast("long")).alias("e2"),
+        F.count(F.lit(1)).alias("eu"),
+        F.sum(F.col("d").between(11, 20).cast("long")).alias("ei"),
+        F.sum((F.col("d") <= 10).cast("long")).alias("ed"),
     ).selectExpr(
         "theta_sketch_estimate(s1) AS est1",
         "theta_sketch_estimate(s2) AS est2",

@@ -377,3 +377,45 @@ def test_redact_probe_is_one_job_not_one_per_dir(spark, tmp_path):
     # the pre-batching shape paid >= 8 probe jobs before any rewrite
     # and ~4 more per hit (21 total on this exact store).
     assert len(jobs) <= 9, jobs
+
+
+def test_with_commit_retries_lands_both_racing_writes(spark, tmp_path):
+    # The commit-retry loop completes the CAS story: a write that
+    # loses the race retries against the racer's published version,
+    # so BOTH writes land (Iceberg's commit-retry semantics). The
+    # race is staged deterministically: writer A's first attempt has
+    # writer B publish between A's manifest read and A's publish.
+    from karna_spark.io.snapshots import (
+        ConcurrentWriteError,
+        with_commit_retries,
+    )
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))  # v1
+    attempts = []
+
+    def racing_upsert():
+        attempts.append(1)
+        if len(attempts) == 1:
+            # First attempt: replay the loss manually — claim, write,
+            # then B publishes, then A's CAS publish must refuse.
+            va = store._claim_version()
+            prev = store.latest_version()
+            store._write(_mk(spark, [(1, "a", 11)]), va)
+            store.upsert(spark, _mk(spark, [(3, "b", 31)]), ["k"])  # B wins
+            store._publish(va, {"a": va, "b": 1}, base_version=prev)
+            raise AssertionError("CAS publish must have raised")
+        return store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])
+
+    v = with_commit_retries(racing_upsert, retries=2)
+    assert len(attempts) == 2
+    assert _rows(store.read(spark, v)) == [(1, "a", 11), (3, "b", 31)]
+
+    # Exhausted retries re-raise.
+    import pytest
+
+    def always_loses():
+        raise ConcurrentWriteError("staged")
+
+    with pytest.raises(ConcurrentWriteError):
+        with_commit_retries(always_loses, retries=1, backoff_sec=0.0)
