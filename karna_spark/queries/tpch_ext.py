@@ -678,11 +678,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Two-level aggregate instead of two COUNT(DISTINCT) in one pass:
+    # multi-distinct plans as an Expand that pushes 2× lineitem through
+    # the shuffle; reducing to (order, supplier) first moves each line
+    # once, and the second shuffle is per-pair (already order-local
+    # after the first, so AQE coalesces it to near-zero movement).
+    per_pair = li.groupBy(
+        F.col("l_orderkey").alias("po_key"), "l_suppkey"
+    ).agg(F.max("is_late").alias("pair_late"))
+    per_order = per_pair.groupBy("po_key").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("pair_late").alias("n_late_supp"),
     )
     late_lines = li.filter(F.col("is_late") == 1)
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
