@@ -1293,3 +1293,191 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._karna_persisted = getattr(syms, "_karna_persisted", [])  # type: ignore[attr-defined]
     return out
+
+
+@register_query(
+    "sample_mixture_hash_threshold",
+    oracle="""
+    WITH n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source,
+             LEAST(CAST((200 * w * 16777216)
+                        // ((SELECT SUM(w) FROM n) * n_docs) AS BIGINT),
+                   CAST(16777216 AS BIGINT)) AS thr
+      FROM n
+    ),
+    h AS (
+      SELECT doc_id, source,
+             CAST(concat('0x',
+                  substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 6))
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT h.doc_id, h.source, h.h
+    FROM h JOIN t USING (source)
+    WHERE h.h < t.thr
+    """,
+    tags="O6 O11 F9",
+)
+def sample_mixture_hash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11: hash-threshold mixture sampling — the WINDOW-FREE scale
+    path that `sample_temperature_by_lang`'s docstring points at.
+    Target mixture over `source` is exponent-smoothed (alpha = 0.5,
+    the multilingual-LM mixing rule) toward a 200-document budget:
+    per-source acceptance threshold thr_s = floor(B * w_s * H /
+    (S * n_s)) with w_s = isqrt(n_s), S = sum(w_s), H = 16^6; a
+    document is kept iff the first 6 hex digits of a salted md5 of
+    its id fall below its source's threshold. EVERY quantity is
+    integer (isqrt = floor of the IEEE-exact sqrt, BIGINT floor-div),
+    so the accepted set is bit-identical across engines, runs, and
+    reshards — no window, no per-group rank, no skew point: the plan
+    is one tiny per-source aggregate broadcast onto a pure row-local
+    filter. At 100 TB the per-doc cost is one md5 and one broadcast
+    probe; thresholds stay exact because B*w_s*H <= 2e14 << 2^63.
+    Reference surface: karna README data-selection claims
+    (/root/reference/README.md:2); mixing rule per XLM-R (public).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn("w", F.floor(F.sqrt(F.col("n_docs"))).cast("bigint"))
+    )
+    sw = n.agg(F.sum("w").cast("bigint").alias("sw"))
+    thr = n.crossJoin(F.broadcast(sw)).select(
+        "source",
+        F.least(
+            F.expr("(200 * w * 16777216) DIV (sw * n_docs)"),
+            F.lit(16777216).cast("bigint"),
+        ).alias("thr"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("h", h)
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("h") < F.col("thr"))
+        .select("doc_id", "source", "h")
+    )
+
+
+@register_query(
+    "text_boilerplate_strip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, g,
+             array_to_string(arr[g*2+1 : g*2+2], ' ') AS seg
+      FROM (SELECT doc_id, arr,
+                   unnest(range(0, (len(arr)+1)//2)) AS g
+            FROM d)
+    ),
+    boiler AS (
+      SELECT seg FROM s GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= 25
+    ),
+    kept AS (
+      SELECT * FROM s WHERE seg NOT IN (SELECT seg FROM boiler)
+    ),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segs FROM s GROUP BY doc_id
+    ),
+    reb AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+             string_agg(seg, ' ' ORDER BY g) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segs,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.cleaned_text, '') AS cleaned_text
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    tags="F9 F24",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F24: cross-document boilerplate removal (the CCNet paragraph-
+    hash dedup, with deterministic fixed-width segmentation since the
+    fixture corpus has no newlines): chunk each document into
+    non-overlapping 2-word segments, compute each segment's document
+    frequency, strip segments appearing in >= 25 DISTINCT documents
+    (headers/footers/nav chrome in a real crawl), and reassemble the
+    surviving segments in order — emitting per-doc segment counts and
+    the cleaned text itself so the check certifies content, not just
+    counts. Plan: one explode -> (seg, doc) distinct -> tiny
+    boilerplate set BROADCAST into a left_anti probe (no shuffle of
+    the corpus against the set), then one per-doc groupBy whose
+    array_sort(collect_list(struct(g, seg))) rebuilds order without
+    a window. At 100 TB the exploded-segment aggregate is the same
+    shape as the certified posting-gram ops (queries/dedup.py) and
+    the boilerplate set stays broadcastable BY CONSTRUCTION — high-df
+    segments are few (df >= K caps the set at n_segs/K). A doc whose
+    every segment is boilerplate survives as an empty cleaned_text
+    row (left join from totals), matching CCNet's drop-then-audit.
+    """
+    from karna_spark.operators.text import words
+
+    docs = table(spark, sf_dir, "documents")
+    ws = words(F.lower(F.trim(F.col("text"))))
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size(ws) - 1) / F.lit(2)).cast("int")
+        ),
+        lambda g: F.concat_ws(" ", F.slice(ws, g * 2 + 1, 2)),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    # Persist the segment explosion once — three consumers (df counts,
+    # the anti-probe, per-doc totals) would otherwise each re-scan and
+    # re-split the corpus text (the _posting_grams pattern; count()
+    # pins the cache before the plan fans out, caller releases via the
+    # _karna_persisted contract).
+    seg_rows = docs.select(
+        "doc_id", F.posexplode(segs).alias("g", "seg")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    seg_rows.count()
+    boiler = (
+        seg_rows.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 25)
+        .select("seg")
+    )
+    kept = seg_rows.join(F.broadcast(boiler), "seg", "left_anti")
+    tot = seg_rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segs")
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    out = tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+    out._karna_persisted = [seg_rows]  # type: ignore[attr-defined]
+    return out
