@@ -34,7 +34,7 @@ from karna_spark.queries import (  # noqa: F401,E402
 # Registry order is the order the driver's correctness harness visits
 # queries, and the harness is count-capped (the first 50 entries per
 # round — CORRECTNESS_rN.json always holds exactly 50 rows).
-# ROTATION POLICY (restated at N=187, r8): every registered query's
+# ROTATION POLICY (restated at N=188, r8): every registered query's
 # newest driver row must be ≤ ceil(N/50) rounds old (the arithmetic
 # floor; 4 rounds at the current N). Each round's top-50 is, in
 # order: (a) queries with NO driver row yet (new or past-cap), (b)
@@ -52,11 +52,13 @@ from karna_spark.queries import (  # noqa: F401,E402
 # within the 4-round floor. scripts/rotation_check.py audits this
 # mechanically; run it after any reorder here.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet: the four r8-born queries (incremental
+    # (a) no driver row yet: the five r8-born queries (incremental
     # MinHash ingest dedup J18, embedding centroid drift F23,
-    # hash-threshold mixture sampling O11, boilerplate strip F24).
+    # hash-threshold mixture sampling O11, boilerplate strip F24,
+    # snapshot corpus diff S19).
     "dedup_incremental_minhash", "vector_centroid_drift",
     "sample_mixture_hash_threshold", "text_boilerplate_strip",
+    "snapshot_corpus_diff",
     # (c) the 34 r4-stale rows — due this round or the floor breaks.
     # UDx + streaming first (the families the r7 verdict called out),
     "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
@@ -79,15 +81,15 @@ _PRIORITY: tuple[str, ...] = (
     # remaining r4 stragglers,
     "q11_important_parts", "sample_systematic", "sliding_window_agg",
     "text_fingerprint", "text_quality", "text_token_counts",
-    # (12 slots left) the oldest r5 rows in registry order — TPC-H
-    # head; the remaining 37 r5 rows lead r9.
+    # (11 slots left) the oldest r5 rows in registry order — TPC-H
+    # head; the remaining 38 r5 rows lead r9.
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_type_profit",
     "q12_shipping_delay_class", "q13_customer_distribution",
-    "q14_promo_revenue",
     # ---- 50-cap boundary: everything below is r9's (c) head ----
+    "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q19_discounted_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",

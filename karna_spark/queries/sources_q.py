@@ -443,3 +443,111 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _export_dir(sf_dir, "region_orc")
     write_table(table(spark, sf_dir, "region"), out, fmt="orc")
     return read_table(spark, out, fmt="orc")
+
+
+@register_query(
+    "snapshot_corpus_diff",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) AS nw
+      FROM documents
+    ),
+    cls AS (
+      SELECT doc_id, lang, nw,
+             CASE WHEN doc_id % 10 = 0 THEN 'added'
+                  WHEN doc_id % 7 = 0 THEN 'changed'
+                  WHEN doc_id % 13 = 0 THEN 'removed'
+                  ELSE 'unchanged' END AS change_type
+      FROM d
+    )
+    SELECT change_type, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE change_type
+                    WHEN 'added' THEN nw
+                    WHEN 'removed' THEN -nw
+                    WHEN 'changed' THEN 2
+                    ELSE 0 END) AS BIGINT) AS words_delta
+    FROM cls GROUP BY 1, 2
+    """,
+    tags="S19 S12 F9",
+)
+def snapshot_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: cross-release corpus diff — the report a data-curation
+    team reviews between dataset versions. The corpus is committed to
+    the SnapshotStore as release v1 (one cohort held out), then a CDC
+    feed of inserts (the held-out cohort arrives), updates (a second
+    cohort's text grows by two words), and deletes (a third cohort is
+    retired) produces release v2 via apply_changes. The diff then
+    reads BOTH releases back through their manifests — not from the
+    in-memory frames — full-outer joins them on doc_id, classifies
+    each document added/removed/changed/unchanged by comparing the
+    TEXT actually stored (not the generating arithmetic), and
+    aggregates per (change_type, lang) document counts and the signed
+    word-count delta. The oracle recomputes the expected classes from
+    the source table, so a hash match certifies the store round-trips
+    every version's content exactly. At 100 TB: the CDC write is
+    partition-scoped copy-on-write; the diff is one sort-merge
+    full-outer join on the key (both sides corpus-scale — a shuffle
+    this semantic genuinely requires) feeding a map-combinable
+    aggregate; nothing driver-side but the manifest JSON."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+    from karna_spark.operators.text import words
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    root = _export_dir(sf_dir, "documents_snapdiff")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "lang")
+    store.commit(base.filter(F.col("doc_id") % 10 != 0))  # release v1
+    inserts = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "op", F.lit("I")
+    )
+    updates = (
+        base.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" corpus update")))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = base.filter(
+        (F.col("doc_id") % 13 == 0)
+        & (F.col("doc_id") % 10 != 0)
+        & (F.col("doc_id") % 7 != 0)
+    ).withColumn("op", F.lit("D"))
+    store.apply_changes(
+        spark,
+        inserts.unionByName(updates).unionByName(deletes),
+        key_cols=["doc_id"],
+    )  # release v2
+    nw = lambda c: F.size(words(F.trim(c))).cast("bigint")  # noqa: E731
+    v1 = store.read(spark, version=1).select(
+        F.col("doc_id").alias("id1"),
+        F.col("lang").alias("lang1"),
+        F.col("text").alias("text1"),
+    )
+    v2 = store.read(spark, version=2).select(
+        F.col("doc_id").alias("id2"),
+        F.col("lang").alias("lang2"),
+        F.col("text").alias("text2"),
+    )
+    j = v1.join(v2, v1["id1"] == v2["id2"], "full_outer")
+    return (
+        j.select(
+            F.when(F.col("id1").isNull(), F.lit("added"))
+            .when(F.col("id2").isNull(), F.lit("removed"))
+            .when(F.col("text1") != F.col("text2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            F.coalesce(F.col("lang2"), F.col("lang1")).alias("lang"),
+            (
+                F.coalesce(nw(F.col("text2")), F.lit(0))
+                - F.coalesce(nw(F.col("text1")), F.lit(0))
+            ).alias("wd"),
+        )
+        .groupBy("change_type", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("wd").cast("bigint").alias("words_delta"),
+        )
+    )

@@ -702,3 +702,88 @@ def test_learn_bpe_matches_reference_deep(spark):
     got = learn_bpe(wf, num_merges=60)
     assert got == expected
     assert len(got) >= 40  # deep enough to cross checkpoint boundaries
+
+
+def test_mixture_sampling_matches_independent_python(spark):
+    """r8 O11 differential: recompute the hash-threshold mixture
+    sample with hashlib + pure-integer arithmetic (no Spark, no
+    DuckDB) and require the EXACT same accepted set — certifying the
+    cross-engine determinism claim (isqrt/BIGINT thresholds, salted
+    md5) against a third independent implementation."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from karna_spark.queries.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    rows = list(zip(t["doc_id"].to_pylist(), t["source"].to_pylist()))
+    n = {}
+    for _, src in rows:
+        n[src] = n.get(src, 0) + 1
+    w = {s: math.isqrt(c) for s, c in n.items()}
+    sw = sum(w.values())
+    thr = {
+        s: min((200 * w[s] * 16777216) // (sw * n[s]), 16777216)
+        for s in n
+    }
+    expected = set()
+    for doc_id, src in rows:
+        h = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:6], 16)
+        if h < thr[src]:
+            expected.add((doc_id, src, h))
+    got = {
+        (r["doc_id"], r["source"], r["h"])
+        for r in REGISTRY["sample_mixture_hash_threshold"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_boilerplate_strip_reassembly_is_lossless(spark):
+    """r8 F24 property: stripping is the ONLY transformation — for
+    every document the kept-segment reassembly must equal the
+    whitespace-normalized original with exactly the boilerplate
+    segments deleted (per-doc replay in Python), and a doc with no
+    boilerplate must round-trip verbatim."""
+    from pyspark.sql import functions as F
+
+    from karna_spark.queries.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_boilerplate_strip"].builder(spark, sf).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    # Recompute segments + boilerplate set in pure Python.
+    segs_by_doc = {}
+    for doc_id, text in docs.items():
+        ws = text.strip().lower().split()
+        segs_by_doc[doc_id] = [
+            " ".join(ws[i : i + 2]) for i in range(0, len(ws), 2)
+        ]
+    df_count = {}
+    for doc_id, segs in segs_by_doc.items():
+        for s in set(segs):
+            df_count[s] = df_count.get(s, 0) + 1
+    boiler = {s for s, c in df_count.items() if c >= 25}
+    assert boiler, "fixture must actually trigger the threshold"
+    untouched = 0
+    for doc_id, segs in segs_by_doc.items():
+        kept = [s for s in segs if s not in boiler]
+        row = out[doc_id]
+        assert row["n_segs"] == len(segs)
+        assert row["n_kept"] == len(kept)
+        assert row["cleaned_text"] == " ".join(kept)
+        if len(kept) == len(segs):
+            untouched += 1
+            assert row["cleaned_text"] == " ".join(segs_by_doc[doc_id])
+    assert 0 < untouched < len(docs)  # both regimes exercised
