@@ -61,6 +61,11 @@ HEADLINE = [
     # the 100 TB rollup layer leans on these)
     "agg_hll_mergeable_rollup",
     "agg_theta_set_algebra",
+    # r8 batch-2: the heavy new pipeline ops — corpus-pass segment
+    # explosion + broadcast anti-probe, and the snapshot-store
+    # write→CDC→dual-manifest-read→full-outer diff path
+    "text_boilerplate_strip",
+    "snapshot_corpus_diff",
 ]
 
 

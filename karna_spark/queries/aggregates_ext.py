@@ -441,3 +441,70 @@ def agg_topk_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.item").alias("item"),
         F.col("r.count").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------- A33
+@register_query(
+    "agg_hll_sliding_window_merge",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_exact
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(day AS VARCHAR) AS scope, n_exact, TRUE AS within_tol
+    FROM wau
+    """,
+    tags="A33 A29 A25 T2",
+)
+def agg_hll_sliding_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: SLIDING windows answered from stored per-day sketches —
+    the serving-side payoff of mergeable HLL (A29). Per-day user
+    sketches are built once; every 7-day trailing window is then one
+    union of 7 STORED sketches (each day's sketch fans out to its 7
+    report days — a |days|x7 metadata-scale explode), never a rescan
+    of raw events. This is what a 100 TB rollup layer does on every
+    dashboard query: the raw-data pass happens once at ingest, range
+    queries are sketch merges. Gated with the A16/A29 pattern against
+    the EXACT sliding distinct computed in the same job via the
+    certified A25 contribution-explode shape (`events_dau_wau`);
+    emitted columns are exact counts + gate booleans, engine-portable
+    by construction. Window ends are restricted to days present in
+    the data (the same report-day set the oracle produces)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    contrib = daily.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("rday"),
+        "sk",
+    )
+    est = contrib.groupBy("rday").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = (
+        ev.distinct()
+        .select(
+            "user_id",
+            F.explode(F.sequence("day", F.date_add("day", 6))).alias("rday"),
+        )
+        .groupBy("rday")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    real_days = daily.select(F.col("day").alias("rday"))
+    return (
+        exact.join(est, "rday")
+        .join(F.broadcast(real_days), "rday")
+        .select(
+            F.col("rday").cast("string").alias("scope"),
+            "n_exact",
+            (F.abs(F.col("est") - F.col("n_exact")) * 20 <= F.col("n_exact"))
+            .alias("within_tol"),
+        )
+    )
