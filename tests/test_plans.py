@@ -523,3 +523,42 @@ def test_winsorized_cuts_broadcast(spark):
     plan = plan_of(spark, "events_winsorized_stats", "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mixture_sampling_is_window_free(spark):
+    # O11's whole point: the temperature-sampling scale path with NO
+    # per-group rank — thresholds broadcast onto a row-local filter.
+    plan = plan_of(spark, "sample_mixture_hash_threshold", "simple")
+    assert "Window" not in plan and "Expand" not in plan
+    assert "BroadcastHashJoin" in plan  # per-source thresholds
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_set_probe_is_broadcast_anti_join(spark):
+    # F24: the df>=K boilerplate set (bounded by n_segs/K) must probe
+    # the exploded corpus as a BROADCAST left_anti — shuffling the
+    # corpus against a tiny set would be the scale mistake. Order is
+    # rebuilt by array_sort inside the aggregate, never a window.
+    plan = plan_of(spark, "text_boilerplate_strip", "formatted")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "Window" not in plan
+
+
+def test_corpus_diff_joins_on_the_key_no_bnlj(spark):
+    # S19: the release diff is one key-partitioned full-outer join —
+    # both sides corpus-scale, so it must be a hash/sort-merge join
+    # on doc_id, never a nested-loop shape.
+    plan = plan_of(spark, "snapshot_corpus_diff", "simple")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_hll_merge_is_metadata_scale(spark):
+    # A33: the sketch path re-aggregates |days|x7 sketch rows (one
+    # Generate off the daily frame), and the sketch union combines
+    # map-side like every mergeable aggregate.
+    plan = plan_of(spark, "agg_hll_sliding_window_merge", "simple")
+    assert "partial_hll_union_agg" in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
