@@ -53,13 +53,15 @@ from karna_spark.queries import (  # noqa: F401,E402
 # within the 4-round floor. scripts/rotation_check.py audits this
 # mechanically; run it after any reorder here.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet: the six r8-born queries (incremental
+    # (a) no driver row yet: the seven r8-born queries (incremental
     # MinHash ingest dedup J18, embedding centroid drift F23,
     # hash-threshold mixture sampling O11, boilerplate strip F24,
-    # snapshot corpus diff S19, sliding HLL window merge A33).
+    # snapshot corpus diff S19, sliding HLL window merge A33,
+    # duplicated-span scrub F25).
     "dedup_incremental_minhash", "vector_centroid_drift",
     "sample_mixture_hash_threshold", "text_boilerplate_strip",
     "snapshot_corpus_diff", "agg_hll_sliding_window_merge",
+    "text_duplicate_span_scrub",
     # (c) the 34 r4-stale rows — due this round or the floor breaks.
     # UDx + streaming first (the families the r7 verdict called out),
     "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
@@ -88,8 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "q10_returned_items", "q4_order_priority", "q7_volume_shipping",
     "q8_market_share", "q9_product_type_profit",
-    "q12_shipping_delay_class",
     # ---- 50-cap boundary: everything below is r9's (c) head ----
+    "q12_shipping_delay_class",
     "q13_customer_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q19_discounted_revenue",

@@ -1481,3 +1481,175 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._karna_persisted = [seg_rows]  # type: ignore[attr-defined]
     return out
+
+
+@register_query(
+    "text_duplicate_span_scrub",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS s, i + 7 AS e,
+             array_to_string(arr[i : i + 7], ' ') AS g
+      FROM d, unnest(generate_series(1, len(arr) - 7)) t(i)
+      WHERE len(arr) >= 8
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, s, e FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    ordered AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM ordered
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM islands GROUP BY doc_id, grp
+    ),
+    positions AS (
+      SELECT d.doc_id, pos, arr[pos] AS word, len(arr) AS n
+      FROM d, unnest(generate_series(1, len(arr))) t(pos)
+    ),
+    kept AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS INT) AS n_kept,
+             string_agg(p.word, ' ' ORDER BY p.pos) AS cleaned_text
+      FROM positions p
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = p.doc_id
+                          AND p.pos BETWEEN m.s AND m.e)
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(k.cleaned_text, '') AS cleaned_text,
+           CAST(len(d.arr) - COALESCE(k.n_kept, 0) AS INT) AS n_removed
+    FROM d LEFT JOIN kept k USING (doc_id)
+    """,
+    tags="F9 F25",
+)
+def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25: exact duplicated-span scrub — the ExactSubstr dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), reformulated for Spark: any 8-token span that
+    appears in >= 2 DISTINCT documents is memorization fuel; every
+    occurrence is removed from every document (overlapping hits are
+    interval-merged per doc first), and the surviving tokens are
+    reassembled in order. Emits the cleaned text so the driver hash
+    certifies content. The paper's suffix array is a single-machine
+    structure; the Spark-native equivalent is the sliding k-gram
+    frame: token positions come from one `transform(sequence)` over
+    the split array (JVM-side, no UDF), duplicate detection is a
+    two-phase aggregate — an xxhash64 PREFILTER so the corpus-scale
+    shuffle carries 8-byte keys instead of 8-word strings, then an
+    EXACT string confirm over only the surviving candidates (hash
+    collisions cannot leak through; semantics stay string-exact,
+    matching the oracle) — and span removal is a per-doc
+    `filter(ws, (w, i) -> ...)` against the interval-merged hit
+    list, folded with `aggregate()` (no second explode, no window
+    over data-scale frames). At 100 TB: the gram explosion dominates
+    (~|tokens| rows) but shuffles only (hash, doc_id) pairs;
+    candidate confirm + interval work touch duplicated spans only.
+    Reference surface: karna README data-cleaning claims
+    (/root/reference/README.md:2).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from karna_spark.operators.text import words
+
+    K = 8
+    docs = table(spark, sf_dir, "documents")
+    ws = words(F.lower(F.trim(F.col("text"))))
+    base = docs.select("doc_id", "text", ws.alias("ws"))
+    n = F.size(F.col("ws"))
+    # (doc_id, s 1-based, g) for every K-token window; persisted once
+    # (dup detection + hit projection consume it; the _posting_grams
+    # pattern, released via the _karna_persisted contract).
+    grams = (
+        base.filter(n >= K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, K)),
+                )
+            ).alias("off", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") + 1).cast("int").alias("s"),
+            "g",
+            F.xxhash64("g").alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    grams.count()
+    # Phase 1: hash-level df — the only corpus-scale shuffle, 8-byte keys.
+    cand_h = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("cd"))
+        .filter(F.col("cd") >= 2)
+        .select("h")
+    )
+    # Phase 2: exact confirm on the candidate slice only.
+    cand = grams.join(cand_h, "h", "left_semi")
+    dup_g = (
+        cand.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("cd"))
+        .filter(F.col("cd") >= 2)
+        .select("g")
+    )
+    hits = cand.join(dup_g, "g", "left_semi").select(
+        "doc_id", "s", (F.col("s") + (K - 1)).alias("e")
+    )
+    merged = hits.groupBy("doc_id").agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(s, e))),
+              cast(array() as array<struct<s:int,e:int>>),
+              (acc, x) -> CASE
+                WHEN size(acc) = 0 THEN array(x)
+                WHEN x.s <= element_at(acc, -1).e THEN concat(
+                  slice(acc, 1, size(acc) - 1),
+                  array(named_struct(
+                    's', element_at(acc, -1).s,
+                    'e', greatest(element_at(acc, -1).e, x.e))))
+                ELSE concat(acc, array(x)) END)
+            """
+        ).alias("spans")
+    )
+    kept_ws = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(
+            F.col("spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    out = base.join(merged, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.concat_ws(" ", F.col("ws")))
+        .otherwise(F.concat_ws(" ", kept_ws))
+        .alias("cleaned_text"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(n - F.size(kept_ws))
+        .cast("int")
+        .alias("n_removed"),
+    )
+    out._karna_persisted = [grams]  # type: ignore[attr-defined]
+    return out

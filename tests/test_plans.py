@@ -562,3 +562,19 @@ def test_sliding_hll_merge_is_metadata_scale(spark):
     assert "partial_hll_union_agg" in plan
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_scrub_hash_prefilter_no_window_no_python(spark):
+    # F25: the corpus-scale duplicate-detection shuffle must key on
+    # xxhash64(g) (8 bytes), never the 8-word gram strings; the exact
+    # string confirm touches only hash-candidates. Interval merge is
+    # an aggregate() fold — no window anywhere — and the whole path
+    # stays JVM-side.
+    plan = plan_of(spark, "text_duplicate_span_scrub", "formatted")
+    assert "xxhash64" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # countDistinct df gates are two-phase on both the hash prefilter
+    # and the exact confirm.
+    assert plan.count("HashAggregate") >= 4
