@@ -152,6 +152,7 @@ class SnapshotStore:
         partitions: dict[str, int],
         schema_json: str | None = None,
         base_version: int | None = None,
+        stats: dict[str, dict[str, list]] | None = None,
     ) -> None:
         """Publish manifest ``v``. When ``base_version`` is given the
         publish is CAS-style (Iceberg's commit validation): the
@@ -172,6 +173,8 @@ class SnapshotStore:
             )
         tmp = self._mpath(v) + ".tmp"
         doc = {"version": v, "partitions": partitions}
+        if stats is not None:
+            doc["stats"] = stats
         if schema_json is not None:
             doc["schema"] = schema_json
         with open(tmp, "w") as fh:
@@ -237,6 +240,47 @@ class SnapshotStore:
             self.data, f"{self.pc}={_escape_partition(val)}", f"v={pv}"
         )
 
+    def _partition_stats(
+        self, spark: SparkSession, vals: list[str], v: int
+    ) -> dict[str, dict[str, list]]:
+        """Per-partition min/max column bounds for the freshly written
+        ``v=<v>`` dirs (Iceberg-style manifest stats, the data-skipping
+        layer for predicates on NON-partition columns). One
+        column-pruned aggregate over only the just-written files; only
+        JSON-orderable values (int/float/str, non-NULL) are recorded.
+        Bounds are UPPER bounds on content: redact rewrites do not
+        re-tighten them, which keeps pruning conservative — a superset
+        range can only fail to prune, never skip live rows."""
+        dirs = [self._pdir(val, v) for val in vals]
+        if not dirs:
+            return {}
+        df = spark.read.option("basePath", self.data).parquet(*dirs)
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in (self.pc, "v")
+        ]
+        aggs = [
+            a
+            for c in cols
+            for a in (
+                F.min(c).alias(f"min:{c}"),
+                F.max(c).alias(f"max:{c}"),
+            )
+        ]
+        stats: dict[str, dict[str, list]] = {}
+        for r in df.groupBy(self.pc).agg(*aggs).collect():
+            bounds = {}
+            for c in cols:
+                lo, hi = r[f"min:{c}"], r[f"max:{c}"]
+                if (
+                    type(lo) in (int, float, str)
+                    and type(hi) in (int, float, str)
+                ):
+                    bounds[c] = [lo, hi]
+            stats[str(r[self.pc])] = bounds
+        return stats
+
     @staticmethod
     def _affected_values(delta: DataFrame, pc: str) -> list[str]:
         vals = [r[0] for r in delta.select(pc).distinct().collect()]
@@ -254,7 +298,12 @@ class SnapshotStore:
         writers racing a full commit DO fail their CAS check)."""
         v = self._claim_version()
         written = self._write(df, v)
-        self._publish(v, {a: v for a in written}, schema_json=df.schema.json())
+        self._publish(
+            v,
+            {a: v for a in written},
+            schema_json=df.schema.json(),
+            stats=self._partition_stats(df.sparkSession, written, v),
+        )
         return v
 
     def upsert(
@@ -308,7 +357,11 @@ class SnapshotStore:
         manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
         manifest.update({a: v for a in written})
         self._publish(
-            v, manifest, schema_json=merged.schema.json(), base_version=prev_v
+            v,
+            manifest,
+            schema_json=merged.schema.json(),
+            base_version=prev_v,
+            stats=self._inherit_stats(spark, prev_v, manifest, written, v),
         )
         return v
 
@@ -348,9 +401,34 @@ class SnapshotStore:
         manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
         manifest.update({a: v for a in written})
         self._publish(
-            v, manifest, schema_json=merged.schema.json(), base_version=prev_v
+            v,
+            manifest,
+            schema_json=merged.schema.json(),
+            base_version=prev_v,
+            stats=self._inherit_stats(spark, prev_v, manifest, written, v),
         )
         return v
+
+    def _inherit_stats(
+        self,
+        spark: SparkSession,
+        prev_v: int,
+        manifest: dict[str, int],
+        written: list[str],
+        v: int,
+    ) -> dict[str, dict[str, list]]:
+        """Manifest stats for an incremental commit: freshly computed
+        bounds for the partitions this write produced, inherited
+        bounds for every pointer carried over from ``prev_v``."""
+        prev_stats = self._manifest_doc(prev_v).get("stats", {})
+        wset = set(written)
+        out = {
+            val: prev_stats[val]
+            for val in manifest
+            if val not in wset and val in prev_stats
+        }
+        out.update(self._partition_stats(spark, written, v))
+        return out
 
     # ------------------------------------------------------ redact
     def redact(
@@ -542,6 +620,7 @@ class SnapshotStore:
         spark: SparkSession,
         version: int | None = None,
         partition_values: list[str] | None = None,
+        where: tuple[str, object, object] | None = None,
     ) -> DataFrame:
         """Read snapshot ``version`` (default: latest). Resolves the
         manifest to leaf dirs so Spark scans exactly the committed
@@ -551,12 +630,34 @@ class SnapshotStore:
         returns an EMPTY frame with the schema stored in the manifest
         (r7 ADVICE — the time-travel contract says every version stays
         readable); a MISSING manifest (never published, or expired by
-        vacuum) still fails loudly with FileNotFoundError."""
+        vacuum) still fails loudly with FileNotFoundError.
+
+        ``where=(col, lo, hi)`` is the manifest-stat data-skipping
+        path for NON-partition columns (Iceberg-style): partitions
+        whose stored [min, max] bounds for ``col`` cannot intersect
+        [lo, hi] are dropped BEFORE Spark ever lists their files, and
+        the residual ``BETWEEN`` filter is applied to what remains, so
+        the result is exact whether or not bounds exist (missing
+        bounds — old manifests, non-orderable columns — just skip the
+        pruning). Bounds survive redact as supersets: pruning can
+        only fail to skip, never lose rows."""
         v = self.latest_version() if version is None else version
         doc = self._manifest_doc(v)
         manifest = doc["partitions"]
         if partition_values is not None:
             manifest = {k: manifest[k] for k in partition_values}
+        if where is not None:
+            wcol, lo, hi = where
+            st = doc.get("stats", {})
+            manifest = {
+                val: pv
+                for val, pv in manifest.items()
+                if not (
+                    val in st
+                    and wcol in st[val]
+                    and (st[val][wcol][0] > hi or st[val][wcol][1] < lo)
+                )
+            }
         dirs = [
             self._pdir(val, pv) for val, pv in sorted(manifest.items())
         ]
@@ -567,7 +668,13 @@ class SnapshotStore:
                     f"snapshot v{v} is empty and carries no schema"
                 )
             schema = StructType.fromJson(json.loads(schema_json))
-            return spark.createDataFrame([], schema)
-        return (
-            spark.read.option("basePath", self.data).parquet(*dirs).drop("v")
-        )
+            out = spark.createDataFrame([], schema)
+        else:
+            out = (
+                spark.read.option("basePath", self.data)
+                .parquet(*dirs)
+                .drop("v")
+            )
+        if where is not None:
+            out = out.filter(F.col(where[0]).between(where[1], where[2]))
+        return out

@@ -521,3 +521,50 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                 live = sorted(v for v in hist if v in retained)[-keep:]
                 retained = set(live)
             check()
+
+
+def test_manifest_stats_prune_skips_partitions(spark, tmp_path):
+    # S20: per-partition min/max bounds land in the manifest at commit
+    # and a bounded read must drop non-intersecting partitions BEFORE
+    # listing their files — data skipping on a NON-partition column.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [
+        (1, "a", 10), (2, "a", 19),
+        (3, "b", 30), (4, "b", 39),
+        (5, "c", 50),
+    ]))
+    st = store._manifest_doc(1)["stats"]
+    assert st["a"]["val"] == [10, 19] and st["c"]["val"] == [50, 50]
+    df = store.read(spark, where=("val", 25, 45))
+    files = df.inputFiles()
+    assert files and all("/p=b/" in f for f in files), files
+    assert _rows(df) == [(3, "b", 30), (4, "b", 39)]
+    # The residual BETWEEN stays exact inside a surviving partition.
+    assert _rows(store.read(spark, where=("val", 30, 35))) == [(3, "b", 30)]
+
+
+def test_manifest_stats_inherit_and_refresh_on_upsert(spark, tmp_path):
+    # An incremental write recomputes bounds for the partitions it
+    # rewrites and carries forward the untouched partitions' bounds.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))
+    store.upsert(spark, _mk(spark, [(1, "a", 99)]), ["k"])
+    st = store._manifest_doc(2)["stats"]
+    assert st["a"]["val"] == [99, 99]  # refreshed
+    assert st["b"]["val"] == [30, 30]  # inherited pointer, inherited bounds
+    # v1's own stats are untouched (time travel prunes with v1 bounds).
+    assert store._manifest_doc(1)["stats"]["a"]["val"] == [10, 10]
+    assert _rows(store.read(spark, where=("val", 90, 100))) == [(1, "a", 99)]
+
+
+def test_stats_prune_stays_exact_after_redact(spark, tmp_path):
+    # Redact rewrites directories without re-tightening bounds: the
+    # stored range becomes a superset, which must only ever FAIL to
+    # prune — a bounded read after redact returns exactly the live
+    # rows in range.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 45), (3, "b", 30)]))
+    store.redact(spark, ["k"], _mk(spark, [(2, "a", 0)]))
+    assert _rows(store.read(spark, where=("val", 40, 60))) == []
+    assert _rows(store.read(spark, where=("val", 5, 35))) == [
+        (1, "a", 10), (3, "b", 30)]
