@@ -66,6 +66,10 @@ HEADLINE = [
     # write→CDC→dual-manifest-read→full-outer diff path
     "text_boilerplate_strip",
     "snapshot_corpus_diff",
+    # r8 batch-3: ExactSubstr span scrub — the sliding-gram explosion
+    # is the corpus-heaviest text op in the registry; its hash-
+    # prefilter shuffle is the number to watch round-over-round
+    "text_duplicate_span_scrub",
 ]
 
 

@@ -241,44 +241,60 @@ class SnapshotStore:
         )
 
     def _partition_stats(
-        self, spark: SparkSession, vals: list[str], v: int
+        self, vals: list[str], v: int
     ) -> dict[str, dict[str, list]]:
         """Per-partition min/max column bounds for the freshly written
         ``v=<v>`` dirs (Iceberg-style manifest stats, the data-skipping
-        layer for predicates on NON-partition columns). One
-        column-pruned aggregate over only the just-written files; only
-        JSON-orderable values (int/float/str, non-NULL) are recorded.
-        Bounds are UPPER bounds on content: redact rewrites do not
-        re-tighten them, which keeps pruning conservative — a superset
-        range can only fail to prune, never skip live rows."""
-        dirs = [self._pdir(val, v) for val in vals]
-        if not dirs:
-            return {}
-        df = spark.read.option("basePath", self.data).parquet(*dirs)
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if f.name not in (self.pc, "v")
-        ]
-        aggs = [
-            a
-            for c in cols
-            for a in (
-                F.min(c).alias(f"min:{c}"),
-                F.max(c).alias(f"max:{c}"),
-            )
-        ]
+        layer for predicates on NON-partition columns). Bounds come
+        from the parquet FOOTERS the write already produced — a
+        driver-side metadata read per file, zero Spark jobs, zero data
+        scanned — exactly how Iceberg's committer collects them. Only
+        exact numeric bounds are recorded: strings are skipped because
+        parquet may truncate string min/max (a truncated max
+        UNDERESTIMATES, which would prune live rows), and NaN-tainted
+        float stats are skipped likewise. Bounds are UPPER bounds on
+        content: redact rewrites do not re-tighten them, which keeps
+        pruning conservative — a superset range can only fail to
+        prune, never skip live rows."""
+        import math
+
+        import pyarrow.parquet as pq
+
         stats: dict[str, dict[str, list]] = {}
-        for r in df.groupBy(self.pc).agg(*aggs).collect():
-            bounds = {}
-            for c in cols:
-                lo, hi = r[f"min:{c}"], r[f"max:{c}"]
-                if (
-                    type(lo) in (int, float, str)
-                    and type(hi) in (int, float, str)
-                ):
-                    bounds[c] = [lo, hi]
-            stats[str(r[self.pc])] = bounds
+        for val in vals:
+            d = self._pdir(val, v)
+            mins: dict[str, float] = {}
+            maxs: dict[str, float] = {}
+            tainted: set[str] = set()
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    rgm = md.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        name = col.path_in_schema
+                        if "." in name:
+                            continue  # nested leaves don't prune
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            tainted.add(name)
+                            continue
+                        lo, hi = st.min, st.max
+                        if (
+                            type(lo) not in (int, float)
+                            or type(hi) not in (int, float)
+                            or (isinstance(lo, float) and math.isnan(lo))
+                            or (isinstance(hi, float) and math.isnan(hi))
+                        ):
+                            tainted.add(name)
+                            continue
+                        mins[name] = min(mins.get(name, lo), lo)
+                        maxs[name] = max(maxs.get(name, hi), hi)
+            stats[val] = {
+                c: [mins[c], maxs[c]] for c in mins if c not in tainted
+            }
         return stats
 
     @staticmethod
@@ -302,7 +318,7 @@ class SnapshotStore:
             v,
             {a: v for a in written},
             schema_json=df.schema.json(),
-            stats=self._partition_stats(df.sparkSession, written, v),
+            stats=self._partition_stats(written, v),
         )
         return v
 
@@ -361,7 +377,7 @@ class SnapshotStore:
             manifest,
             schema_json=merged.schema.json(),
             base_version=prev_v,
-            stats=self._inherit_stats(spark, prev_v, manifest, written, v),
+            stats=self._inherit_stats(prev_v, manifest, written, v),
         )
         return v
 
@@ -405,13 +421,12 @@ class SnapshotStore:
             manifest,
             schema_json=merged.schema.json(),
             base_version=prev_v,
-            stats=self._inherit_stats(spark, prev_v, manifest, written, v),
+            stats=self._inherit_stats(prev_v, manifest, written, v),
         )
         return v
 
     def _inherit_stats(
         self,
-        spark: SparkSession,
         prev_v: int,
         manifest: dict[str, int],
         written: list[str],
@@ -427,7 +442,7 @@ class SnapshotStore:
             for val in manifest
             if val not in wset and val in prev_stats
         }
-        out.update(self._partition_stats(spark, written, v))
+        out.update(self._partition_stats(written, v))
         return out
 
     # ------------------------------------------------------ redact
