@@ -1653,3 +1653,135 @@ def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._karna_persisted = [grams]  # type: ignore[attr-defined]
     return out
+
+
+@register_query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, arr[i] AS w1, arr[i] || ' ' || arr[i+1] AS bigram
+      FROM d, unnest(generate_series(1, len(arr) - 1)) t(i)
+      WHERE len(arr) >= 2
+    ),
+    c2 AS (
+      SELECT w1, bigram, COUNT(*) AS cnt FROM bg GROUP BY w1, bigram
+    ),
+    ctx AS (
+      SELECT w1, SUM(cnt) AS cw1 FROM c2 GROUP BY w1
+    ),
+    vsize AS (
+      SELECT COUNT(DISTINCT word) AS V FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents)
+    ),
+    q AS (
+      SELECT c2.bigram,
+             CAST(round(ln((c2.cnt + 1)::DOUBLE / (ctx.cw1 + vsize.V))
+                        * 1000000) AS BIGINT) AS lp_e6
+      FROM c2 JOIN ctx USING (w1), vsize
+    ),
+    per_doc AS (
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(-q.lp_e6) AS BIGINT) AS nll_e6
+      FROM bg JOIN q USING (bigram)
+      GROUP BY bg.doc_id
+    )
+    SELECT CAST(floor(nll_e6::DOUBLE * 10 / (n_bigrams * 1000000)) AS BIGINT)
+             AS nll_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(nll_e6) AS BIGINT) AS sum_nll_e6
+    FROM per_doc
+    GROUP BY 1
+    """,
+    tags="F9 A1 F2 F26",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26: CCNet-style LM quality scoring, bigram edition — the
+    context-aware upgrade over `text_unigram_logprob` (a KenLM stand-
+    in trained on the corpus itself): Laplace-smoothed bigram model
+    P(w2|w1) = (C(w1,w2)+1) / (Cctx(w1)+V), each document scored by
+    its average per-bigram negative log-likelihood, documents
+    histogrammed by DECI-nat bucket (CCNet's head/middle/tail split
+    at a granularity that separates this corpus).
+    Same exactness discipline as the unigram query: ln() fires once
+    per DISTINCT bigram, micro-nat quantized to BIGINT, so every
+    cross-row reduction is exact integer arithmetic and summation
+    order can't drift the hash. Plan: the bigram frame comes from one
+    transform(sequence) (JVM, no second explode pass); model counts
+    are two-phase aggregates at |distinct-bigram| scale; the model
+    broadcast-joins back onto occurrences (vocab² upper bound but
+    df-weighted actual size ≪ corpus; AQE falls back to shuffle past
+    the threshold). Context counts derive from the bigram table
+    itself (sum over w2), keeping the model self-consistent without a
+    second corpus pass."""
+    from karna_spark.operators.text import words
+
+    docs = table(spark, sf_dir, "documents")
+    ws = words(F.trim(F.col("text")))
+    base = docs.select("doc_id", ws.alias("ws"))
+    n = F.size(F.col("ws"))
+    bg = base.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("ws"), i),
+                        F.element_at(F.col("ws"), i + 1),
+                    ).alias("bigram"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bigram").alias("bigram"))
+    c2 = bg.groupBy("w1", "bigram").agg(F.count("*").alias("cnt"))
+    ctx = c2.groupBy("w1").agg(F.sum("cnt").alias("cw1"))
+    vsize = (
+        docs.select(F.explode(ws).alias("word"))
+        .agg(F.countDistinct("word").alias("V"))
+    )
+    q = (
+        c2.join(ctx, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("cw1") + F.col("V"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(q), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(-F.col("lp_e6")).alias("nll_e6"),
+        )
+    )
+    return per_doc.groupBy(
+        F.floor(
+            F.col("nll_e6").cast("double")
+            * 10
+            / (F.col("n_bigrams") * 1000000)
+        )
+        .cast("bigint")
+        .alias("nll_bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+    )

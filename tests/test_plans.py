@@ -578,3 +578,14 @@ def test_span_scrub_hash_prefilter_no_window_no_python(spark):
     # countDistinct df gates are two-phase on both the hash prefilter
     # and the exact confirm.
     assert plan.count("HashAggregate") >= 4
+
+
+def test_bigram_logprob_model_broadcasts_no_python(spark):
+    # F26: the bigram model (|distinct bigrams| scale) broadcasts back
+    # onto the occurrence frame; counts are two-phase; ln() never
+    # leaves the JVM and fires on the model frame only.
+    plan = plan_of(spark, "text_bigram_logprob", "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
