@@ -551,3 +551,67 @@ def snapshot_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wd").cast("bigint").alias("words_delta"),
         )
     )
+
+
+@register_query(
+    "source_dynamic_partition_pruning",
+    oracle="""
+    WITH f AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+      FROM orders
+    ),
+    d AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(month(o_orderdate) AS INT) AS mo
+      FROM orders
+    )
+    SELECT f.o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM f JOIN d USING (o_month)
+    WHERE d.mo BETWEEN 4 AND 6
+    GROUP BY 1
+    """,
+    tags="S5 J7 V7",
+)
+def source_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """V7: DYNAMIC partition pruning — the runtime companion to
+    `source_partitioned_layout`'s static pruning. The fact table is
+    exported Hive-partitioned by month; the filter (Q2 months only)
+    lives on a DIMENSION attribute, not the partition column, so no
+    static pruning is possible: Catalyst must push a
+    `dynamicpruningexpression` into the fact scan's PartitionFilters,
+    built at runtime from the broadcast dim's join keys (plan-asserted
+    in tests/test_plans.py). At 100 TB this is the difference between
+    scanning 84 month directories and the 21 the dim filter selects —
+    for a predicate the fact scan alone could never see. The dim here
+    derives from the same fixture (month -> calendar month number),
+    standing in for a real date dimension."""
+    out = _export_dir(sf_dir, "orders_by_month")
+    fact_src = table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_totalprice",
+    )
+    write_table(fact_src, out, fmt="parquet", partition_by=["o_month"])
+    fact = read_table(spark, out, fmt="parquet")
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("mo").between(4, 6))), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

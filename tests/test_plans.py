@@ -589,3 +589,12 @@ def test_bigram_logprob_model_broadcasts_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark):
+    # V7: the Q2 filter lives on the dim, so only a RUNTIME pruning
+    # expression can skip fact partitions — assert Catalyst injected
+    # it into the partitioned scan's PartitionFilters.
+    plan = plan_of(spark, "source_dynamic_partition_pruning", "formatted")
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
