@@ -289,6 +289,26 @@ def train_kmeans(
     return centroids
 
 
+def ivf_assignment_table(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, c_vec, bucket) inverted-file index for STORING —
+    compute once at ingest, persist (e.g. a SnapshotStore partitioned
+    by ``bucket`` so probes prune to their cells), and hand back to
+    :func:`ann_ivf_topk` via ``corpus_assignments`` so each arriving
+    query batch probes the corpus WITHOUT re-assigning it. Centroids
+    must match the probe call exactly — an assignment is only valid
+    under the quantizer that produced it."""
+    cent_rows = centroids.select("cluster_id", "centroid").collect()
+    nearest = _nearest_centroids_udf(cent_rows, 1)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).select("*", F.explode(nearest(F.col("c_vec"))).alias("bucket"))
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -298,13 +318,20 @@ def ann_ivf_topk(
     vec_col: str,
     k: int = 5,
     nprobe: int = 2,
+    corpus_assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: assign corpus rows to their nearest centroid once,
     assign each query to its ``nprobe`` nearest centroids, then
     exact-rank within the probed inverted lists. Assignment is the
     vectorized argmin UDF (k rows of centroids ride along as a closure
     constant — the k-way cross join + window the SQL formulation needed
-    is gone entirely)."""
+    is gone entirely). Pass ``corpus_assignments`` (an
+    :func:`ivf_assignment_table` result, possibly a stored one UNIONED
+    with the arriving batch's own assignments) to run the production
+    steady-state: only the query batch touches the argmin UDF and the
+    corpus is consulted purely through its stored inverted lists —
+    ``corpus``/``corpus_id`` are ignored in that mode, and the two
+    paths return identical rows (differential-tested)."""
     cent_rows = centroids.select("cluster_id", "centroid").collect()  # k rows
 
     def assign(df: DataFrame, id_col_: str, vcol: str, n: int, out: str) -> DataFrame:
@@ -313,13 +340,16 @@ def ann_ivf_topk(
             "*", F.explode(nearest(F.col(vcol))).alias(out)
         )
 
-    c = assign(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "neighbor_id",
-        "c_vec",
-        1,
-        "bucket",
-    )
+    if corpus_assignments is not None:
+        c = corpus_assignments.select("neighbor_id", "c_vec", "bucket")
+    else:
+        c = assign(
+            corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+            "neighbor_id",
+            "c_vec",
+            1,
+            "bucket",
+        )
     q = assign(
         queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "query_id",

@@ -408,6 +408,111 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "similarity_ivf_incremental",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 10 = 0),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+      FROM corpus WHERE vec_id IN (100, 150, 200, 250, 300, 350, 400, 450)
+    ),
+    cassign AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT c.vec_id, c.v, ct.cluster_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_distance(c.v, ct.cv), ct.cluster_id
+               ) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT query_id, qv, cluster_id FROM (
+        SELECT q.query_id, q.qv, ct.cluster_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_distance(q.qv, ct.cv), ct.cluster_id
+               ) AS rn
+        FROM q CROSS JOIN cents ct
+      ) WHERE rn <= 3
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.query_id, ca.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qa.query_id
+                 ORDER BY list_cosine_similarity(ca.v, qa.qv) DESC, ca.vec_id
+               ) AS rk
+        FROM qassign qa JOIN cassign ca USING (cluster_id)
+        WHERE ca.vec_id <> qa.query_id
+      ) WHERE rk <= 10
+    ),
+    """
+    + _BF_TOP10_SQL,
+    tags="F8 J9 U3 J18",
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ANN ingest — the embeddings twin of J18\'s
+    incremental MinHash: 90% of the corpus plays the role of the
+    stored inverted-file index (an `ivf_assignment_table`, computed
+    once and persisted as a production deployment would store it,
+    partitionable by cell), and the arriving 10% batch is the ONLY
+    data the argmin assignment UDF touches — each new vector is
+    assigned to its cell, unioned with the stored lists, and searched
+    against the probed cells exactly as the full operator would.
+    Certification mirrors `similarity_ivf_recall`: centroids are 8
+    fixed corpus rows so the oracle rebuilds the identical quantizer
+    in SQL and the recall@10 frame is hash-certified; a pytest
+    differential additionally proves the stored-index path returns
+    byte-identical neighbors to the in-job path. Per-ingest cost at
+    100 TB scales with |batch| x probed-cell occupancy — corpus
+    vectors are never re-assigned (the saved term is the
+    O(|corpus|) assignment UDF)."""
+    from pyspark.sql import Window as W
+    from pyspark.storagelevel import StorageLevel
+
+    from karna_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assignment_table,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = (
+        emb.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+        .withColumn("cluster_id", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cluster_id", "centroid")
+    )
+    # The stored index: in production this is read back from a table
+    # keyed/partitioned by bucket and appended per ingest; persist
+    # stands in for the store here (released via _karna_persisted).
+    idx = ivf_assignment_table(base, cents, "vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    idx.count()
+    delta_asg = ivf_assignment_table(delta, cents, "vec_id", "embedding")
+    ann = ann_ivf_topk(
+        emb,
+        delta,
+        cents,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=10,
+        nprobe=3,
+        corpus_assignments=idx.unionByName(delta_asg),
+    )
+    out = _recall_vs_bruteforce(emb, delta, ann, k=10)
+    out._karna_persisted = [idx]  # type: ignore[attr-defined]
+    return out
+
+
+@register_query(
     "similarity_pq_recall",
     oracle="""
     WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -830,3 +830,58 @@ def test_incremental_minhash_store_path_matches_injob(spark):
     sigs.unpersist()
     assert rows_a == rows_b
     assert len(rows_a) > 0
+
+
+def test_ivf_store_path_matches_injob(spark):
+    """r8 J18-twin depth: ann_ivf_topk fed a stored
+    ivf_assignment_table (the production steady-state — only the
+    arriving batch touches the argmin UDF) must return EXACTLY the
+    in-job path's neighbors."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from karna_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assignment_table,
+    )
+    from karna_spark.queries.registry import table
+    from karna_spark.queries.vectors import _IVF_SEED_IDS
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = (
+        emb.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+        .withColumn("cluster_id", F.row_number().over(W.orderBy("vec_id")) - 1)
+        .select("cluster_id", "centroid")
+    )
+    args = (emb, delta, cents, "vec_id", "vec_id", "embedding")
+    injob = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_ivf_topk(*args, k=10, nprobe=3).collect()
+    )
+    idx = ivf_assignment_table(base, cents, "vec_id", "embedding").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    idx.count()
+    store = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ann_ivf_topk(
+            *args,
+            k=10,
+            nprobe=3,
+            corpus_assignments=idx.unionByName(
+                ivf_assignment_table(delta, cents, "vec_id", "embedding")
+            ),
+        ).collect()
+    )
+    idx.unpersist()
+    assert injob == store
+    assert len(injob) > 0
