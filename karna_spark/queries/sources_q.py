@@ -615,3 +615,59 @@ def source_dynamic_partition_pruning(
             .alias("sum_price"),
         )
     )
+
+
+@register_query(
+    "snapshot_stat_pruned_read",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+          BETWEEN 2007 AND 2372
+    GROUP BY 1
+    """,
+    tags="S12 S20",
+)
+def snapshot_stat_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 certified through the driver: orders land in the snapshot
+    store partitioned by YEAR, and the read is bounded on ``o_day``
+    (days since 1990-01-01) — a NON-partition column whose
+    per-partition footer bounds are strictly disjoint by year, so the
+    manifest-stat pruning path (`read(where=...)`) must skip every
+    year outside the 1995-07..1996-06 window before Spark lists a
+    single file (the skip itself is asserted on inputFiles() in
+    tests/test_plans.py; THIS query's hash certifies the bounded
+    read's exactness end to end: store round-trip + prune + residual
+    filter match the oracle computed straight off the parquet). At
+    100 TB this is the scan-avoidance layer for range predicates on
+    sort-correlated columns (dates, sequence ids) that partition keys
+    don't capture."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+        .cast("int")
+        .alias("o_day"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    root = _export_dir(sf_dir, "orders_stat_pruned")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)
+    return (
+        store.read(spark, where=("o_day", 2007, 2372))
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

@@ -598,3 +598,14 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark):
     plan = plan_of(spark, "source_dynamic_partition_pruning", "formatted")
     assert "dynamicpruningexpression" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_stat_pruned_read_skips_years(spark):
+    # S20: the bounded read's file list must contain ONLY the two year
+    # partitions whose o_day footer bounds intersect [2007, 2372] —
+    # pruning happened manifest-side, before Spark listed anything.
+    df = _builder("snapshot_stat_pruned_read")(spark, SF)
+    files = df.inputFiles()
+    assert files
+    years = {f.split("o_year=")[1].split("/")[0] for f in files}
+    assert years == {"1995", "1996"}, years
