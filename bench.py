@@ -70,6 +70,11 @@ HEADLINE = [
     # is the corpus-heaviest text op in the registry; its hash-
     # prefilter shuffle is the number to watch round-over-round
     "text_duplicate_span_scrub",
+    # r8 batch-4: the steady-state ingest workhorses (batch probes a
+    # precomputed corpus index; these run per-ingest in production, so
+    # their per-batch cost is a first-class number)
+    "dedup_incremental_minhash",
+    "similarity_ivf_incremental",
 ]
 
 
