@@ -411,7 +411,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_ivf_incremental",
     oracle="""
     WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 10 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 50 = 0),
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
       FROM corpus WHERE vec_id IN (100, 150, 200, 250, 300, 350, 400, 450)
@@ -456,7 +456,7 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental MinHash: 90% of the corpus plays the role of the
     stored inverted-file index (an `ivf_assignment_table`, computed
     once and persisted as a production deployment would store it,
-    partitionable by cell), and the arriving 10% batch is the ONLY
+    partitionable by cell), and the arriving 2% batch is the ONLY
     data the argmin assignment UDF touches — each new vector is
     assigned to its cell, unioned with the stored lists, and searched
     against the probed cells exactly as the full operator would.
@@ -477,8 +477,8 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 10 != 0)
-    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    base = emb.filter(F.col("vec_id") % 50 != 0)
+    delta = emb.filter(F.col("vec_id") % 50 == 0)
     cents = (
         emb.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
         .select(
