@@ -271,3 +271,59 @@ def streaming_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value_c",
         F.lit(n_versions).alias("n_versions"),
     )
+
+
+_SQL_BIGRAMS_STREAM = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-1),"
+    " i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+)
+
+
+@register_query(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_SQL_BIGRAMS_STREAM} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
+           CAST(3 AS INT) AS n_batches
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    tags="T8 J18 J9",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+J18: the steady-state ingest dedup run as a real stream —
+    three document micro-batches (maxFilesPerTrigger=1 over a disjoint
+    doc_id%3 split) each probe the signature table the PRIOR batches
+    appended, emit verified near-dup pairs, and append their own
+    signatures + text to the stores (streaming/jobs.py:
+    foreachbatch_incremental_dedup). Every pair is emitted exactly
+    once — when its later member arrives — so the canonicalized union
+    of the per-batch pair logs must equal the one-shot exact all-pairs
+    answer over the WHOLE corpus: the oracle is the same exact-Jaccard
+    all-pairs query that certifies `dedup_minhash_lsh`, so a hash
+    match proves no pair is lost or duplicated across batch
+    boundaries, whatever the batch order. n_batches (from the pair
+    log's distinct batch ids over a split guaranteed to pair in every
+    batch) certifies the stream really ran as three micro-batches.
+    Per-batch cost is |batch| x bucket occupancy — the 100 TB
+    streaming-ingest contract."""
+    from karna_spark.streaming.jobs import (
+        foreachbatch_incremental_dedup,
+        stage_documents_split,
+    )
+
+    landing = stage_documents_split(spark, sf_dir, n_files=3)
+    root = os.path.join(_STREAM_CACHE, "incdedup", uuid.uuid4().hex[:10])
+    pairs = foreachbatch_incremental_dedup(spark, landing, root)
+    n_batches = pairs.select("batch_id").distinct().count()
+    return pairs.select(
+        F.least("new_id", "match_id").alias("id_a"),
+        F.greatest("new_id", "match_id").alias("id_b"),
+        "jaccard",
+        F.lit(n_batches).cast("int").alias("n_batches"),
+    )

@@ -426,3 +426,114 @@ def foreachbatch_snapshot_rollup(
     )
     q.awaitTermination()
     return store
+
+
+def stage_documents_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> str:
+    """Stage the documents fixture as ``n_files`` disjoint parquet
+    files (split by ``doc_id % n_files``) so ``maxFilesPerTrigger=1``
+    yields ``n_files`` genuine ingest micro-batches — near-dup pairs
+    exist both within and across the splits, so every batch after the
+    first must probe previously-stored state, not just itself."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(_STREAM_CACHE, tag, f"docsplit{n_files}")
+    done = os.path.join(root, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        docs = read_fixture_table(spark, sf_dir, "documents")
+        for i in range(n_files):
+            part = docs.where(F.col("doc_id") % n_files == i)
+            tmp = os.path.join(root, f"_tmp_{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            f = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(root, f"{i:02d}_docs.parquet")
+            )
+            shutil.rmtree(tmp)
+        open(done, "w").close()
+    return root
+
+
+def documents_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over a landing directory of document parquet."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(landing_dir)
+    )
+
+
+def foreachbatch_incremental_dedup(
+    spark: SparkSession, landing_dir: str, state_root: str
+) -> DataFrame:
+    """T8+J18: streaming ingest dedup — the incremental MinHash
+    steady-state run as a production stream. Per micro-batch:
+
+    1. probe the STORED signature table (``minhash_signature_table``
+       rows appended by every prior batch) with the arriving batch —
+       corpus text is touched only for candidate-pruned verify
+       lookups, so per-batch cost scales with |batch| x bucket
+       occupancy, never |corpus seen so far|;
+    2. append the verified pairs to the result log;
+    3. append the batch's signatures + text to the stores.
+
+    Every near-dup pair of the full corpus is emitted EXACTLY once —
+    when its later member arrives (same-batch pairs once, by the
+    operator's delta-delta contract) — so the canonicalized union of
+    the per-batch logs equals the one-shot all-corpus answer
+    regardless of how the stream was batched or ordered. Returns the
+    accumulated pairs (new_id, match_id, jaccard, batch_id)."""
+    from karna_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        minhash_signature_table,
+        release_intermediates,
+    )
+
+    sig_dir = os.path.join(state_root, "sigs")
+    corpus_dir = os.path.join(state_root, "corpus")
+    pairs_dir = os.path.join(state_root, "pairs")
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        have_state = os.path.isdir(sig_dir)
+        if have_state:
+            sigs = spark.read.parquet(sig_dir)
+            corpus = spark.read.parquet(corpus_dir).select("doc_id", "text")
+            pairs = minhash_lsh_incremental_pairs(
+                corpus, batch_df, "doc_id", "text", base_signatures=sigs
+            )
+        else:
+            pairs = minhash_lsh_incremental_pairs(
+                batch_df.limit(0), batch_df, "doc_id", "text"
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id).cast("int"))
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+        release_intermediates(pairs)
+        (
+            minhash_signature_table(batch_df, "doc_id", "text")
+            .write.mode("append")
+            .parquet(sig_dir)
+        )
+        batch_df.select("doc_id", "text").write.mode("append").parquet(
+            corpus_dir
+        )
+
+    stream = documents_stream(spark, landing_dir)
+    q = (
+        stream.writeStream.foreachBatch(_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10]),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pairs_dir)
