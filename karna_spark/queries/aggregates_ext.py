@@ -508,3 +508,62 @@ def agg_hll_sliding_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
+
+
+@register_query(
+    "profile_correlation_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+             corr(l_quantity, l_extendedprice) AS r FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+             corr(l_quantity, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+             corr(l_quantity, l_tax) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             corr(l_extendedprice, l_discount) FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+             corr(l_extendedprice, l_tax) FROM lineitem
+      UNION ALL SELECT 'l_discount', 'l_tax',
+             corr(l_discount, l_tax) FROM lineitem
+    )
+    SELECT x, y, ROUND(r, 4) AS pearson_r FROM pairs
+    """,
+    tags="A19 A5 A34",
+)
+def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: pairwise Pearson correlation profiling across the lineitem
+    measures — the data-profiling companion to A19's per-column stats
+    and A13's per-group OLS (r = covariance normalized, computed here
+    for every measure pair in ONE pass). Plan: a single global
+    aggregate evaluates all six `corr` expressions map-side-combined
+    (each corr is an algebraic aggregate — sum/sum-sq/cross-sum
+    triples — so the shuffle carries one partial-state row per task,
+    never data), then the 1-row result unpivots to the (x, y, r)
+    triangle via a literal stack. At 100 TB: one scan, one 1-row
+    exchange — profiling cost is the scan, as it must be. Rounded to
+    4dp per the inexact-aggregate parity convention."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("x"),
+                        F.lit(b).alias("y"),
+                        F.col(f"`{a}|{b}`").alias("pearson_r"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.x", "p.y", "p.pearson_r")
