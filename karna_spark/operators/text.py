@@ -203,3 +203,37 @@ def repetition_features(text: Column) -> dict[str, Column]:
         ).cast("double")
         / word_chars,
     }
+
+
+MERGE_INTERVALS_EXPR = """
+    aggregate(
+      array_sort(collect_list(struct(s, e))),
+      cast(array() as array<struct<s:int,e:int>>),
+      (acc, x) -> CASE
+        WHEN size(acc) = 0 THEN array(x)
+        WHEN x.s <= element_at(acc, -1).e THEN concat(
+          slice(acc, 1, size(acc) - 1),
+          array(named_struct(
+            's', element_at(acc, -1).s,
+            'e', greatest(element_at(acc, -1).e, x.e))))
+        ELSE concat(acc, array(x)) END)
+"""
+"""Aggregate-expression SQL: fold a group's (s, e) interval rows into
+a sorted array of MERGED intervals (touching-at-e counts as overlap,
+adjacent-at-e+1 does not — matching the classic running-max island
+formulation). Used by the span-scrub family instead of a window: the
+fold runs inside a per-key aggregate, so no data-scale frame ever
+passes through an unpartitioned WindowExec."""
+
+
+def drop_spans(ws: Column, spans: Column) -> Column:
+    """Words of ``ws`` (1-based positions) not covered by any [s, e]
+    interval in ``spans`` — the rebuild step of the span-scrub family
+    (JVM higher-order functions; no explode, no Python)."""
+    return F.filter(
+        ws,
+        lambda w, i: ~F.exists(
+            spans,
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )

@@ -1617,30 +1617,12 @@ def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = cand.join(dup_g, "g", "left_semi").select(
         "doc_id", "s", (F.col("s") + (K - 1)).alias("e")
     )
+    from karna_spark.operators.text import MERGE_INTERVALS_EXPR, drop_spans
+
     merged = hits.groupBy("doc_id").agg(
-        F.expr(
-            """
-            aggregate(
-              array_sort(collect_list(struct(s, e))),
-              cast(array() as array<struct<s:int,e:int>>),
-              (acc, x) -> CASE
-                WHEN size(acc) = 0 THEN array(x)
-                WHEN x.s <= element_at(acc, -1).e THEN concat(
-                  slice(acc, 1, size(acc) - 1),
-                  array(named_struct(
-                    's', element_at(acc, -1).s,
-                    'e', greatest(element_at(acc, -1).e, x.e))))
-                ELSE concat(acc, array(x)) END)
-            """
-        ).alias("spans")
+        F.expr(MERGE_INTERVALS_EXPR).alias("spans")
     )
-    kept_ws = F.filter(
-        F.col("ws"),
-        lambda w, i: ~F.exists(
-            F.col("spans"),
-            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
-        ),
-    )
+    kept_ws = drop_spans(F.col("ws"), F.col("spans"))
     out = base.join(merged, "doc_id", "left").select(
         "doc_id",
         F.when(F.col("spans").isNull(), F.concat_ws(" ", F.col("ws")))
@@ -1784,4 +1766,126 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
         F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+    )
+
+
+@register_query(
+    "text_intradoc_span_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS s, i + 2 AS e,
+             array_to_string(arr[i : i + 2], ' ') AS g
+      FROM d, unnest(generate_series(1, len(arr) - 2)) t(i)
+      WHERE len(arr) >= 3
+    ),
+    firsts AS (
+      SELECT doc_id, g, min(s) AS first_s FROM grams GROUP BY doc_id, g
+    ),
+    hits AS (
+      SELECT gr.doc_id, gr.s, gr.e
+      FROM grams gr JOIN firsts f
+        ON gr.doc_id = f.doc_id AND gr.g = f.g
+      WHERE gr.s > f.first_s
+    ),
+    ordered AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM ordered
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM islands GROUP BY doc_id, grp
+    ),
+    positions AS (
+      SELECT d.doc_id, pos, arr[pos] AS word
+      FROM d, unnest(generate_series(1, len(arr))) t(pos)
+    ),
+    kept AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS INT) AS n_kept,
+             string_agg(p.word, ' ' ORDER BY p.pos) AS cleaned_text
+      FROM positions p
+      WHERE NOT EXISTS (SELECT 1 FROM merged m
+                        WHERE m.doc_id = p.doc_id
+                          AND p.pos BETWEEN m.s AND m.e)
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(k.cleaned_text, '') AS cleaned_text,
+           CAST(len(d.arr) - COALESCE(k.n_kept, 0) AS INT) AS n_removed
+    FROM d LEFT JOIN kept k USING (doc_id)
+    """,
+    tags="F9 F27",
+)
+def text_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27: INTRA-document duplicated-span removal — the self-dedup
+    complement of F25 (RefinedWeb strips within-page repetition before
+    any cross-doc pass): any 3-token span whose exact text already
+    occurred EARLIER in the same document is removed (first occurrence
+    kept), later occurrences interval-merged per doc and the survivors
+    reassembled. Unlike F25 there is no corpus-scale duplicate
+    aggregate at all: first-occurrence detection is a (doc_id, gram)
+    min-start aggregate whose shuffle key CONTAINS doc_id, so with the
+    gram frame already partitioned by document the whole operator is a
+    per-document computation — embarrassingly parallel at 100 TB, no
+    cross-document traffic. Shares the gram/interval-merge/rebuild
+    machinery with F25 (`operators/text.py: MERGE_INTERVALS_EXPR`,
+    `drop_spans`); hash certifies the cleaned text."""
+    from karna_spark.operators.text import (
+        MERGE_INTERVALS_EXPR,
+        drop_spans,
+        words,
+    )
+
+    K = 3  # fixture-scaled: the synthetic docs are short word soup;
+    # production crawls use ~50-token spans — K parametrizes freely.
+    docs = table(spark, sf_dir, "documents")
+    ws = words(F.lower(F.trim(F.col("text"))))
+    base = docs.select("doc_id", ws.alias("ws"))
+    n = F.size(F.col("ws"))
+    grams = (
+        base.filter(n >= K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, K)),
+                )
+            ).alias("off", "g"),
+        )
+        .select("doc_id", (F.col("off") + 1).cast("int").alias("s"), "g")
+    )
+    firsts = grams.groupBy("doc_id", "g").agg(F.min("s").alias("first_s"))
+    hits = (
+        grams.join(firsts, ["doc_id", "g"])
+        .filter(F.col("s") > F.col("first_s"))
+        .select("doc_id", "s", (F.col("s") + (K - 1)).alias("e"))
+    )
+    merged = hits.groupBy("doc_id").agg(
+        F.expr(MERGE_INTERVALS_EXPR).alias("spans")
+    )
+    kept_ws = drop_spans(F.col("ws"), F.col("spans"))
+    return base.join(merged, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("spans").isNull(), F.concat_ws(" ", F.col("ws")))
+        .otherwise(F.concat_ws(" ", kept_ws))
+        .alias("cleaned_text"),
+        F.when(F.col("spans").isNull(), F.lit(0))
+        .otherwise(n - F.size(kept_ws))
+        .cast("int")
+        .alias("n_removed"),
     )

@@ -609,3 +609,14 @@ def test_snapshot_stat_pruned_read_skips_years(spark):
     assert files
     years = {f.split("o_year=")[1].split("/")[0] for f in files}
     assert years == {"1995", "1996"}, years
+
+
+def test_intradoc_span_dedup_no_crossdoc_traffic_no_window(spark):
+    # F27: first-occurrence detection groups on (doc_id, g) — every
+    # shuffle key contains doc_id, so the operator is per-document
+    # parallel with zero cross-document traffic; interval merge is the
+    # shared aggregate fold, never a window; whole path JVM-side.
+    plan = plan_of(spark, "text_intradoc_span_dedup", "formatted")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
