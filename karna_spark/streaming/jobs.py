@@ -486,7 +486,15 @@ def foreachbatch_incremental_dedup(
     operator's delta-delta contract) — so the canonicalized union of
     the per-batch logs equals the one-shot all-corpus answer
     regardless of how the stream was batched or ordered. Returns the
-    accumulated pairs (new_id, match_id, jaccard, batch_id)."""
+    accumulated pairs (new_id, match_id, jaccard, batch_id).
+
+    Retry semantics: foreachBatch is at-least-once, so every appended
+    row carries ``batch_id`` — a production deployment makes redelivery
+    idempotent by dynamic-partition-overwriting the ``batch_id=<N>``
+    slice of each store (or committing through the SnapshotStore),
+    exactly as Spark's docs prescribe for foreachBatch sinks; the
+    single-process fixture run cannot redeliver, so the plain append
+    keeps the job readable here."""
     from karna_spark.operators.dedup import (
         minhash_lsh_incremental_pairs,
         minhash_signature_table,
