@@ -566,6 +566,46 @@ class SnapshotStore:
             shutil.rmtree(src, ignore_errors=True)
         return len(removed_dirs)
 
+
+    # --------------------------------------------------------- tags
+    _TAG_NAME = r"[A-Za-z0-9][A-Za-z0-9._-]*"
+
+    def _tag_path(self, name: str) -> str:
+        import re
+
+        if not re.fullmatch(self._TAG_NAME, name):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.mdir, f"tag_{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create or move a named ref pinned to ``version`` (default:
+        latest) — Iceberg's tag semantics: a tagged snapshot is
+        retained by :meth:`vacuum` regardless of ``retain_last``, so
+        'prod' / release tags survive history expiry until the tag is
+        deleted. The tag file swap is atomic (write-new + rename)."""
+        v = self.latest_version() if version is None else version
+        if v not in self._published_versions():
+            raise ValueError(f"cannot tag unpublished version v{v}")
+        p = self._tag_path(name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": v}, fh)
+        os.replace(tmp, p)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(self._tag_path(name))
+
+    def tags(self) -> dict[str, int]:
+        """All named refs as {tag: version}."""
+        out: dict[str, int] = {}
+        for f in os.listdir(self.mdir):
+            if f.startswith("tag_") and f.endswith(".json"):
+                with open(os.path.join(self.mdir, f)) as fh:
+                    doc = json.load(fh)
+                out[doc["name"]] = doc["version"]
+        return out
+
     # ------------------------------------------------------ vacuum
     def vacuum(
         self, retain_last: int = 1, orphan_grace_sec: float = 86400.0
@@ -596,6 +636,9 @@ class SnapshotStore:
 
         published = self._published_versions()
         retained = published[-retain_last:] if retain_last > 0 else []
+        # Tagged snapshots are pinned (Iceberg tag semantics): their
+        # manifests and data stay until the tag is deleted.
+        retained = sorted(set(retained) | set(self.tags().values()))
         live: set[tuple[str, int]] = set()
         for v in retained:
             live.update((val, pv) for val, pv in self._manifest(v).items())
@@ -625,7 +668,12 @@ class SnapshotStore:
                     shutil.rmtree(os.path.join(pdir, vd))
                     deleted.append(os.path.join(d, vd))
         for f in os.listdir(self.mdir):
-            if f.endswith(".json") and int(f[1:-5]) not in retained:
+            if (
+                f.startswith("v")
+                and f.endswith(".json")
+                and f[1:-5].isdigit()
+                and int(f[1:-5]) not in retained
+            ):
                 os.unlink(os.path.join(self.mdir, f))
         return deleted
 
@@ -636,6 +684,7 @@ class SnapshotStore:
         version: int | None = None,
         partition_values: list[str] | None = None,
         where: tuple[str, object, object] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read snapshot ``version`` (default: latest). Resolves the
         manifest to leaf dirs so Spark scans exactly the committed
@@ -656,6 +705,11 @@ class SnapshotStore:
         bounds — old manifests, non-orderable columns — just skip the
         pruning). Bounds survive redact as supersets: pruning can
         only fail to skip, never lose rows."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass either version or tag, not both")
+            with open(self._tag_path(tag)) as fh:
+                version = json.load(fh)["version"]
         v = self.latest_version() if version is None else version
         doc = self._manifest_doc(v)
         manifest = doc["partitions"]

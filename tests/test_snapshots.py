@@ -568,3 +568,41 @@ def test_stats_prune_stays_exact_after_redact(spark, tmp_path):
     assert _rows(store.read(spark, where=("val", 40, 60))) == []
     assert _rows(store.read(spark, where=("val", 5, 35))) == [
         (1, "a", 10), (3, "b", 30)]
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    # S22: Iceberg tag semantics — a tagged snapshot survives history
+    # expiry regardless of retain_last, reads back by name, and is
+    # collected once the tag is deleted.
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))            # v1
+    store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])  # v2
+    store.upsert(spark, _mk(spark, [(1, "a", 12)]), ["k"])  # v3
+    store.tag("release-1", version=1)
+    store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    # v1 pinned by the tag, v2 expired, v3 retained.
+    assert _rows(store.read(spark, tag="release-1")) == [(1, "a", 10)]
+    assert _rows(store.read(spark)) == [(1, "a", 12)]
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, 2)
+    assert store.tags() == {"release-1": 1}
+    store.delete_tag("release-1")
+    store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, 1)
+
+
+def test_tag_validation(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError):
+        store.tag("bad/name")
+    with pytest.raises(ValueError):
+        store.tag("ok", version=99)  # unpublished
+    store.tag("ok")
+    with pytest.raises(ValueError):
+        store.read(spark, version=1, tag="ok")  # mutually exclusive
