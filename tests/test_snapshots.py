@@ -450,6 +450,7 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
         first = {k: random.randrange(100) for k in random.sample(range(1, 9), 5)}
         hist[store.commit(frame(first))] = dict(first)
         retained = set(hist)
+        pins: dict[str, int] = {}  # model of the tag namespace
 
         def check():
             for v in sorted(hist):
@@ -466,9 +467,9 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                     with pytest.raises(FileNotFoundError):
                         store.read(spark, v)
 
-        for _ in range(10):
+        for _ in range(12):
             op = random.choice(
-                ["commit", "upsert", "cdc", "redact", "vacuum"]
+                ["commit", "upsert", "cdc", "redact", "vacuum", "tag", "untag"]
             )
             prev = hist[max(v for v in hist if v in retained)]
             if op == "commit":
@@ -515,11 +516,32 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                     if v in retained:
                         for k in ks:
                             hist[v].pop(k, None)
-            else:  # vacuum
+            elif op == "vacuum":
                 keep = random.randint(1, 3)
                 store.vacuum(retain_last=keep, orphan_grace_sec=0.0)
                 live = sorted(v for v in hist if v in retained)[-keep:]
-                retained = set(live)
+                # Iceberg tag semantics: pinned versions survive expiry.
+                retained = set(live) | set(pins.values())
+            elif op == "tag":
+                name = random.choice(["rel-a", "rel-b"])
+                v = random.choice(sorted(v for v in hist if v in retained))
+                store.tag(name, version=v)
+                pins[name] = v
+            else:  # untag
+                if pins:
+                    name = random.choice(sorted(pins))
+                    store.delete_tag(name)
+                    del pins[name]
+            assert store.tags() == pins
+            for name, v in pins.items():
+                got = sorted(
+                    (r["k"], r["p"], r["val"])
+                    for r in store.read(spark, tag=name).collect()
+                )
+                want = sorted(
+                    (k, key_part[k], val) for k, val in hist[v].items()
+                )
+                assert got == want, f"seed={seed} tag={name}->v{v}"
             check()
 
 
