@@ -46,21 +46,22 @@ from karna_spark.queries import (  # noqa: F401,E402
 # similarity_topk_{lsh,ivf}; similarity_topk_pq was r5 — all four are
 # now covered by their hash-certified driver twins
 # dedup_simhash_md5_pairs / similarity_{lsh,ivf,pq}_recall, see
-# SURVEY.md §8) followed by the oldest r5 rows in registry order (2
-# fit after the fourteen r8-born queries take the (a) head). The
-# remaining 47 r5 rows lead r9's top-50 (plus the oldest 3 r6 rows);
+# SURVEY.md §8) followed by the oldest r5 rows in registry order (1
+# fits after the fifteen r8-born queries take the (a) head). The
+# remaining 48 r5 rows lead r9's top-50 (plus the oldest 2 r6 rows);
 # r10 takes the rest of r6 + the r7 head — every query stays
 # within the 4-round floor. scripts/rotation_check.py audits this
 # mechanically; run it after any reorder here.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet: the fourteen r8-born queries (incremental
+    # (a) no driver row yet: the fifteen r8-born queries (incremental
     # MinHash ingest dedup J18, embedding centroid drift F23,
     # hash-threshold mixture sampling O11, boilerplate strip F24,
     # snapshot corpus diff S19, sliding HLL window merge A33,
     # duplicated-span scrub F25, bigram-LM scoring F26, dynamic
     # partition pruning V7, steady-state IVF ingest J19,
     # stat-pruned snapshot read S20, streaming ingest dedup T14,
-    # correlation-matrix profiling A34, intra-doc span dedup F27).
+    # correlation-matrix profiling A34, intra-doc span dedup F27,
+    # audio spectral features V6d).
     "dedup_incremental_minhash", "vector_centroid_drift",
     "sample_mixture_hash_threshold", "text_boilerplate_strip",
     "snapshot_corpus_diff", "agg_hll_sliding_window_merge",
@@ -68,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_dynamic_partition_pruning", "similarity_ivf_incremental",
     "snapshot_stat_pruned_read", "streaming_incremental_dedup",
     "profile_correlation_matrix", "text_intradoc_span_dedup",
+    "multimodal_audio_spectral",
     # (c) the 34 r4-stale rows — due this round or the floor breaks.
     # UDx + streaming first (the families the r7 verdict called out),
     "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
@@ -90,11 +92,11 @@ _PRIORITY: tuple[str, ...] = (
     # remaining r4 stragglers,
     "q11_important_parts", "sample_systematic", "sliding_window_agg",
     "text_fingerprint", "text_quality", "text_token_counts",
-    # (2 slots left) the oldest r5 rows in registry order — TPC-H
-    # head; the remaining 47 r5 rows lead r9.
-    "q1_pricing_summary", "q3_shipping_priority",
+    # (1 slot left) the oldest r5 row in registry order — the TPC-H
+    # head; the remaining 48 r5 rows lead r9.
+    "q1_pricing_summary",
     # ---- 50-cap boundary: everything below is r9's (c) head ----
-    "q5_local_supplier_volume",
+    "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_type_profit",
     "q12_shipping_delay_class",

@@ -1889,3 +1889,58 @@ def text_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_removed"),
     )
+
+
+@register_query(
+    "multimodal_audio_spectral",
+    oracle="""
+    SELECT doc_id AS item_id,
+           CAST(256 AS INT) AS n_frames,
+           CAST(3 + doc_id % 29 AS INT) AS dominant_bin
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags="U2 F2 V6",
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio FEATURE EXTRACTION, certified end to end: each
+    item synthesizes a 256-frame 16-bit PCM WAV holding an
+    integer-cycle sine whose frequency bin is a closed-form function
+    of the id (encode_wav_tone — exactly ``3 + id % 29`` cycles per
+    clip, zero spectral leakage), and the extractor
+    (operators/multimodal.py: audio_dominant_bin) parses the PCM and
+    runs a REAL numpy FFT per clip inside Arrow-batched mapInPandas —
+    bytes never visit the driver, per-batch memory bounded by the
+    file-split size. The driver hash matches the FFT's argmax bin
+    against the oracle's closed form, so the whole decode → DSP →
+    feature path is certified, not stubbed — the shape a 100 TB
+    audio-curation pipeline runs, with the codec swapped for a real
+    one when the decode libs exist."""
+    from karna_spark.operators.multimodal import (
+        audio_dominant_bin,
+        encode_wav_tone,
+    )
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("item_id"))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "media": [
+                        encode_wav_tone(256, 3 + int(i) % 29)
+                        for i in pdf["item_id"]
+                    ],
+                }
+            )
+
+    tones = ids.mapInPandas(synth, "item_id long, media binary")
+    return audio_dominant_bin(tones).select(
+        "item_id", "n_frames", "dominant_bin"
+    )

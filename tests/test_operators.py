@@ -885,3 +885,25 @@ def test_ivf_store_path_matches_injob(spark):
     idx.unpersist()
     assert injob == store
     assert len(injob) > 0
+
+
+def test_audio_dominant_bin_and_rms(spark):
+    """V6 depth: the FFT extractor recovers the programmed bin for
+    every clip and the deci-dB RMS sits at the analytic level of a
+    full-scale-8000 sine (200*log10(8000/sqrt(2)) ~= 750.5) within
+    quantization tolerance."""
+    import pandas as pd
+
+    from karna_spark.operators.multimodal import (
+        audio_dominant_bin,
+        encode_wav_tone,
+    )
+
+    rows = [(i, encode_wav_tone(256, 3 + i % 29)) for i in range(0, 60, 7)]
+    df = spark.createDataFrame(rows, "item_id long, media binary")
+    got = {r["item_id"]: r for r in audio_dominant_bin(df).collect()}
+    assert len(got) == len(rows)
+    for i, _ in rows:
+        assert got[i]["dominant_bin"] == 3 + i % 29
+        assert got[i]["n_frames"] == 256
+        assert abs(got[i]["rms_db_e1"] - 750) <= 3
