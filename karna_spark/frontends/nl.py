@@ -463,13 +463,54 @@ def to_sql(question: str, vocab: Vocabulary = DEFAULT_VOCAB) -> str:
 
     raise NLError(
         f"question not in grammar: {question!r} — supported forms: "
-        "'total X by Y in T', 'count of T [by Y]', 'top N T by X'"
+        "'total X by Y in T', 'count of T [by Y]', 'top N T by X' "
+        "(operator-backed, via ask(): 'find near-duplicates in T')"
     )
 
 
+_DEDUP_RE = re.compile(
+    r"(?i)^(?:find |show |list )?near[ -]?duplicate"
+    r"(?:s| pairs| documents| docs)?"
+    r"(?: (?:in|of|among) (?P<table>[a-z_ ]+))?$"
+)
+
+# Text-bearing column names the operator-backed intents recognize.
+_TEXT_COLS = ("text", "body", "content")
+
+
 def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
-    """NL question → DataFrame via the SQL surface. The vocabulary is
-    derived live from the session catalog (every registered table/view
-    becomes queryable by name) plus the fixture star schema; pass a
-    ``Metastore`` to pick up declared FK edges for cross-table joins."""
-    return spark.sql(to_sql(question, vocabulary_from_session(spark, metastore)))
+    """NL question → DataFrame. Grammar questions go through the SQL
+    surface (``to_sql``); OPERATOR-BACKED intents — questions whose
+    answer is an engine operator, not a SQL string — dispatch directly:
+    'find near-duplicate documents [in <table>]' runs the certified
+    MinHash-LSH pair operator (threshold 0.5, the `dedup_minhash_lsh`
+    configuration) over any registered table carrying an id + text
+    column. The vocabulary is derived live from the session catalog
+    (every registered table/view becomes queryable by name) plus the
+    fixture star schema; pass a ``Metastore`` to pick up declared FK
+    edges for cross-table joins."""
+    vocab = vocabulary_from_session(spark, metastore)
+    q = re.sub(r"[?.!]+$", "", question.strip())
+    q = re.sub(r"\s+", " ", q)
+    m = _DEDUP_RE.match(q)
+    if m:
+        table = resolve_table(m.group("table") or "documents", vocab)
+        cols = vocab.table_columns[table]
+        text_col = next((c for c in cols if c in _TEXT_COLS), None)
+        if text_col is None:
+            raise NLError(
+                f"near-duplicate search needs a text column on {table} "
+                f"(one of {_TEXT_COLS}); found {cols}"
+            )
+        from karna_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            spark.table(table),
+            cols[0],
+            text_col,
+            threshold=0.5,
+            num_perm=64,
+            bands=16,
+            shingle_n=2,
+        )
+    return spark.sql(to_sql(question, vocab))

@@ -46,14 +46,14 @@ from karna_spark.queries import (  # noqa: F401,E402
 # similarity_topk_{lsh,ivf}; similarity_topk_pq was r5 — all four are
 # now covered by their hash-certified driver twins
 # dedup_simhash_md5_pairs / similarity_{lsh,ivf,pq}_recall, see
-# SURVEY.md §8) followed by the oldest r5 rows in registry order (1
-# fits after the fifteen r8-born queries take the (a) head). The
-# remaining 48 r5 rows lead r9's top-50 (plus the oldest 2 r6 rows);
+# SURVEY.md §8) followed by the oldest r5 rows in registry order (0
+# fit after the sixteen r8-born queries take the (a) head). The
+# full 49-row r5 cohort leads r9's top-50 (plus the oldest r6 row);
 # r10 takes the rest of r6 + the r7 head — every query stays
 # within the 4-round floor. scripts/rotation_check.py audits this
 # mechanically; run it after any reorder here.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet: the fifteen r8-born queries (incremental
+    # (a) no driver row yet: the sixteen r8-born queries (incremental
     # MinHash ingest dedup J18, embedding centroid drift F23,
     # hash-threshold mixture sampling O11, boilerplate strip F24,
     # snapshot corpus diff S19, sliding HLL window merge A33,
@@ -61,7 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     # partition pruning V7, steady-state IVF ingest J19,
     # stat-pruned snapshot read S20, streaming ingest dedup T14,
     # correlation-matrix profiling A34, intra-doc span dedup F27,
-    # audio spectral features V6d).
+    # audio spectral features V6d, NL operator-backed intent V1d).
     "dedup_incremental_minhash", "vector_centroid_drift",
     "sample_mixture_hash_threshold", "text_boilerplate_strip",
     "snapshot_corpus_diff", "agg_hll_sliding_window_merge",
@@ -69,7 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_dynamic_partition_pruning", "similarity_ivf_incremental",
     "snapshot_stat_pruned_read", "streaming_incremental_dedup",
     "profile_correlation_matrix", "text_intradoc_span_dedup",
-    "multimodal_audio_spectral",
+    "multimodal_audio_spectral", "frontend_nl_near_duplicates",
     # (c) the 34 r4-stale rows — due this round or the floor breaks.
     # UDx + streaming first (the families the r7 verdict called out),
     "udf_scalar_python", "udf_vectorized_scalar", "udf_grouped_zscore",
@@ -92,10 +92,9 @@ _PRIORITY: tuple[str, ...] = (
     # remaining r4 stragglers,
     "q11_important_parts", "sample_systematic", "sliding_window_agg",
     "text_fingerprint", "text_quality", "text_token_counts",
-    # (1 slot left) the oldest r5 row in registry order — the TPC-H
-    # head; the remaining 48 r5 rows lead r9.
-    "q1_pricing_summary",
+    # (0 slots left) — the full r5 cohort (49 rows) leads r9.
     # ---- 50-cap boundary: everything below is r9's (c) head ----
+    "q1_pricing_summary",
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q4_order_priority", "q7_volume_shipping", "q8_market_share",
     "q9_product_type_profit",

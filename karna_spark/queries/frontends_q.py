@@ -390,3 +390,40 @@ def frontend_graphql_dynamic_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat=True,
         rel_schema=rel,
     )
+
+
+@register_query(
+    "frontend_nl_near_duplicates",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text,' '))-1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    tags="V1 J9 F7",
+)
+def frontend_nl_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent: 'find near-duplicate
+    documents' dispatches to the certified MinHash-LSH pair operator
+    instead of a SQL translation — the reference's NL surface promises
+    answers over tabular files, and a curation engine's most-asked NL
+    question is not an aggregate. The intent resolves the table
+    through the same live vocabulary as every grammar question (any
+    registered table with an id + text column works), and the hash is
+    checked against the exact all-pairs Jaccard oracle — identical
+    certification to `dedup_minhash_lsh`, now reached through natural
+    language."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, "find near-duplicate documents")
