@@ -296,3 +296,22 @@ def test_sql_guard_blocks_writes(fixtures):
         with pytest.raises(SQLFrontendError):
             execute(fixtures, stmt)
     assert execute(fixtures, "SELECT 1 AS one").collect()[0]["one"] == 1
+
+
+# ------------------------------------------------- operator-backed NL
+def test_nl_dedup_intent_phrasings_and_guard(fixtures):
+    from karna_spark.frontends.nl import NLError, ask
+
+    a = ask(fixtures, "find near-duplicate documents")
+    b = ask(fixtures, "Near duplicates in documents?")
+    rows_a = sorted((r["id_a"], r["id_b"]) for r in a.collect())
+    rows_b = sorted((r["id_a"], r["id_b"]) for r in b.collect())
+    from karna_spark.operators.dedup import release_intermediates
+
+    release_intermediates(a)
+    release_intermediates(b)
+    assert rows_a and rows_a == rows_b  # phrasing-invariant dispatch
+    # A table with no text-bearing column refuses with a clear error
+    # instead of guessing a column.
+    with pytest.raises(NLError, match="text column"):
+        ask(fixtures, "find near-duplicates in customer")
