@@ -34,9 +34,9 @@ from karna_spark.queries import (  # noqa: F401,E402
 # Registry order is the order the driver's correctness harness visits
 # queries, and the harness is count-capped (the first 50 entries per
 # round — CORRECTNESS_rN.json always holds exactly 50 rows).
-# ROTATION POLICY (restated at N=189, r8): every registered query's
+# ROTATION POLICY (restated at N=201, r8): every registered query's
 # newest driver row must be ≤ ceil(N/50) rounds old (the arithmetic
-# floor; 4 rounds at the current N). Each round's top-50 is, in
+# floor; 5 rounds at the current N). Each round's top-50 is, in
 # order: (a) queries with NO driver row yet (new or past-cap), (b)
 # queries materially changed this round, (c) the stalest certified
 # cohort. Whatever spills past 50 via the setdefault loop leads the
@@ -61,7 +61,12 @@ _PRIORITY: tuple[str, ...] = (
     # partition pruning V7, steady-state IVF ingest J19,
     # stat-pruned snapshot read S20, streaming ingest dedup T14,
     # correlation-matrix profiling A34, intra-doc span dedup F27,
-    # audio spectral features V6d, NL operator-backed intent V1d).
+    # audio spectral features V6d, NL operator-backed intent V1d),
+    # plus the two late-r8 rows: certification-grade exact k-means
+    # F28 and the binaryFile multimodal ingest scan S22 (their two
+    # displaced r4 rows — text_quality, text_token_counts — join the
+    # r9 head; N=201 lifts the floor to 5, rotation_check verified).
+    "vector_kmeans_lloyd", "source_binary_files",
     "dedup_incremental_minhash", "vector_centroid_drift",
     "sample_mixture_hash_threshold", "text_boilerplate_strip",
     "snapshot_corpus_diff", "agg_hll_sliding_window_merge",

@@ -671,3 +671,58 @@ def snapshot_stat_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+@register_query(
+    "source_binary_files",
+    oracle="""
+    SELECT printf('doc_%08d.bin', doc_id) AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS md5_hex
+    FROM documents
+    WHERE doc_id % 8 = 0
+    """,
+    tags="S22 V5",
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22: opaque binary-file ingestion — the real front door for a
+    multimodal corpus (image/audio/video files land as FILES; V5's
+    typed-metadata model starts at exactly this scan). Fixture prep
+    materializes one .bin per selected document (utf-8 bytes of its
+    text — deterministic content the oracle can recompute); the
+    operator under test is Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content BINARY). The
+    query returns each file's name, the source's own ``length``
+    metadata column (no content decode needed to get it), and the
+    md5 of the content bytes — hash-matched against the oracle
+    deriving the same triple from the documents table, so the scan is
+    proven byte-lossless end to end. Scale: binaryFile is a standard
+    FileScan (distributed listing, per-file tasks, pathGlobFilter /
+    recursiveFileLookup pushdown); content bytes stay in the executor
+    — nothing here collects. Prep writes driver-side because it IS
+    fixture scaffolding (63 small files), not the measured path."""
+    out = _export_dir(sf_dir, "docs_bin")
+    if os.path.isdir(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r['doc_id']:08d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return scan.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("md5_hex"),
+    )

@@ -626,3 +626,86 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "query_id", "neighbor_id", F.round(F.col("adc"), 4).alias("adc"), "rank"
     )
+
+
+# ----------------------------------------------------------- F28 k-means
+
+_KM_K, _KM_ITERS, _KM_SCALE, _KM_OFF = 8, 3, 1024, 2048
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int, off: int) -> str:
+    """Generate the chained-CTE DuckDB oracle for ``iters`` exact Lloyd
+    iterations — proof that a FIXED-depth iterative algorithm is
+    SQL-expressible once every step is exact integer arithmetic (the
+    float variants in operators/similarity.py are not, and stay on the
+    recall-gate certification path)."""
+    parts = [f"""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale}.0)
+                  AS BIGINT) + {off} AS xq
+      FROM embeddings
+    ),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (SELECT i.cid, e.dim, e.xq AS c FROM e JOIN init i USING (vec_id))"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+    d{t} AS (
+      SELECT e.vec_id, c.cid, SUM((e.xq - c.c) * (e.xq - c.c)) AS dist
+      FROM e JOIN c{p} c ON e.dim = c.dim
+      GROUP BY e.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT a.cid, e.dim, SUM(e.xq) AS s, COUNT(*) AS n
+      FROM e JOIN a{t} a USING (vec_id)
+      GROUP BY a.cid, e.dim
+    ),
+    c{t} AS (
+      SELECT p.cid, p.dim, COALESCE((2 * s.s + s.n) // (2 * s.n), p.c) AS c
+      FROM c{p} p LEFT JOIN s{t} s ON p.cid = s.cid AND p.dim = s.dim
+    )""")
+    parts.append(f"""
+    SELECT CAST(c{iters}.cid AS INT) AS cluster_id,
+           CAST(c{iters}.dim - 1 AS INT) AS dim,
+           CAST(c{iters}.c - {off} AS BIGINT) AS coord_q,
+           CAST(COALESCE(s{iters}.n, 0) AS BIGINT) AS n_points
+    FROM c{iters} LEFT JOIN s{iters}
+      ON c{iters}.cid = s{iters}.cid AND c{iters}.dim = s{iters}.dim""")
+    return "".join(parts)
+
+
+@register_query(
+    "vector_kmeans_lloyd",
+    oracle=_kmeans_oracle(_KM_K, _KM_ITERS, _KM_SCALE, _KM_OFF),
+    tags="F28 F8 A1",
+)
+def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F28: distributed k-means, certification grade — 3 exact Lloyd
+    iterations over the embedding corpus (k=8), every arithmetic step
+    exact integer math (operators/kmeans.py), so the driver hash-matches
+    a DuckDB oracle replaying the identical spec as chained CTEs. This
+    upgrades the engine's iterative-algorithm story from rows-only
+    (the float k-means behind IVF/SemDeDup, certified via recall gates)
+    to direct value certification. Scale: assignment is a literal-
+    centroid codegen map (no UDF, no shuffle); the per-iteration
+    shuffle carries ≤ k·dim rows after map-side combine; driver traffic
+    is k·dim ints per iteration. Output: one row per (cluster_id, dim)
+    with the quantized coordinate and final cluster population."""
+    from karna_spark.operators.kmeans import kmeans_lloyd_exact
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_exact(
+        spark, emb, "vec_id", "embedding",
+        k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, offset=_KM_OFF,
+    )

@@ -907,3 +907,106 @@ def test_audio_dominant_bin_and_rms(spark):
         assert got[i]["dominant_bin"] == 3 + i % 29
         assert got[i]["n_frames"] == 256
         assert abs(got[i]["rms_db_e1"] - 750) <= 3
+
+
+# ------------------------------------------------------- exact k-means
+
+
+def _kmeans_pure_python(vecs, k, iters, scale=1024, offset=2048):
+    """Independent replay of the operators/kmeans.py spec in plain
+    Python ints (no Spark, no numpy float paths) — the differential
+    reference for the certification-grade k-means."""
+    import math
+
+    q = [[math.floor(float(v) * scale) + offset for v in vec] for _, vec in vecs]
+    ids = sorted(range(len(vecs)), key=lambda i: vecs[i][0])
+    cents = [list(q[i]) for i in ids[:k]]
+
+    def assign():
+        out = []
+        for row in q:
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(row, c)), cid)
+                for cid, c in enumerate(cents)
+            )
+            out.append(best[1])
+        return out
+
+    a = None
+    for _ in range(iters):
+        a = assign()
+        new = []
+        for cid in range(k):
+            members = [q[i] for i in range(len(q)) if a[i] == cid]
+            if not members:
+                new.append(list(cents[cid]))
+            else:
+                n = len(members)
+                new.append(
+                    [(2 * sum(col) + n) // (2 * n) for col in zip(*members)]
+                )
+        cents = new
+    counts = [sum(1 for x in a if x == cid) for cid in range(k)]
+    return cents, counts
+
+
+def test_kmeans_exact_matches_pure_python(spark):
+    """The Spark result must equal the pure-Python replay bit-for-bit
+    on the real sf0.001 embeddings — same quantization, same argmin
+    tie-break, same round-half-up update, same empty-cluster carry."""
+    from karna_spark.operators.kmeans import kmeans_lloyd_exact
+    from karna_spark.operators.dedup import release_intermediates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    cents, counts = _kmeans_pure_python(rows, k=8, iters=3)
+
+    out = kmeans_lloyd_exact(spark, emb, "vec_id", "embedding", k=8, iters=3)
+    got = {(r["cluster_id"], r["dim"]): (r["coord_q"], r["n_points"]) for r in out.collect()}
+    release_intermediates(out)
+    assert len(got) == 8 * 64
+    for cid in range(8):
+        for dim in range(64):
+            coord, n = got[(cid, dim)]
+            assert coord == cents[cid][dim] - 2048, (cid, dim)
+            assert n == counts[cid], cid
+
+
+def test_kmeans_empty_cluster_carries_previous_centroid(spark):
+    """Duplicate init points force an immediately-empty cluster (ties
+    break to the lower id): its centroid must carry forward and report
+    n_points=0 instead of vanishing or dividing by zero."""
+    from karna_spark.operators.kmeans import kmeans_lloyd_exact
+    from karna_spark.operators.dedup import release_intermediates
+
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.0]), (2, [100.0])], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_lloyd_exact(spark, df, "vec_id", "embedding", k=2, iters=1)
+    rows = {r["cluster_id"]: (r["coord_q"], r["n_points"]) for r in out.collect()}
+    release_intermediates(out)
+    # Both centroids init to the same quantized zero, so every point
+    # (including the 100) ties and breaks to cluster 0 — cluster 1 is
+    # empty from the first assignment: centroid carried, population 0.
+    assert rows[1] == (0, 0)
+    # cluster 0 = all three points; centroid is the round-half-up mean
+    # of quantized {2048, 2048, 104448} minus the offset.
+    assert rows[0] == ((2 * (2048 + 2048 + 104448) + 3) // 6 - 2048, 3)
+
+
+def test_kmeans_plan_is_codegen_map_no_python(spark):
+    """The assignment pass must stay JVM-side: no Python eval node, no
+    window, and the only wide node feeding the result is the (cid, dim)
+    partial aggregate."""
+    from karna_spark.operators.kmeans import kmeans_lloyd_exact
+    from karna_spark.operators.dedup import release_intermediates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kmeans_lloyd_exact(spark, emb, "vec_id", "embedding", k=4, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release_intermediates(out)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
