@@ -27,6 +27,10 @@ Mapping (hasura-inspired, all public GraphQL syntax):
                          structs (relay-style nesting)
 - ``<table>_aggregate(groupBy: [...])`` → groupBy + count/sum/avg/
                          min/max sub-selections, flat output
+- ``$variables``       → resolved against the caller's bindings (+
+                         declared defaults) before translation
+- fragments            → named (``...f``) and inline (``... { }``)
+                         spreads expanded before translation
 
 Scale: joins to dimension parents are explicitly ``F.broadcast`` —
 every relationship in REL_SCHEMA points at a dimension table orders of
@@ -142,8 +146,14 @@ class GraphQLError(ValueError):
     pass
 
 
-def _value(node) -> object:
-    """GraphQL value AST → Python value."""
+def _value(node, variables: dict | None = None) -> object:
+    """GraphQL value AST → Python value. ``variables`` holds the
+    operation's resolved variable bindings; a ``$var`` reference
+    outside the declared set is an error (never a silent null)."""
+    if isinstance(node, gql_ast.VariableNode):
+        if variables is None or node.name.value not in variables:
+            raise GraphQLError(f"unbound variable ${node.name.value}")
+        return variables[node.name.value]
     if isinstance(node, gql_ast.IntValueNode):
         return int(node.value)
     if isinstance(node, gql_ast.FloatValueNode):
@@ -157,10 +167,62 @@ def _value(node) -> object:
     if isinstance(node, gql_ast.EnumValueNode):
         return node.value
     if isinstance(node, gql_ast.ListValueNode):
-        return [_value(v) for v in node.values]
+        return [_value(v, variables) for v in node.values]
     if isinstance(node, gql_ast.ObjectValueNode):
-        return {f.name.value: _value(f.value) for f in node.fields}
+        return {f.name.value: _value(f.value, variables) for f in node.fields}
     raise GraphQLError(f"unsupported GraphQL value: {node!r}")
+
+
+def _resolve_variables(op, provided: dict | None) -> dict:
+    """Operation variable definitions + caller-provided values →
+    {name: python value}. Defaults fill omitted variables; a missing
+    non-null variable and a provided-but-undeclared name both error
+    (the two mistakes real GraphQL clients actually make)."""
+    remaining = dict(provided or {})
+    resolved: dict[str, object] = {}
+    for vd in op.variable_definitions or ():
+        vname = vd.variable.name.value
+        if vname in remaining:
+            resolved[vname] = remaining.pop(vname)
+        elif vd.default_value is not None:
+            resolved[vname] = _value(vd.default_value)
+        elif isinstance(vd.type, gql_ast.NonNullTypeNode):
+            raise GraphQLError(f"missing required variable ${vname}")
+        else:
+            resolved[vname] = None
+    if remaining:
+        raise GraphQLError(f"undeclared variables: {sorted(remaining)}")
+    return resolved
+
+
+def _inline_fragments(sel_set, fragments: dict, depth: int = 0) -> None:
+    """Replace every FragmentSpread / InlineFragment in ``sel_set``
+    (recursively) with the fragment's own selections, in place, so the
+    translator walks plain fields only. Type conditions are not
+    enforced — this engine has no GraphQL type system; a fragment's
+    selections must name real columns/relationships of wherever it is
+    spread, and resolution errors surface exactly as for inline
+    fields. Depth cap catches fragment cycles (A spreads B spreads A),
+    which the GraphQL spec forbids."""
+    if sel_set is None:
+        return
+    if depth > 32:
+        raise GraphQLError("fragment nesting too deep (cycle?)")
+    new_sels: list = []
+    for sel in sel_set.selections:
+        if isinstance(sel, gql_ast.FragmentSpreadNode):
+            frag = fragments.get(sel.name.value)
+            if frag is None:
+                raise GraphQLError(f"unknown fragment ...{sel.name.value}")
+            _inline_fragments(frag.selection_set, fragments, depth + 1)
+            new_sels.extend(frag.selection_set.selections)
+        elif isinstance(sel, gql_ast.InlineFragmentNode):
+            _inline_fragments(sel.selection_set, fragments, depth + 1)
+            new_sels.extend(sel.selection_set.selections)
+        else:
+            _inline_fragments(sel.selection_set, fragments, depth)
+            new_sels.append(sel)
+    sel_set.selections = tuple(new_sels)
 
 
 def _where_expr(cond: dict) -> Column:
@@ -202,8 +264,8 @@ def _order_cols(order_by: list) -> list[Column]:
     return cols
 
 
-def _field_args(field) -> dict:
-    return {a.name.value: _value(a.value) for a in field.arguments or ()}
+def _field_args(field, variables: dict | None = None) -> dict:
+    return {a.name.value: _value(a.value, variables) for a in field.arguments or ()}
 
 
 def _read(spark: SparkSession, name: str) -> DataFrame:
@@ -211,11 +273,16 @@ def _read(spark: SparkSession, name: str) -> DataFrame:
 
 
 def _translate_table_field(
-    spark: SparkSession, field, table: str, flat: bool, rel_schema: dict
+    spark: SparkSession,
+    field,
+    table: str,
+    flat: bool,
+    rel_schema: dict,
+    variables: dict | None = None,
 ) -> DataFrame:
     """One root (or nested) table field → DataFrame."""
     df = _read(spark, table)
-    args = _field_args(field)
+    args = _field_args(field, variables)
     if "where" in args:
         df = df.filter(_where_expr(args["where"]))
 
@@ -315,7 +382,9 @@ def _translate_table_field(
 _AGG_FNS = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
 
 
-def _translate_aggregate_field(spark: SparkSession, field, table: str) -> DataFrame:
+def _translate_aggregate_field(
+    spark: SparkSession, field, table: str, variables: dict | None = None
+) -> DataFrame:
     """``<table>_aggregate(groupBy: [...])`` → groupBy + aggregates.
 
     Catalyst compiles this to the standard partial/final hash aggregate
@@ -323,7 +392,7 @@ def _translate_aggregate_field(spark: SparkSession, field, table: str) -> DataFr
     (partition, group), not per input row.
     """
     df = _read(spark, table)
-    args = _field_args(field)
+    args = _field_args(field, variables)
     if "where" in args:
         df = df.filter(_where_expr(args["where"]))
     group_cols = [str(c) for c in args.get("groupBy", [])]
@@ -362,6 +431,7 @@ def translate(
     query_text: str,
     flat: bool = False,
     rel_schema: dict | None = None,
+    variables: dict | None = None,
 ) -> DataFrame:
     """GraphQL query document → DataFrame (single root field).
 
@@ -375,6 +445,18 @@ def translate(
     defaults to the fixture star schema; pass
     ``rel_schema_from_metastore(ms)`` to nest user-registered datasets
     along their declared FK edges.
+
+    ``variables`` binds the operation's declared ``$variables`` —
+    the wire shape every real GraphQL client library sends
+    (query text + separate JSON variables). Defaults declared in the
+    operation fill omitted names; a missing non-null variable or an
+    undeclared provided name is an error. Named fragments
+    (``fragment f on T { ... }`` + ``...f``) and inline fragments are
+    expanded before translation, so fragment-factored clients (Relay,
+    Apollo codegen) work unchanged. Variable substitution and fragment
+    inlining are driver-side text/AST work — the emitted plan is
+    byte-identical to the equivalent inline query, so Catalyst sees no
+    difference at any scale.
     """
     if not HAVE_GRAPHQL:  # pragma: no cover
         raise GraphQLError("graphql-core not available in this environment")
@@ -384,11 +466,22 @@ def translate(
     ops = [d for d in doc.definitions if isinstance(d, gql_ast.OperationDefinitionNode)]
     if len(ops) != 1 or ops[0].operation.value != "query":
         raise GraphQLError("expected exactly one query operation")
+    fragments = {
+        d.name.value: d
+        for d in doc.definitions
+        if isinstance(d, gql_ast.FragmentDefinitionNode)
+    }
+    resolved_vars = _resolve_variables(ops[0], variables)
+    _inline_fragments(ops[0].selection_set, fragments)
     roots = ops[0].selection_set.selections
     if len(roots) != 1:
         raise GraphQLError("expected exactly one root field")
     root = roots[0]
     name = root.name.value
     if name.endswith("_aggregate"):
-        return _translate_aggregate_field(spark, root, name[: -len("_aggregate")])
-    return _translate_table_field(spark, root, name, flat, rel_schema)
+        return _translate_aggregate_field(
+            spark, root, name[: -len("_aggregate")], resolved_vars
+        )
+    return _translate_table_field(
+        spark, root, name, flat, rel_schema, resolved_vars
+    )

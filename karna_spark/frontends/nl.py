@@ -464,7 +464,9 @@ def to_sql(question: str, vocab: Vocabulary = DEFAULT_VOCAB) -> str:
     raise NLError(
         f"question not in grammar: {question!r} — supported forms: "
         "'total X by Y in T', 'count of T [by Y]', 'top N T by X' "
-        "(operator-backed, via ask(): 'find near-duplicates in T')"
+        "(operator-backed, via ask(): 'find near-duplicates in T', "
+        "'deduplicate T exactly', 'sample N% of T stratified by C', "
+        "'top K T matching <terms>')"
     )
 
 
@@ -474,43 +476,114 @@ _DEDUP_RE = re.compile(
     r"(?: (?:in|of|among) (?P<table>[a-z_ ]+))?$"
 )
 
+_EXACT_DEDUP_RE = re.compile(
+    r"(?i)^(?:(?:de-?duplicate|dedupe?) (?P<table>[a-z_ ]+?)(?: exactly)?"
+    r"|remove exact duplicates? (?:from|in) (?P<table2>[a-z_ ]+))$"
+)
+
+_STRAT_SAMPLE_RE = re.compile(
+    r"(?i)^(?:sample|take) (?P<pct>\d+(?:\.\d+)?)\s*(?:%|percent) "
+    r"(?:of )?(?P<table>[a-z_ ]+?) stratified (?:by|on) (?P<col>[a-z_ ]+)$"
+)
+
+_BM25_RE = re.compile(
+    r"(?i)^(?:show |list |find )?top (?P<k>\d+) (?P<table>[a-z_ ]+?) "
+    r"(?:matching|about|mentioning) (?P<terms>.+)$"
+)
+
 # Text-bearing column names the operator-backed intents recognize.
 _TEXT_COLS = ("text", "body", "content")
+
+
+def _text_table(
+    m_table: str | None, vocab: Vocabulary
+) -> tuple[str, str, str]:
+    """Resolve an intent's table phrase to (table, id_col, text_col);
+    refuses tables without a recognizable text column."""
+    table = resolve_table(m_table or "documents", vocab)
+    cols = vocab.table_columns[table]
+    text_col = next((c for c in cols if c in _TEXT_COLS), None)
+    if text_col is None:
+        raise NLError(
+            f"this intent needs a text column on {table} "
+            f"(one of {_TEXT_COLS}); found {cols}"
+        )
+    return table, cols[0], text_col
 
 
 def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
     """NL question → DataFrame. Grammar questions go through the SQL
     surface (``to_sql``); OPERATOR-BACKED intents — questions whose
-    answer is an engine operator, not a SQL string — dispatch directly:
-    'find near-duplicate documents [in <table>]' runs the certified
-    MinHash-LSH pair operator (threshold 0.5, the `dedup_minhash_lsh`
-    configuration) over any registered table carrying an id + text
-    column. The vocabulary is derived live from the session catalog
-    (every registered table/view becomes queryable by name) plus the
-    fixture star schema; pass a ``Metastore`` to pick up declared FK
-    edges for cross-table joins."""
+    answer is an engine operator, not a SQL string — dispatch directly
+    to the certified operator library:
+
+    - 'find near-duplicate documents [in <table>]' → MinHash-LSH pair
+      operator (threshold 0.5, the `dedup_minhash_lsh` configuration);
+    - 'deduplicate <table> [exactly]' / 'remove exact duplicates from
+      <table>' → exact dedup summary keyed on md5(text): one row per
+      distinct content with the deterministic survivor (min id) and
+      multiplicity;
+    - 'sample N% of <table> stratified by <col>' → deterministic
+      stratified quota sampler (operators/sampling.py);
+    - 'top K <table> matching <terms>' → BM25 top-k retrieval
+      (operators/retrieval.py).
+
+    Every intent resolves tables/columns through the same live
+    vocabulary as grammar questions — any registered table with an
+    id + text column works. The vocabulary is derived from the session
+    catalog (every registered table/view becomes queryable by name)
+    plus the fixture star schema; pass a ``Metastore`` to pick up
+    declared FK edges for cross-table joins."""
     vocab = vocabulary_from_session(spark, metastore)
     q = re.sub(r"[?.!]+$", "", question.strip())
     q = re.sub(r"\s+", " ", q)
     m = _DEDUP_RE.match(q)
     if m:
-        table = resolve_table(m.group("table") or "documents", vocab)
-        cols = vocab.table_columns[table]
-        text_col = next((c for c in cols if c in _TEXT_COLS), None)
-        if text_col is None:
-            raise NLError(
-                f"near-duplicate search needs a text column on {table} "
-                f"(one of {_TEXT_COLS}); found {cols}"
-            )
+        table, id_col, text_col = _text_table(m.group("table"), vocab)
         from karna_spark.operators.dedup import minhash_lsh_pairs
 
         return minhash_lsh_pairs(
             spark.table(table),
-            cols[0],
+            id_col,
             text_col,
             threshold=0.5,
             num_perm=64,
             bands=16,
             shingle_n=2,
+        )
+    m = _EXACT_DEDUP_RE.match(q)
+    if m:
+        table, id_col, text_col = _text_table(
+            m.group("table") or m.group("table2"), vocab
+        )
+        from pyspark.sql import functions as F
+
+        from karna_spark.operators.dedup import exact_dedup_summary
+
+        # Key on the content digest, not the content: the dedup
+        # shuffle carries 32-byte fingerprints even when documents
+        # are megabytes.
+        return exact_dedup_summary(
+            spark.table(table), F.md5(F.col(text_col).cast("binary")), id_col
+        )
+    m = _STRAT_SAMPLE_RE.match(q)
+    if m:
+        table = resolve_table(m.group("table"), vocab)
+        col = resolve_column(table, m.group("col"), vocab)
+        pct = float(m.group("pct"))
+        if not 0 < pct <= 100:
+            raise NLError(f"sample percentage out of range: {pct}")
+        from karna_spark.operators.sampling import stratified_quota
+
+        pk = vocab.table_columns[table][0]
+        return stratified_quota(spark.table(table), col, pk, pct / 100.0)
+    m = _BM25_RE.match(q)
+    if m:
+        table, id_col, text_col = _text_table(m.group("table"), vocab)
+        from karna_spark.operators.retrieval import bm25_topk
+
+        terms = m.group("terms").strip().strip("'\"").split()
+        return bm25_topk(
+            spark.table(table), id_col, text_col, terms, int(m.group("k"))
         )
     return spark.sql(to_sql(question, vocab))

@@ -43,6 +43,17 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
+def exact_dedup_summary(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """One row per distinct ``key`` value: the deterministic survivor
+    (min id — the keep-rule a curation audit trail can replay) and the
+    multiplicity. groupBy = one hash shuffle on the key; pass an md5/
+    xxhash of the payload as ``key`` so the shuffle carries a fixed-
+    width digest, not the (possibly megabyte) payload itself."""
+    return df.groupBy(key.alias("fp")).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
 def dup_report(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Groups with >1 row for ``key``: (key, n_dups, min id kept)."""
     return (

@@ -1,0 +1,107 @@
+"""Lexical retrieval scoring (BM25) as a reusable operator.
+
+The reference promises query surfaces over tabular corpora (reference
+README.md:2); topical filtering of a training corpus by relevance to a
+term list is the retrieval shape a curation pipeline runs (SURVEY.md
+§2.7 F9 family). This module is the operator behind BOTH the
+`text_bm25_scores` driver query and the NL front-end's
+"top k documents matching <terms>" intent — one certified
+implementation, two surfaces.
+
+Scale: pure DataFrame composition — explode → two small aggregates
+(term stats broadcast back) → per-doc score; no UDF, one shuffle on
+(doc, term) and one on term. The corpus stats (N, avgdl) are a 1-row
+broadcast; idf is |terms| rows. At 100 TB the only corpus-scale pass
+is the tokenize+explode scan, and the term filter prunes the explode
+output to docs containing a query term before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document containing ≥1 query term.
+
+    Returns (id_col, bm25) with bm25 rounded to 4 decimals — float
+    summation order differs between engines/runs, and the fixture
+    statistics make 4 decimals exact, so the rounded score is
+    deterministic at any parallelism (the registry float convention,
+    queries/registry.py).
+    """
+    from karna_spark.operators.text import words
+
+    d = docs.select(id_col, words(F.trim(F.col(text_col))).alias("ws"))
+    # Two corpus scans total: one for the global stats (which must see
+    # term-free docs too), one for term frequencies — the doc length
+    # rides through the tf groupBy as a grouping column, so the scored
+    # join needs no third pass over the text.
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("ws")).alias("avgdl")
+    )
+    tf = (
+        d.select(id_col, F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf feeds both idf and the scored join; a lazy localCheckpoint
+    # materializes it once at first action (build stays action-free)
+    # and — unlike persist(), whose CacheManager entry would outlive
+    # this query with no unpersist hook — its blocks are released by
+    # the ContextCleaner as soon as the frame is garbage-collected.
+    # Bounded small: docs containing a query term × |terms| rows.
+    tf = tf.localCheckpoint(eager=False)
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.col("idf") * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("part"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("part"), 4).alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to ``terms``.
+
+    Orders by the ROUNDED score (the cross-engine-stable value) with a
+    unique-id tie-break, so the cut line is deterministic at any
+    parallelism and across engines; plans as TakeOrderedAndProject —
+    no global sort of the scored set.
+    """
+    return (
+        bm25_scores(docs, id_col, text_col, terms, k1=k1, b=b)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -393,6 +393,157 @@ def frontend_graphql_dynamic_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "frontend_nl_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags="V1 J8 FE-NL",
+)
+def frontend_nl_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent: 'deduplicate documents
+    exactly' dispatches the exact-dedup summary operator — one row per
+    distinct content fingerprint with the deterministic survivor (min
+    doc_id) and multiplicity. The shuffle key is md5(text), a 32-byte
+    digest, so the dedup of a 100 TB corpus moves fingerprints, never
+    documents. Hash-certified against DuckDB's md5/group-by."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, "deduplicate documents exactly")
+
+
+@register_query(
+    "frontend_nl_stratified_sample",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    WHERE rn <= ceil(n * 0.3)
+    """,
+    tags="V1 O6 W1 FE-NL",
+)
+def frontend_nl_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent: 'sample 30% of documents
+    stratified by source' dispatches the deterministic stratified
+    quota sampler (operators/sampling.py — same operator as
+    `sample_stratified_quota`, different stratum/fraction, reached
+    through natural language). Returns the full sampled rows: the
+    intent's answer is a usable dataset, not a report."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, "sample 30% of documents stratified by source")
+
+
+@register_query(
+    "frontend_nl_bm25_topk",
+    oracle="""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+      WHERE term IN ('query', 'data')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             ln(1 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                    / (count(DISTINCT doc_id) + 0.5)) AS idf
+      FROM tf, stats s GROUP BY term, s.n_docs
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4)
+             AS bm25
+    FROM tf
+    JOIN idf USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id, stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 10
+    """,
+    tags="V1 F9 O3 FE-NL",
+)
+def frontend_nl_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent: 'top 10 documents
+    matching shuffle broadcast' dispatches BM25 top-k retrieval
+    (operators/retrieval.py — the `text_bm25_scores` scorer plus a
+    TakeOrderedAndProject cut). Ordering uses the ROUNDED score with a
+    doc_id tie-break, so the cut line is identical across engines and
+    at any parallelism."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, "top 10 documents matching query data")
+
+
+# Idiomatic client shape: operation with typed variables + named
+# fragments (Relay/Apollo codegen always factor selections this way).
+_GQL_VARS = """
+query HighValueOrders($minTotal: Float!, $status: String!, $page: Int = 25) {
+  orders(
+    where: {o_totalprice: {gte: $minTotal}, o_orderstatus: {eq: $status}},
+    orderBy: [{o_totalprice: DESC}, {o_orderkey: ASC}],
+    limit: $page
+  ) {
+    ...orderCore
+    customer {
+      ...customerCore
+      nation { n_name }
+    }
+  }
+}
+fragment orderCore on orders { o_orderkey o_orderstatus o_totalprice }
+fragment customerCore on customer { c_name c_mktsegment }
+"""
+
+
+@register_query(
+    "frontend_graphql_variables",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, c_name, c_mktsegment, n_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice >= 150000 AND o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags="S6 FE-GQL P2 J2 O1 O3",
+)
+def frontend_graphql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQL front-end, wire-protocol shape: operation variables
+    ($minTotal/$status bound by the caller, $page from its declared
+    default) plus named fragments spread at two nesting levels — the
+    request every real GraphQL client library (Relay, Apollo) sends.
+    Substitution and fragment inlining happen before translation, so
+    the plan is identical to the inline-literal query: both dimension
+    joins broadcast, orderBy+limit fuses to TakeOrderedAndProject.
+    tests/test_frontends.py asserts plan parity with the inline
+    formulation; the oracle certifies the values."""
+    from karna_spark.frontends.graphql import translate
+
+    _fixtures(spark, sf_dir)
+    return translate(
+        spark,
+        _GQL_VARS,
+        flat=True,
+        variables={"minTotal": 150000, "status": "O"},
+    )
+
+
+@register_query(
     "frontend_nl_near_duplicates",
     oracle="""
     WITH s AS (

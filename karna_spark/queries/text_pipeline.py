@@ -403,7 +403,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN dl ON dl.doc_id = tf.doc_id, stats s
     GROUP BY tf.doc_id
     """,
-    tags="F9 A1",
+    tags="F9 A1 F11",
 )
 def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document to the query terms {query,
@@ -411,54 +411,17 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline uses for topical filtering. Pure DataFrame
     composition: explode → two small aggregates (term stats broadcast
     back) → per-doc score; no UDF, one shuffle on doc_id and one on
-    term. The corpus stats (N, avgdl) are a 1-row broadcast."""
-    from karna_spark.operators.text import words
+    term. The corpus stats (N, avgdl) are a 1-row broadcast. The
+    implementation lives in operators/retrieval.py (shared with the NL
+    front-end's 'top k documents matching <terms>' intent)."""
+    from karna_spark.operators.retrieval import bm25_scores
 
-    terms = ["query", "join", "shuffle"]
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", words(F.trim(F.col("text"))).alias("ws")
+    return bm25_scores(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["query", "join", "shuffle"],
     )
-    # Two corpus scans total: one for the global stats (which must see
-    # term-free docs too), one for term frequencies — the doc length
-    # rides through the tf groupBy as a grouping column, so the scored
-    # join needs no third pass over the text.
-    stats = d.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size("ws")).alias("avgdl")
-    )
-    tf = (
-        d.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    # tf feeds both idf and the scored join; a lazy localCheckpoint
-    # materializes it once at first action (build stays action-free)
-    # and — unlike persist(), whose CacheManager entry would outlive
-    # this query with no unpersist hook — its blocks are released by
-    # the ContextCleaner as soon as the frame is garbage-collected.
-    # Bounded small: docs containing a query term × |terms| rows.
-    tf = tf.localCheckpoint(eager=False)
-    idf = (
-        tf.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.col("idf") * F.col("tf") * 2.2
-                / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
-            ).alias("part"),
-        )
-    )
-    return scored.groupBy("doc_id").agg(F.round(F.sum("part"), 4).alias("bm25"))
 
 
 # ---------------------------------------------------------------- PII
@@ -481,7 +444,7 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_md5
     FROM aug
     """,
-    tags="F9 F1",
+    tags="F9 F1 F12",
 )
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for training corpora: count and redact emails and
@@ -527,7 +490,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rn <= ceil(n * 0.2)
     """,
-    tags="O6 W1",
+    tags="O6 W1 F13",
 )
 def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified quota sampling for dataset curation:
@@ -536,19 +499,13 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle-checkable) and across reruns at any parallelism — the
     property a curation audit trail needs. One shuffle on the stratum
     key; per-stratum state is a row counter, so skewed strata cost
-    their own sort, never a cross-product."""
-    from pyspark.sql import Window
+    their own sort, never a cross-product. Implementation in
+    operators/sampling.py (shared with the NL front-end's
+    'sample N% of T stratified by C' intent)."""
+    from karna_spark.operators.sampling import stratified_quota
 
-    w = Window.partitionBy("lang").orderBy("doc_id")
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    ranked = docs.select(
-        "doc_id", "lang",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
-    )
-    return ranked.filter(F.col("rn") <= F.ceil(F.col("n") * 0.2)).select(
-        "doc_id", "lang"
-    )
+    return stratified_quota(docs, "lang", "doc_id", 0.2)
 
 
 # ---------------------------------------------------------------- vocab
@@ -564,7 +521,7 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY term_freq DESC, token
     LIMIT 50
     """,
-    tags="F9 A3 O3",
+    tags="F9 A3 O3 F14",
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: the 50 most frequent tokens with term and
@@ -631,7 +588,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM feat
     GROUP BY lang
     """,
-    tags="F9 P1 A1",
+    tags="F9 P1 A1 F17",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filter (Rae et al. 2021 A1.1):
@@ -779,7 +736,7 @@ def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc
     GROUP BY 1
     """,
-    tags="F9 A1 F2",
+    tags="F9 A1 F2 F18",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality scoring, unigram edition:
@@ -847,7 +804,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS chunk_md5
     FROM c
     """,
-    tags="F9 P1 F4",
+    tags="F9 P1 F4 F19",
 )
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split every document into 40-word
@@ -902,7 +859,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM packed
     GROUP BY lang, bin
     """,
-    tags="F9 W3 A1",
+    tags="F9 W3 A1 F20",
 )
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (the fixed-context batching step):
@@ -1059,7 +1016,7 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cum
     WHERE (c - wt) // (total // 50) < c // (total // 50)
     """,
-    tags="O6 O7 W3",
+    tags="O6 O7 W3 O8",
 )
 def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 depth: systematic PPS (probability-proportional-to-size)
@@ -1110,7 +1067,7 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c AS BIGINT) AS cum_words
     FROM c WHERE (c - n_words) * 5 < total * 4
     """,
-    tags="O6 O7 F9",
+    tags="O6 O7 F9 O9",
 )
 def sample_top_p_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O8 depth: top-p ("nucleus") corpus selection — per language,
@@ -1170,7 +1127,7 @@ def sample_top_p_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_words) AS BIGINT) AS total_words
     FROM b GROUP BY 1, 2
     """,
-    tags="O6 F9 F7",
+    tags="O6 F9 F7 O10",
 )
 def text_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test corpus split: each document's

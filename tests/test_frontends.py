@@ -136,6 +136,117 @@ def test_graphql_errors(fixtures):
         )
 
 
+# ----------------------------------------------- variables + fragments
+_GQL_WIRE = """
+query Orders($minTotal: Float!, $status: String!, $page: Int = 10) {
+  orders(
+    where: {o_totalprice: {gte: $minTotal}, o_orderstatus: {eq: $status}},
+    orderBy: [{o_orderkey: ASC}],
+    limit: $page
+  ) {
+    ...orderCore
+    customer { ...customerCore }
+  }
+}
+fragment orderCore on orders { o_orderkey o_totalprice }
+fragment customerCore on customer { c_name }
+"""
+
+_GQL_INLINE = """
+query {
+  orders(
+    where: {o_totalprice: {gte: 150000}, o_orderstatus: {eq: "O"}},
+    orderBy: [{o_orderkey: ASC}],
+    limit: 10
+  ) {
+    o_orderkey o_totalprice
+    customer { c_name }
+  }
+}
+"""
+
+
+def test_graphql_variables_fragments_roundtrip(fixtures):
+    """The wire shape (variables + fragments) must produce the exact
+    rows AND the exact plan of the equivalent inline query — the
+    substitution happens before translation, so Catalyst never sees a
+    difference."""
+    from karna_spark.frontends.graphql import translate
+
+    wire = translate(
+        fixtures, _GQL_WIRE, flat=True, variables={"minTotal": 150000, "status": "O"}
+    )
+    inline = translate(fixtures, _GQL_INLINE, flat=True)
+    assert wire.schema == inline.schema
+    assert wire.collect() == inline.collect()
+    # $page came from its declared default (10), not a binding.
+    assert len(wire.collect()) <= 10
+
+
+def test_graphql_variable_in_list_and_nested(fixtures):
+    """Variables substitute inside list values and nested where objects."""
+    from karna_spark.frontends.graphql import translate
+
+    df = translate(
+        fixtures,
+        """
+        query Sizes($sizes: [Int!]!, $floor: Float) {
+          part(where: {p_size: {in_: $sizes},
+                       OR: [{p_retailprice: {gte: $floor}},
+                            {p_brand: {eq: "Brand#1"}}]}) {
+            p_partkey p_size p_brand p_retailprice
+          }
+        }
+        """,
+        variables={"sizes": [1, 2, 3], "floor": 1500.0},
+    )
+    for r in df.collect():
+        assert r["p_size"] in (1, 2, 3)
+        assert r["p_retailprice"] >= 1500.0 or r["p_brand"] == "Brand#1"
+
+
+def test_graphql_inline_fragment(fixtures):
+    from karna_spark.frontends.graphql import translate
+
+    df = translate(
+        fixtures,
+        """
+        query {
+          region { r_regionkey ... on region { r_name } }
+        }
+        """,
+    )
+    assert sorted(df.columns) == ["r_name", "r_regionkey"]
+    assert df.count() == fixtures.table("region").count()
+
+
+def test_graphql_variable_errors(fixtures):
+    from karna_spark.frontends.graphql import GraphQLError, translate
+
+    q = "query Q($n: Int!) { region(limit: $n) { r_name } }"
+    with pytest.raises(GraphQLError, match="missing required variable"):
+        translate(fixtures, q)
+    with pytest.raises(GraphQLError, match="undeclared variables"):
+        translate(fixtures, q, variables={"n": 1, "bogus": 2})
+    # a $ref that was never declared on the operation
+    with pytest.raises(GraphQLError, match="unbound variable"):
+        translate(fixtures, "query { region(limit: $n) { r_name } }")
+
+
+def test_graphql_fragment_errors(fixtures):
+    from karna_spark.frontends.graphql import GraphQLError, translate
+
+    with pytest.raises(GraphQLError, match="unknown fragment"):
+        translate(fixtures, "query { region { ...nope } }")
+    cyc = """
+    query { region { ...a } }
+    fragment a on region { ...b }
+    fragment b on region { ...a }
+    """
+    with pytest.raises(GraphQLError, match="nesting too deep"):
+        translate(fixtures, cyc)
+
+
 # ----------------------------------------------------------------------- NL
 def test_nl_roundtrip_sql_text():
     from karna_spark.frontends.nl import to_sql
@@ -315,3 +426,52 @@ def test_nl_dedup_intent_phrasings_and_guard(fixtures):
     # instead of guessing a column.
     with pytest.raises(NLError, match="text column"):
         ask(fixtures, "find near-duplicates in customer")
+
+
+def test_nl_exact_dedup_intent(fixtures):
+    from karna_spark.frontends.nl import NLError, ask
+
+    a = ask(fixtures, "deduplicate documents exactly")
+    b = ask(fixtures, "remove exact duplicates from documents")
+    assert sorted(a.columns) == ["fp", "keep_id", "n_copies"]
+    rows_a = sorted(tuple(r) for r in a.collect())
+    assert rows_a and rows_a == sorted(tuple(r) for r in b.collect())
+    # every group's survivor is its min id — replayable keep-rule
+    docs = fixtures.table("documents")
+    assert a.count() == docs.selectExpr("md5(cast(text as binary))").distinct().count()
+    with pytest.raises(NLError, match="text column"):
+        ask(fixtures, "dedupe nation")
+
+
+def test_nl_stratified_sample_intent(fixtures):
+    from karna_spark.frontends.nl import NLError, ask
+
+    s = ask(fixtures, "sample 20% of documents stratified by lang")
+    docs = fixtures.table("documents")
+    assert s.columns == docs.columns  # full usable rows, not a report
+    import math
+
+    per = {r["lang"]: r["cnt"] for r in
+           docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    got = {r["lang"]: r["cnt"] for r in
+           s.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    for lang, n in per.items():
+        assert got.get(lang, 0) == math.ceil(n * 0.2)
+    with pytest.raises(NLError, match="out of range"):
+        ask(fixtures, "sample 150% of documents stratified by lang")
+
+
+def test_nl_bm25_intent(fixtures):
+    from karna_spark.frontends.nl import ask
+
+    top = ask(fixtures, "top 5 documents matching query data").collect()
+    assert len(top) == 5
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # parity with the operator called directly
+    from karna_spark.operators.retrieval import bm25_topk
+
+    direct = bm25_topk(
+        fixtures.table("documents"), "doc_id", "text", ["query", "data"], 5
+    ).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in direct]
