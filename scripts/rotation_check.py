@@ -3,16 +3,24 @@
 
 The external driver certifies only the FIRST 50 registry entries each
 round (CORRECTNESS_rN.json always holds exactly 50 rows). Policy
-(karna_spark/queries/__init__.py): every registered query's newest
-driver row must stay ≤ ceil(N/50) rounds old. This script computes
-per-query freshness from the CORRECTNESS_r*.json artifacts and the
-CURRENT registry order, then reports:
+(karna_spark/queries/__init__.py), checked mechanically here:
 
-- what the upcoming round's top-50 will certify (never-checked vs
-  stale cohorts),
-- any query that would BREACH the floor next round because it is
-  neither fresh enough nor inside the top-50 (exit code 1),
-- the backlog the following rounds must absorb.
+1. FLOOR — every registered query's newest driver row must stay
+   ≤ ceil(N/50) rounds old. Computed from the CORRECTNESS_r*.json
+   artifacts and the CURRENT registry order; any query that would
+   breach next round (neither fresh enough nor inside the top-50)
+   exits 1.
+2. NEW-QUERY RULE — a query with no driver row must sit inside the
+   upcoming top-50 (registered ⇒ certified on its first eligible
+   round).
+3. FEASIBILITY — an earliest-deadline-first simulation of the next
+   2×floor rounds (deadline = newest row + floor; the planning
+   round's top-50 is taken as given) must never need more than 50
+   slots in a round. This catches certification cliffs the
+   instantaneous check can't see (e.g. five size-50 cohorts all
+   expiring in consecutive rounds).
+4. CAPACITY — N ≤ 240 (policy cap; the schedulability bound is
+   50×floor). Exceeding it demands consolidation, not a bigger floor.
 
 Run before committing a registry reorder:  python scripts/rotation_check.py
 """
@@ -28,6 +36,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CAPACITY_CAP = 240
+UTILIZATION_WARN = 48  # sustained ≥48/50 rounds → consolidate soon
+
+
+def edf_simulate(
+    deadlines: dict[str, int], start_round: int, horizon: int, floor: int
+) -> tuple[bool, list[tuple[int, int]]]:
+    """Earliest-deadline-first schedule of re-certifications.
+
+    ``deadlines`` maps query → the last round its current row stays
+    fresh (newest + floor). Each simulated round certifies the 50
+    most-urgent queries; a certified query's next deadline is
+    round + floor. Returns (feasible, per-round utilization).
+    """
+    dl = dict(deadlines)
+    usage: list[tuple[int, int]] = []
+    for r in range(start_round, start_round + horizon):
+        order = sorted(dl, key=lambda q: (dl[q], q))
+        due_now = [q for q in order if dl[q] <= r]
+        if len(due_now) > 50:
+            return False, usage
+        batch = order[:50]
+        for q in batch:
+            dl[q] = r + floor
+        usage.append((r, len(due_now)))
+    return True, usage
 
 
 def main() -> int:
@@ -52,10 +87,20 @@ def main() -> int:
     top50 = set(names[:50])
     never = [q for q in names if q not in newest]
     print(f"registered: {n}   freshness floor: {floor} rounds   "
-          f"planning round: r{this_round}")
+          f"policy cap: {CAPACITY_CAP}   planning round: r{this_round}")
     print(f"top-50: {len([q for q in never if q in top50])} never-checked, "
           f"{len([q for q in top50 if q in newest])} re-certifications")
 
+    failures: list[str] = []
+
+    # ------------------------------------------------------ rule 4: capacity
+    if n > CAPACITY_CAP:
+        failures.append(
+            f"CAPACITY: N={n} exceeds the policy cap {CAPACITY_CAP} — "
+            "retire/merge dominated rows before adding more"
+        )
+
+    # ----------------------------------------- rules 1+2: instantaneous floor
     breaches = []
     for q in names:
         if q in top50:
@@ -69,10 +114,31 @@ def main() -> int:
                 (q, f"newest row r{newest[q]} would be {age_next} rounds old")
             )
     if breaches:
-        print(f"\nPOLICY BREACH — {len(breaches)} queries:")
+        failures.append(f"FLOOR: {len(breaches)} queries breach")
         for q, why in breaches:
-            print(f"  {q}: {why}")
-        return 1
+            print(f"  BREACH {q}: {why}")
+
+    # ------------------------------------------------- rule 3: EDF simulation
+    # After the planning round's top-50 certifies, deadlines are:
+    deadlines = {}
+    for q in names:
+        base = this_round if q in top50 else newest.get(q, this_round - floor)
+        deadlines[q] = base + floor
+    horizon = 2 * floor
+    feasible, usage = edf_simulate(deadlines, this_round + 1, horizon, floor)
+    peak = max((u for _, u in usage), default=0)
+    avg = sum(u for _, u in usage) / len(usage) if usage else 0.0
+    print(f"EDF simulation r{this_round + 1}..r{this_round + horizon}: "
+          f"{'feasible' if feasible else 'INFEASIBLE'}  "
+          f"peak due/round = {peak}  avg = {avg:.1f}")
+    if not feasible:
+        failures.append(
+            "FEASIBILITY: a future round would owe more than 50 "
+            "re-certifications — consolidate the registry or stagger additions"
+        )
+    elif peak >= UTILIZATION_WARN:
+        print(f"WARNING: peak utilization {peak}/50 — headroom for only "
+              f"{50 - peak} new queries/round; plan consolidation")
 
     backlog = sorted(
         ((newest[q], q) for q in names if q not in top50 and q in newest)
@@ -82,10 +148,17 @@ def main() -> int:
         by_round[r] = by_round.get(r, 0) + 1
     print("backlog past the cap by newest-row round:",
           {f"r{r}": c for r, c in sorted(by_round.items())})
-    oldest = [q for r, q in backlog if r == backlog[0][0]][:50]
-    print(f"next round must lead with the r{backlog[0][0]} cohort "
-          f"({len(oldest)} shown): {oldest[:10]}...")
-    print("OK — no query breaches the freshness floor")
+    if backlog:
+        oldest = [q for r, q in backlog if r == backlog[0][0]][:50]
+        print(f"next round must lead with the r{backlog[0][0]} cohort "
+              f"({len(oldest)} shown): {oldest[:10]}...")
+
+    if failures:
+        print("\nPOLICY BREACH:")
+        for f_ in failures:
+            print(f"  {f_}")
+        return 1
+    print("OK — floor satisfied, EDF-feasible, under capacity")
     return 0
 
 
