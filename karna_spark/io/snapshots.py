@@ -425,6 +425,60 @@ class SnapshotStore:
         )
         return v
 
+    def compact(
+        self,
+        spark: SparkSession,
+        partition_values: list[str] | None = None,
+    ) -> int:
+        """Small-file compaction rewrite (Iceberg's
+        ``rewrite_data_files``): re-materialize the latest version's
+        named partitions (default: all) as a NEW commit whose logical
+        content is byte-identical — the maintenance op every
+        long-lived upsert/CDC table needs, because each incremental
+        commit writes its delta partitions with whatever file count
+        the shuffle produced, and a hot partition accumulates one
+        pointer rewrite per touch.
+
+        One manifest-pruned read of the target partitions, one hash
+        repartition on the partition column (every partition's rows
+        land in a single task → ONE file per compacted directory),
+        one partitioned write. Untouched partitions are inherited by
+        pointer, stats are recomputed from the new footers for the
+        rewritten partitions and inherited elsewhere, and the publish
+        is CAS-validated against the base version — a writer racing
+        the compaction fails loudly instead of losing its commit
+        (wrap in :func:`with_commit_retries` like any incremental
+        write). Prior versions still reference the old directories,
+        so time travel is unaffected until a vacuum expires them.
+        Returns the new version."""
+        prev_v = self.latest_version()
+        if prev_v == 0:
+            raise ValueError("nothing to compact: no published version")
+        prev = self._manifest(prev_v)
+        if partition_values is None:
+            vals = sorted(prev)
+        else:
+            vals = sorted(str(x) for x in partition_values if str(x) in prev)
+        if not vals:
+            raise ValueError(
+                "no named partition exists in the latest version"
+            )
+        v = self._claim_version()
+        df = self.read(spark, version=prev_v, partition_values=vals)
+        packed = df.repartition(len(vals), F.col(self.pc))
+        written = self._write(packed, v)
+        manifest = {k: pv for k, pv in prev.items() if k not in set(vals)}
+        manifest.update({a: v for a in written})
+        self._publish(
+            v,
+            manifest,
+            schema_json=self._manifest_doc(prev_v).get("schema")
+            or df.schema.json(),
+            base_version=prev_v,
+            stats=self._inherit_stats(prev_v, manifest, written, v),
+        )
+        return v
+
     def _inherit_stats(
         self,
         prev_v: int,

@@ -392,13 +392,15 @@ def test_prefix_sum_equals_single_window(spark, rows, nparts):
 # CDC in ways pairwise tests can't cover. Op alphabet: 0 = upsert,
 # 1 = delete, 2 = redact(key) — erases the key from EVERY version's
 # history — 3 = vacuum(retain_last=2) — expires all but the last two
-# published versions, which must then fail loudly. After the whole
+# published versions, which must then fail loudly — 4 = compact
+# (r9, S23): a content-neutral rewrite that must read back as exactly
+# the pre-compaction state, in its own new version. After the whole
 # sequence, every still-readable version must equal the dict model's
 # state at that step with all later-redacted keys removed.
 def _lifecycle_ops():
     return st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=3),       # op kind
+            st.integers(min_value=0, max_value=4),       # op kind
             st.integers(min_value=1, max_value=6),       # key
             st.sampled_from(["a", "b"]),                  # partition
             st.integers(min_value=0, max_value=99),       # value
@@ -440,6 +442,11 @@ def test_snapshot_lifecycle_redact_vacuum_model(spark, tmp_path_factory, ops):
             for v in [v for v in history if v not in keep]:
                 expired.add(v)
                 del history[v]
+        elif kind == 4:  # compact: content-neutral, new version
+            if not model:
+                continue  # empty table has nothing to compact
+            v = store.compact(spark)
+            history[v] = dict(model)
         else:
             if kind == 1 and key in model:
                 part = model[key][0]   # CDC delete carries the row's part

@@ -628,3 +628,84 @@ def test_tag_validation(spark, tmp_path):
     store.tag("ok")
     with pytest.raises(ValueError):
         store.read(spark, version=1, tag="ok")  # mutually exclusive
+
+
+# ------------------------------------------------------- compaction
+def _files_in(store, val, v):
+    return [
+        f for f in os.listdir(store._pdir(val, v)) if f.endswith(".parquet")
+    ]
+
+
+def test_compact_collapses_files_content_identical(spark, tmp_path):
+    """S23: a fragmented latest version compacts to ONE file per
+    partition in a new commit with byte-identical logical content;
+    prior versions keep reading their own (uncompacted) directories."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    # Fragment on purpose: an 8-task write fans each partition's rows
+    # across up to 8 files.
+    base = _mk(
+        spark,
+        [(k, "a" if k % 2 else "b", k * 10) for k in range(1, 17)],
+    ).repartition(8)
+    store.commit(base)
+    assert len(_files_in(store, "a", 1)) > 1  # genuinely fragmented
+    before = _rows(store.read(spark))
+
+    v = store.compact(spark)
+    assert v == 2
+    for val in ("a", "b"):
+        assert len(_files_in(store, val, 2)) == 1, val
+    assert _rows(store.read(spark)) == before          # content identical
+    assert _rows(store.read(spark, 1)) == before       # time travel intact
+    # stats were recomputed from the new footers (pruning still works)
+    doc = store._manifest_doc(2)
+    assert doc["partitions"] == {"a": 2, "b": 2}
+    assert "val" in doc["stats"]["a"]
+
+
+def test_compact_partition_subset_inherits_pointers(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(
+        _mk(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]).repartition(4)
+    )
+    before = _rows(store.read(spark))
+    v = store.compact(spark, partition_values=["b"])
+    m = store._manifest(v)
+    assert m["b"] == v and m["a"] == 1 and m["c"] == 1
+    assert _rows(store.read(spark)) == before
+    # compacting a partition that does not exist refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.compact(spark, partition_values=["zzz"])
+
+
+def test_compact_cas_detects_racing_commit(spark, tmp_path):
+    """A writer that lands between compact's read and publish must not
+    be silently dropped: the CAS publish rolls the compaction back."""
+    import pytest
+
+    from karna_spark.io.snapshots import ConcurrentWriteError
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+
+    real_write = store._write
+
+    def write_then_race(df, v):
+        written = real_write(df, v)
+        # interleave a commit AFTER compact derived its manifest
+        SnapshotStore(store.root, "p").upsert(
+            spark, _mk(spark, [(9, "a", 90)]), ["k"]
+        )
+        return written
+
+    store._write = write_then_race
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            store.compact(spark)
+    finally:
+        store._write = real_write
+    # the racer's row survived; the rolled-back compaction is invisible
+    assert (9, "a", 90) in _rows(store.read(spark))
