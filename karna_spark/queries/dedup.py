@@ -215,7 +215,7 @@ def _md5_sig60_sql() -> str:
     FROM sigs a JOIN sigs b ON a.id < b.id
     WHERE bit_count(xor(a.sig, b.sig)) <= {_SIG_MAX_HAMMING}
     """,
-    tags="J9 F7",
+    tags="J9 F7 J9b",
 )
 def dedup_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the SimHash family: near-dup pairs at Hamming ≤ 2
@@ -364,7 +364,7 @@ _SQL_SEMDEDUP_ASSIGN = """
     FROM asg a JOIN rep r ON a.cid = r.cid AND r.r = 1
     GROUP BY a.cid
     """,
-    tags="J9 F8",
+    tags="J9 F8 J11",
 )
 def dedup_semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup stage 1 — nearest-centroid assignment (operators/
@@ -405,7 +405,7 @@ def dedup_semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM asg a LEFT JOIN dropped d ON a.cid = d.cid AND a.vec_id = d.vec_id
     GROUP BY a.cid
     """,
-    tags="J9 F8",
+    tags="J9 F8 J11",
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup stage 2 — within-cluster near-dup removal: self-join
@@ -639,7 +639,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_members
     FROM ranked GROUP BY cluster_id
     """,
-    tags="J9 J10 W4",
+    tags="J9 J10 W4 J16",
 )
 def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-ranked dedup policy: instead of keeping each near-dup
@@ -690,7 +690,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g JOIN f USING (g)
     GROUP BY g.doc_id
     """,
-    tags="F9 J13 A1",
+    tags="F9 J13 A1 F21",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty scoring (the diagnostic twin of exact-substring

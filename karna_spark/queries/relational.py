@@ -468,7 +468,7 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
-    tags="J9 J6 F1",
+    tags="J9 J6 F1 J12",
 )
 def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: fuzzy self-join on edit
@@ -519,7 +519,7 @@ def join_fuzzy_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON s.grp IS NOT DISTINCT FROM t.grp AND s.user_id = t.user_id
     GROUP BY s.grp
     """,
-    tags="J1 P6",
+    tags="J1 P6 J17",
 )
 def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J17: NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the

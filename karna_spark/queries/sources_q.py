@@ -134,7 +134,7 @@ def sink_result_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    tags="S5 S8 J1",
+    tags="S5 S8 J1 V4",
 )
 def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join via bucketing (io.bucketing): lineitem and
@@ -214,7 +214,7 @@ def sink_partition_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_nationkey, n_name, n_nationkey % 3 AS nation_group
     FROM nation WHERE n_nationkey >= 10
     """,
-    tags="S3 S5 P5",
+    tags="S3 S5 P5 S10",
 )
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 depth: schema evolution across files of one dataset. An old
@@ -249,7 +249,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem WHERE l_orderkey % 11 = 0
     """,
-    tags="S8 S3",
+    tags="S8 S3 S11",
 )
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 depth: small-file compaction. A fragmented landing directory
@@ -358,7 +358,7 @@ def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'v2' AS snapshot, * FROM applied
     """,
-    tags="S12 S9 J4",
+    tags="S12 S9 J4 S14",
 )
 def source_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 depth: CDC apply — a change feed with updates (every 11th
@@ -412,7 +412,7 @@ def source_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "source_jsonl_roundtrip",
     oracle="SELECT * FROM nation",
-    tags="S1 S8",
+    tags="S1 S8 S16",
 )
 def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S8 (JSON lines): nation → newline-delimited JSON export →
@@ -432,7 +432,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_query(
     "source_orc_roundtrip",
     oracle="SELECT * FROM region",
-    tags="S1 S8",
+    tags="S1 S8 S18",
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S8 (ORC): region → ORC export → ORC scan. The second

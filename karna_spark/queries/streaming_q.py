@@ -130,7 +130,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            value
     FROM events
     """,
-    tags="T4 J9",
+    tags="T4 J9 T6",
 )
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+J9: exactly-once dedup over an at-least-once stream. The
@@ -174,7 +174,7 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     GROUP BY user_id, sid
     """,
-    tags="T3 T4",
+    tags="T3 T4 T3s",
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 under true streaming: native F.session_window with a
@@ -241,7 +241,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM events
     GROUP BY 1, 2
     """,
-    tags="T8 S12 T5",
+    tags="T8 S12 T5 T11",
 )
 def streaming_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8+S12: streaming continuous aggregate maintained in the
@@ -293,7 +293,7 @@ _SQL_BIGRAMS_STREAM = (
     WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
     """,
-    tags="T8 J18 J9",
+    tags="T8 J18 J9 T14",
 )
 def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8+J18: the steady-state ingest dedup run as a real stream —

@@ -410,7 +410,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
-    tags="W3 T2",
+    tags="W3 T2 W6",
 )
 def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-frame window: per user, the trailing-1-hour event count
@@ -462,7 +462,7 @@ def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN mad USING (event_type)
     GROUP BY e.event_type
     """,
-    tags="A6 A5 P4",
+    tags="A6 A5 P4 A11",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection: flag events whose value deviates from
@@ -528,7 +528,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((SELECT count(*) FROM t3)::DOUBLE
                  / (SELECT count(*) FROM t1), 4) AS conversion
     """,
-    tags="T1 J1 A2",
+    tags="T1 J1 A2 T9",
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: users whose first view is followed by a click

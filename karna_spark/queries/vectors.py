@@ -315,7 +315,7 @@ _BF_TOP10_SQL = """
     ),
     """
     + _BF_TOP10_SQL,
-    tags="F8 J9",
+    tags="F8 J9 F16",
 )
 def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of amplified sign-LSH vs exact brute force, per query.
@@ -377,7 +377,7 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     """
     + _BF_TOP10_SQL,
-    tags="F8 J9 U3",
+    tags="F8 J9 U3 F16",
 )
 def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of IVF vs exact brute force, per query. Runs the
@@ -449,7 +449,7 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     """
     + _BF_TOP10_SQL,
-    tags="F8 J9 U3 J18",
+    tags="F8 J9 U3 J18 J19",
 )
 def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Steady-state ANN ingest — the embeddings twin of J18\'s
@@ -558,7 +558,7 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     """
     + _BF_TOP10_SQL,
-    tags="F8 U2",
+    tags="F8 U2 F15 F16",
 )
 def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of PQ/ADC vs exact brute force, per query. Runs the

@@ -239,7 +239,7 @@ def sessionization_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS rolling_median
     FROM events
     """,
-    tags="W3 A6",
+    tags="W3 A6 W7",
 )
 def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3+A6: trailing 10-event median per user — an order statistic
@@ -299,7 +299,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bucketed CROSS JOIN t
     GROUP BY size_bucket, total
     """,
-    tags="W5 A1",
+    tags="W5 A1 W9",
 )
 def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 depth: session-length distribution + bounce rate — the
@@ -355,7 +355,7 @@ def events_session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
-    tags="W1 W3",
+    tags="W1 W3 W10",
 )
 def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 depth: distribution ranks (percent_rank, cume_dist) per
