@@ -78,15 +78,21 @@ HEADLINE = [
 ]
 
 
-def run_bpe_anchor(spark, sf_dir: str) -> float:
-    """Tokenizer-depth BPE anchor: learn 200 merges from the sf corpus
-    (the r7 query runs a toy 20). Each merge is one distributed
+def run_bpe_anchor(spark, sf_dir: str) -> tuple[float, dict]:
+    """Tokenizer-depth BPE anchor: request 200 merges from the sf
+    corpus (the r7 query runs a toy 20). Each merge is one distributed
     pair-count aggregate over the |vocab| frame + a 1-row argmax
     collect, so this measures per-iteration cost at real tokenizer
-    scale — the number to watch round-over-round. Timed once (no
-    cold/warm split: the first merges ARE the warmup; a second 200-job
-    pass would double bench wall-clock for no signal). Prints
-    merges-learned + per-merge seconds to stderr."""
+    scale. Timed once (no cold/warm split: the first merges ARE the
+    warmup; a second 200-job pass would double bench wall-clock for no
+    signal).
+
+    The corpus may EXHAUST before 200 merges (sf0.1 runs dry at ~107 —
+    every remaining pair is unique), so total seconds alone is not
+    comparable round-over-round if the fixture changes. The JSON
+    therefore records merges_requested / merges_learned / s_per_merge
+    alongside the total; **s_per_merge is the tracked metric** (r8
+    verdict item 7)."""
     from karna_spark.operators.bpe import learn_bpe, word_frequencies
     from karna_spark.queries.registry import table
 
@@ -95,12 +101,13 @@ def run_bpe_anchor(spark, sf_dir: str) -> float:
     wf = word_frequencies(table(spark, sf_dir, "documents"))
     merges = learn_bpe(wf, num_merges=200)
     sec = round(time.perf_counter() - t0, 3)
-    print(
-        f"text_bpe_merges_200: {len(merges)} merges learned, "
-        f"{sec / max(len(merges), 1):.3f} s/merge",
-        file=sys.stderr,
-    )
-    return sec
+    detail = {
+        "merges_requested": 200,
+        "merges_learned": len(merges),
+        "s_per_merge": round(sec / max(len(merges), 1), 4),
+    }
+    print(f"text_bpe_merges_200: {detail}", file=sys.stderr)
+    return sec, detail
 
 
 def run_skew_anchor(spark, sf_dir: str) -> float:
@@ -230,7 +237,7 @@ def main() -> None:
     skew_sec = run_skew_anchor(spark, sf_dir)
     cold["skew_join_aqe"] = per_query["skew_join_aqe"] = skew_sec
     # 200-merge BPE depth anchor (r8): single-run like the skew probe.
-    bpe_sec = run_bpe_anchor(spark, sf_dir)
+    bpe_sec, bpe_detail = run_bpe_anchor(spark, sf_dir)
     cold["text_bpe_merges_200"] = per_query["text_bpe_merges_200"] = bpe_sec
     load_after = os.getloadavg()
 
@@ -260,6 +267,7 @@ def main() -> None:
                 "queries_cold": cold,
                 "sf": sf,
                 "load": load,
+                "bpe": bpe_detail,
             }
         )
     )

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Steady-state ingest scaling curve (r8 verdict item 6).
+
+Measures the per-ingest cost of the two stored-index ingest operators
+as the CORPUS grows with the batch size fixed — the slope that decides
+whether the steady-state story holds at 100 TB:
+
+- J18 `minhash_lsh_incremental_pairs` with a persisted signature store
+  vs the naive full recompute (`minhash_lsh_pairs` over corpus∪batch);
+- J19 `ann_ivf_topk` probing a persisted cell-assignment table vs
+  re-assigning the whole corpus in-job.
+
+Corpora are synthetic (150 pseudo-random words per doc from a 5k-word
+vocab; 64-dim pseudo-random embeddings), generated with pure JVM
+expressions so an 800k-doc corpus materializes in seconds and carries
+no accidental near-duplicates (which would inflate candidate-verify
+cost in a way a real crawl would not). Batch is always 500 docs.
+
+Run on an idle box (1-min load < 2); each timing is the best of two
+warm runs. Prints a markdown table for SKEW.md plus a JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+CORPUS_SIZES = [50_000, 200_000, 800_000]
+BATCH = 500
+DIM = 64
+
+
+def synth_docs(spark: SparkSession, n: int, salt: int, start: int = 0) -> DataFrame:
+    """n docs of 150 pseudo-random words from a 5k vocab — all-JVM."""
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(150)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i + F.lit(salt)), F.lit(5000)),
+        ),
+    )
+    return (
+        spark.range(start, start + n)
+        .select(F.col("id").alias("doc_id"))
+        .select("doc_id", F.concat_ws(" ", words).alias("text"))
+    )
+
+
+def synth_vecs(spark: SparkSession, n: int, salt: int, start: int = 0) -> DataFrame:
+    arr = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("vec_id") * 131 + i + F.lit(salt)), F.lit(1000))
+            / 500.0
+            - 1.0
+        ).cast("float"),
+    )
+    return (
+        spark.range(start, start + n)
+        .select(F.col("id").alias("vec_id"))
+        .select("vec_id", arr.alias("embedding"))
+    )
+
+
+def timed(fn, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from karna_spark.operators.dedup import (
+        minhash_lsh_incremental_pairs,
+        minhash_lsh_pairs,
+        minhash_signature_table,
+        release_intermediates,
+    )
+    from karna_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_assignment_table,
+    )
+    from karna_spark.session import get_spark
+
+    spark = get_spark(app_name="ingest_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="ingest_scaling_")
+    rows = []
+    try:
+        for n in CORPUS_SIZES:
+            corpus_path = os.path.join(work, f"docs_{n}.parquet")
+            synth_docs(spark, n, salt=1).write.mode("overwrite").parquet(corpus_path)
+            corpus = spark.read.parquet(corpus_path)
+            batch = synth_docs(spark, BATCH, salt=2, start=n).localCheckpoint()
+
+            # one-time index build (reported, not the per-ingest number)
+            sig_path = os.path.join(work, f"sigs_{n}.parquet")
+            t0 = time.perf_counter()
+            minhash_signature_table(corpus, "doc_id", "text").write.mode(
+                "overwrite"
+            ).parquet(sig_path)
+            sig_build = round(time.perf_counter() - t0, 3)
+            sigs = spark.read.parquet(sig_path)
+
+            def ingest_stored():
+                out = minhash_lsh_incremental_pairs(
+                    corpus, batch, "doc_id", "text", base_signatures=sigs
+                )
+                noop(out)
+                release_intermediates(out)
+
+            def ingest_naive():
+                out = minhash_lsh_pairs(
+                    corpus.unionByName(batch), "doc_id", "text"
+                )
+                noop(out)
+                release_intermediates(out)
+
+            stored_s = timed(ingest_stored)
+            naive_s = timed(ingest_naive)
+
+            # ---- J19: IVF ANN ingest --------------------------------
+            vec_path = os.path.join(work, f"vecs_{n}.parquet")
+            synth_vecs(spark, n, salt=3).write.mode("overwrite").parquet(vec_path)
+            vecs = spark.read.parquet(vec_path)
+            vbatch = synth_vecs(spark, BATCH, salt=4, start=n).localCheckpoint()
+            cents = (
+                vecs.filter(F.col("vec_id") % (n // 8) == 0)
+                .limit(8)
+                .select(
+                    "vec_id",
+                    F.transform("embedding", lambda x: x.cast("double")).alias(
+                        "centroid"
+                    ),
+                )
+                .withColumn(
+                    "cluster_id", F.row_number().over(W.orderBy("vec_id")) - 1
+                )
+                .select("cluster_id", "centroid")
+                .localCheckpoint()
+            )
+            asg_path = os.path.join(work, f"asg_{n}.parquet")
+            t0 = time.perf_counter()
+            ivf_assignment_table(vecs, cents, "vec_id", "embedding").write.mode(
+                "overwrite"
+            ).parquet(asg_path)
+            asg_build = round(time.perf_counter() - t0, 3)
+            stored_asg = spark.read.parquet(asg_path)
+
+            def ann_stored():
+                delta_asg = ivf_assignment_table(
+                    vbatch, cents, "vec_id", "embedding"
+                )
+                noop(
+                    ann_ivf_topk(
+                        vecs.unionByName(vbatch),
+                        vbatch,
+                        cents,
+                        "vec_id",
+                        "vec_id",
+                        "embedding",
+                        k=10,
+                        nprobe=3,
+                        corpus_assignments=stored_asg.unionByName(delta_asg),
+                    )
+                )
+
+            def ann_naive():
+                noop(
+                    ann_ivf_topk(
+                        vecs.unionByName(vbatch),
+                        vbatch,
+                        cents,
+                        "vec_id",
+                        "vec_id",
+                        "embedding",
+                        k=10,
+                        nprobe=3,
+                    )
+                )
+
+            ann_stored_s = timed(ann_stored)
+            ann_naive_s = timed(ann_naive)
+
+            rows.append(
+                {
+                    "corpus": n,
+                    "batch": BATCH,
+                    "minhash_stored_s": stored_s,
+                    "minhash_naive_s": naive_s,
+                    "minhash_speedup": round(naive_s / stored_s, 1),
+                    "sig_build_once_s": sig_build,
+                    "ivf_stored_s": ann_stored_s,
+                    "ivf_naive_s": ann_naive_s,
+                    "ivf_speedup": round(ann_naive_s / ann_stored_s, 1),
+                    "ivf_build_once_s": asg_build,
+                }
+            )
+            print(f"done corpus={n}: {rows[-1]}", file=sys.stderr)
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print("\n| corpus docs | batch | J18 stored (s) | J18 naive (s) | J18 speedup |"
+          " sig build 1× (s) | J19 stored (s) | J19 naive (s) | J19 speedup |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['corpus']:,} | {r['batch']} | {r['minhash_stored_s']} |"
+            f" {r['minhash_naive_s']} | {r['minhash_speedup']}× |"
+            f" {r['sig_build_once_s']} | {r['ivf_stored_s']} |"
+            f" {r['ivf_naive_s']} | {r['ivf_speedup']}× |"
+        )
+    print(json.dumps({"ingest_scaling": rows, "load_1m": os.getloadavg()[0]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
