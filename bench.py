@@ -75,6 +75,9 @@ HEADLINE = [
     # their per-batch cost is a first-class number)
     "dedup_incremental_minhash",
     "similarity_ivf_incremental",
+    # r9: iterative-graph depth — 3 chained |E|-shuffle rank joins in
+    # one plan; the per-iteration join cost is the number to watch
+    "graph_pagerank_trade",
 ]
 
 

@@ -1406,3 +1406,88 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- A35
+_PR_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+         CAST(l_suppkey AS BIGINT) + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+params AS (
+  SELECT CAST(1000000000000 AS BIGINT) // count(*) AS base FROM nodes
+),
+r0 AS (SELECT id, base AS rank FROM nodes, params),
+c1 AS (
+  SELECT e.dst AS id, SUM(r.rank // o.deg) AS s
+  FROM edges e JOIN r0 r ON e.src = r.id JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.id, (15 * p.base + 85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c1 c ON n.id = c.id, params p
+),
+c2 AS (
+  SELECT e.dst AS id, SUM(r.rank // o.deg) AS s
+  FROM edges e JOIN r1 r ON e.src = r.id JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.id, (15 * p.base + 85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c2 c ON n.id = c.id, params p
+),
+c3 AS (
+  SELECT e.dst AS id, SUM(r.rank // o.deg) AS s
+  FROM edges e JOIN r2 r ON e.src = r.id JOIN outd o ON e.src = o.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.id, (15 * p.base + 85 * COALESCE(c.s, 0)) // 100 AS rank
+  FROM nodes n LEFT JOIN c3 c ON n.id = c.id, params p
+)
+SELECT id, CAST(rank AS BIGINT) AS rank FROM r3
+"""
+
+
+@register_query(
+    "graph_pagerank_trade",
+    oracle=_PR_ORACLE,
+    tags="A35 J1 A1",
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification-grade distributed PageRank (operators/graphrank.py)
+    over the bidirectional customer↔supplier trade graph (suppliers
+    offset by 10^6 into a disjoint id space): 3 exact integer Lloyd-
+    style iterations, every division truncating on positive operands,
+    so DuckDB replays the identical spec as chained CTEs and the
+    result hash-matches bit-for-bit — the kmeans (F28) certification
+    recipe applied to the iterative-graph family. The curation story:
+    rank domains/documents by link authority before sampling a web
+    corpus. Per iteration: one |E|-shuffle rank join, one map-side-
+    combinable sum by destination, one |V|-scale metadata join; the
+    1-row node-count scalar broadcasts. At cluster scale the edge
+    list is bucketed by src so the per-iteration join co-locates."""
+    from karna_spark.operators.graphrank import pagerank_exact
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c"),
+            (F.col("l_suppkey").cast("bigint") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pagerank_exact(edges, iterations=3)

@@ -1416,6 +1416,10 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 25)
         .select("seg")
     )
+    # |boiler| ≤ n_segs/25 by the df cap — broadcastable at fixture and
+    # typical-crawl scale. If a 100 TB crawl's boilerplate set ever
+    # outgrew the broadcast limit, drop this hint and let AQE pick a
+    # shuffled join; semantics are unchanged.
     kept = seg_rows.join(F.broadcast(boiler), "seg", "left_anti")
     tot = seg_rows.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_segs")
@@ -1521,8 +1525,9 @@ def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     over data-scale frames). At 100 TB: the gram explosion dominates
     (~|tokens| rows) but shuffles only (hash, doc_id) pairs;
     candidate confirm + interval work touch duplicated spans only.
-    Reference surface: karna README data-cleaning claims
-    (/root/reference/README.md:2).
+    Provenance: NORTH-STAR training-data curation operator (ExactSubstr,
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better") — not a declared reference surface.
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -1010,3 +1010,47 @@ def test_kmeans_plan_is_codegen_map_no_python(spark):
     release_intermediates(out)
     assert "EvalPython" not in plan
     assert "Window" not in plan
+
+
+# ------------------------------------------------------ A35 pagerank
+def test_pagerank_exact_hand_graph(spark):
+    """3-node cycle a→b→c→a: perfectly symmetric, so every node keeps
+    exactly base rank at every iteration (contrib = own rank, deg=1) —
+    the integer recurrence must be a fixpoint here."""
+    from karna_spark.operators.graphrank import TOTAL, pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank_exact(edges, 3).collect()}
+    assert set(ranks) == {1, 2, 3}
+    base = TOTAL // 3
+    assert all(v == base for v in ranks.values()), ranks
+
+
+def test_pagerank_sink_accumulates_and_mass_bounded(spark):
+    """Star a→hub, b→hub, c→hub (+hub→a to give the hub out-degree):
+    the hub must out-rank every spoke, and total mass never exceeds
+    TOTAL (truncating division only sheds mass, never creates it)."""
+    from karna_spark.operators.graphrank import TOTAL, pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (9, 1)], "src long, dst long"
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank_exact(edges, 3).collect()}
+    assert ranks[9] > max(ranks[k] for k in (1, 2, 3))
+    assert sum(ranks.values()) <= TOTAL
+
+
+def test_pagerank_plan_no_python_no_window(spark):
+    from karna_spark.operators.graphrank import pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20)], "src long, dst long"
+    )
+    plan = pagerank_exact(edges, 2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -63,6 +63,7 @@ BNLJ_OK = {
     "events_rfm_segmentation",       # 1-row user-count frame (prefix ntile)
     "events_session_length_histogram",  # 1-row session-count denominator
     "frontend_nl_bm25_topk",         # 1-row (N, avgdl) corpus stats (r9)
+    "graph_pagerank_trade",          # 1-row node-count base scalar (r9)
     "join_cross",                    # J6: cross join is the semantics
     "q11_important_parts",           # 1-row global value threshold
     "q22_global_sales_opportunity",  # 1-row avg acctbal scalar
