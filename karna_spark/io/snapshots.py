@@ -479,6 +479,81 @@ class SnapshotStore:
         )
         return v
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Changelog read between two published versions (Iceberg's
+        ``create_changelog_view`` shape): one row per key whose image
+        differs — ``op`` ∈ 'I' (insert: key only in ``v_to``), 'U'
+        (update: both versions, any value column differs null-safely;
+        emits the NEW image), 'D' (delete: key only in ``v_from``;
+        emits the OLD image, so deletes carry their partition value
+        and the changelog is directly re-appliable). Unchanged keys
+        produce nothing.
+
+        MANIFEST-PRUNED: a partition whose (value → physical version)
+        pointer is identical in both manifests cannot differ — those
+        partitions are skipped before Spark lists a single file, so
+        the scan cost is ∝ changed partitions, not table size (the
+        copy-on-write layout is what makes the changelog cheap). The
+        diff itself is one key-partitioned full-outer join of the two
+        pruned reads with a struct null-safe compare — no windows, no
+        collects.
+
+        ROUND-TRIP CONTRACT (property-tested): applying the returned
+        frame with :meth:`apply_changes` to a store positioned at
+        ``v_from`` reproduces ``v_to``'s content exactly. Requires
+        both versions to share a column set (schema evolution between
+        the two versions is refused loudly)."""
+        old = self._changed_read(spark, v_from, v_to)
+        new = self._changed_read(spark, v_to, v_from)
+        if sorted(old.columns) != sorted(new.columns):
+            raise ValueError(
+                f"schema changed between v{v_from} and v{v_to}: "
+                f"{sorted(old.columns)} vs {sorted(new.columns)}"
+            )
+        val_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *key_cols,
+            F.struct(*val_cols).alias("_old_img"),
+            F.lit(True).alias("_in_old"),
+        )
+        n = new.select(
+            *key_cols,
+            F.struct(*val_cols).alias("_new_img"),
+            F.lit(True).alias("_in_new"),
+        )
+        j = o.join(n, key_cols, "full_outer")
+        op = (
+            F.when(F.col("_in_old").isNull(), F.lit("I"))
+            .when(F.col("_in_new").isNull(), F.lit("D"))
+            .when(
+                ~F.col("_old_img").eqNullSafe(F.col("_new_img")), F.lit("U")
+            )
+        )
+        img = F.when(F.col("op") == "D", F.col("_old_img")).otherwise(
+            F.col("_new_img")
+        )
+        return (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .withColumn("_img", img)
+            .select("op", *key_cols, "_img.*")
+        )
+
+    def _changed_read(
+        self, spark: SparkSession, v: int, v_other: int
+    ) -> DataFrame:
+        """Read version ``v`` restricted to partitions whose pointer
+        differs from ``v_other``'s manifest (the changelog prune)."""
+        m, mo = self._manifest(v), self._manifest(v_other)
+        changed = [val for val, pv in m.items() if mo.get(val) != pv]
+        return self.read(spark, version=v, partition_values=sorted(changed))
+
     def _inherit_stats(
         self,
         prev_v: int,

@@ -410,6 +410,92 @@ def source_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "snapshot_changelog_read",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer
+    ),
+    dels AS (
+        SELECT 'D' AS op, c_custkey, c_nationkey, c_acctbal
+        FROM base WHERE c_custkey % 13 = 0
+    ),
+    upds AS (
+        SELECT 'U' AS op, c_custkey, c_nationkey,
+               ROUND(c_acctbal + 10.00, 2) AS c_acctbal
+        FROM base WHERE c_custkey % 11 = 0 AND c_custkey % 13 <> 0
+    ),
+    ins AS (
+        SELECT 'I' AS op, c_custkey + 1000000 AS c_custkey, c_nationkey,
+               CAST(1.00 AS DOUBLE) AS c_acctbal
+        FROM base WHERE c_custkey % 17 = 0
+    )
+    SELECT op, c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_acctbal
+    FROM (SELECT * FROM dels UNION ALL SELECT * FROM upds
+          UNION ALL SELECT * FROM ins)
+    """,
+    tags="S12 S14 S24",
+)
+def snapshot_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: the store-level changelog — commit customers as v1, apply
+    a CDC feed (update every 11th, delete every 13th — delete wins on
+    overlap — insert a fresh key for every 17th) as v2, then
+    `read_changes(1, 2)` emits exactly the I/U/D rows a downstream
+    consumer would need to sync incrementally. The oracle recomputes
+    the expected changelog from the same deterministic rules, so the
+    hash certifies classification, image choice (U/I carry the new
+    image, D the old), and the 'unchanged keys emit nothing'
+    contract. Manifest pruning keeps the diff cost ∝ changed
+    partitions (asserted via inputFiles in tests/test_snapshots.py);
+    the diff itself is one key-partitioned full-outer join."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+    root = _export_dir(sf_dir, "customer_changelog")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "c_nationkey")
+    store.commit(base)  # v1
+    upserts = (
+        base.filter(
+            (F.col("c_custkey") % 11 == 0) | (F.col("c_custkey") % 13 == 0)
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("op") == "U", F.round(F.col("c_acctbal") + 10.00, 2)
+            ).otherwise(F.col("c_acctbal")),
+        )
+    )
+    inserts = base.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_nationkey",
+        F.lit(1.00).cast("double").alias("c_acctbal"),
+        F.lit("I").alias("op"),
+    )
+    store.apply_changes(
+        spark, upserts.unionByName(inserts), key_cols=["c_custkey"]
+    )  # v2
+    return store.read_changes(spark, 1, 2, key_cols=["c_custkey"]).select(
+        "op",
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_acctbal",
+    )
+
+
+@register_query(
     "source_jsonl_roundtrip",
     oracle="SELECT * FROM nation",
     tags="S1 S8 S16",

@@ -176,6 +176,7 @@ _SLOW_BUILDERS = {
     # recall gates: centroid/codebook seed rows collect at build time
     "similarity_ivf_recall", "similarity_pq_recall",
     "source_time_travel",  # commits two snapshots at build time
+    "snapshot_changelog_read",  # commits v1 + CDC v2 at build time
     "streaming_snapshot_rollup",  # runs the micro-batch stream at build
     "source_cdc_apply",  # commits base + change-feed snapshots at build
     "dedup_cluster_keep_best",  # iterative CC fixpoint at build

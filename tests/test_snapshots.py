@@ -709,3 +709,69 @@ def test_compact_cas_detects_racing_commit(spark, tmp_path):
         store._write = real_write
     # the racer's row survived; the rolled-back compaction is invisible
     assert (9, "a", 90) in _rows(store.read(spark))
+
+
+# --------------------------------------------------- changelog read
+def test_read_changes_classifies_and_prunes(spark, tmp_path):
+    """S24: I/U/D classification against a hand-built change, and the
+    manifest prune — partitions whose pointers are identical in both
+    manifests must never be scanned (no file from partition c in the
+    plan's input set)."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(
+        _mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)])
+    )
+    ch = spark.createDataFrame(
+        [
+            Row(k=2, p="a", val=21, op="U"),   # update
+            Row(k=3, p="b", val=30, op="D"),   # delete
+            Row(k=5, p="a", val=50, op="I"),   # insert
+        ]
+    )
+    store.apply_changes(spark, ch, key_cols=["k"])
+    out = store.read_changes(spark, 1, 2, key_cols=["k"])
+    got = sorted((r["op"], r["k"], r["p"], r["val"]) for r in out.collect())
+    assert got == [
+        ("D", 3, "b", 30),   # delete carries the OLD image
+        ("I", 5, "a", 50),
+        ("U", 2, "a", 21),   # update carries the NEW image
+    ]
+    # untouched partition c is pruned before any file listing
+    assert not any("p=c" in f for f in out.inputFiles()), out.inputFiles()
+
+
+def test_read_changes_roundtrip_reproduces_target(spark, tmp_path):
+    """Applying read_changes(v_from, v_to) to a store positioned at
+    v_from's content must reproduce v_to exactly — for every
+    consecutive version pair in a mixed upsert/CDC history."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    store.upsert(spark, _mk(spark, [(1, "a", 11), (4, "a", 40)]), ["k"])
+    store.apply_changes(
+        spark,
+        spark.createDataFrame(
+            [Row(k=2, p="b", val=0, op="D"), Row(k=3, p="b", val=33, op="U")]
+        ),
+        key_cols=["k"],
+    )
+    for v_from, v_to in [(1, 2), (2, 3), (1, 3)]:
+        log = store.read_changes(spark, v_from, v_to, key_cols=["k"])
+        replay = SnapshotStore(str(tmp_path / f"r{v_from}{v_to}"), "p")
+        replay.commit(store.read(spark, version=v_from))
+        if log.take(1):
+            replay.apply_changes(spark, log, key_cols=["k"])
+        assert _rows(replay.read(spark)) == _rows(
+            store.read(spark, version=v_to)
+        ), (v_from, v_to)
+
+
+def test_read_changes_refuses_schema_drift(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    store.commit(
+        spark.createDataFrame([Row(k=1, p="a", val=10, extra="x")])
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        store.read_changes(spark, 1, 2, key_cols=["k"])
