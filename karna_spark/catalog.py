@@ -158,7 +158,17 @@ def load_fixture_tables(
 
     Returns name → DataFrame; every table is also a temp view so SQL /
     GraphQL / NL queries can name it.
+
+    Re-pins the engine's runtime confs first (same contract as
+    ``registry.table``): a prior query may have carved a per-plan
+    posture (e.g. V8 lowers the bloom-filter threshold and disables
+    broadcast for its own plan), and lazy execution means those confs
+    stay live until the next builder resets them — every builder
+    entry point must therefore tune before building.
     """
+    from karna_spark.session import tune_session
+
+    tune_session(spark)
     out: dict[str, DataFrame] = {}
     for name in tables:
         p = os.path.join(sf_dir, f"{name}.parquet")

@@ -704,6 +704,67 @@ def source_dynamic_partition_pruning(
 
 
 @register_query(
+    "join_runtime_bloom_filter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags="V8 J1 A1",
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: runtime bloom-filter semi-join reduction — the 100 TB path
+    when the filtered side of a join is selective but TOO BIG to
+    broadcast (so dynamic partition pruning and broadcast pruning are
+    both unavailable). Catalyst's InjectRuntimeFilter builds a bloom
+    filter from the filtered orders keys (one bloom_filter_agg
+    subquery) and applies might_contain() to lineitem BEFORE its
+    shuffle, so the fact exchange carries ~|matching| rows instead of
+    the whole table — the join itself stays exact (bloom is a
+    may-contain prefilter; false positives are removed by the real
+    join, which is why the oracle is the plain join). Broadcast is
+    disabled and the application-side threshold lowered for THIS plan
+    only (fixture bytes are far below the 10 GB production default);
+    tune_session re-pins the engine defaults for every later query.
+    Plan-asserted in tests/test_plans.py: bloom_filter_agg +
+    might_contain present, join is SMJ, result exact."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # After table() (which re-pins engine defaults), carve this plan's
+    # posture: no broadcast (the scenario is a non-broadcastable dim),
+    # application threshold below fixture bytes so injection fires.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1",
+    )
+    return (
+        li.join(
+            od.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == od.o_orderkey,
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register_query(
     "snapshot_stat_pruned_read",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -37,6 +37,14 @@ _SCALE_CONFS: dict[str, str] = {
     # the contract the query layer relies on (SURVEY.md §4).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime bloom-filter semi-join reduction (V8): ON as posture, with
+    # Spark's stock size thresholds — at cluster scale a selective dim
+    # filter prunes the fact shuffle; at fixture scale the 10 GB
+    # application-side threshold keeps everyday plans unchanged. The V8
+    # query lowers the threshold for itself; pinning the defaults here
+    # makes tune_session reset them for every subsequent query.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
 }
 
 

@@ -621,3 +621,29 @@ def test_intradoc_span_dedup_no_crossdoc_traffic_no_window(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injected_and_confs_restored(spark):
+    """V8: the selective-but-unbroadcastable dim join gets a runtime
+    bloom filter — bloom_filter_agg subquery on the creation side,
+    might_contain applied to the fact BEFORE its shuffle — and the
+    per-plan conf carve-out is reset by the next builder's
+    table()/load_fixture_tables tune (lazy execution keeps confs live
+    until then, so restoration is the contract that protects every
+    subsequent query's plan)."""
+    plan = plan_of(spark, "join_runtime_bloom_filter", "formatted")
+    assert "bloom_filter_agg" in plan, plan[:1500]
+    assert "might_contain" in plan
+    assert "SortMergeJoin" in plan  # broadcast disabled for this plan
+    # next builder restores the engine posture
+    from karna_spark.queries.registry import table
+
+    table(spark, SF, "nation")
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64m"
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        == "10GB"
+    )
