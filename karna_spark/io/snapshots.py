@@ -207,7 +207,9 @@ class SnapshotStore:
         )
 
     # ------------------------------------------------------- writes
-    def _write(self, df: DataFrame, v: int) -> list[str]:
+    def _write(
+        self, df: DataFrame, v: int, order_by: list[str] | None = None
+    ) -> list[str]:
         """Write ``df`` under v=<v> subdirs; return the partition
         values actually WRITTEN (computed from the materialized result
         so the manifest never points at a directory the write did not
@@ -220,12 +222,16 @@ class SnapshotStore:
         (r7 ADVICE: returning the escaped name verbatim made upsert
         retain the old pointer AND add the escaped-name key, serving
         that partition's rows twice)."""
-        (
-            df.withColumn("v", F.lit(v))
-            .write.mode("append")
-            .partitionBy(self.pc, "v")
-            .parquet(self.data)
-        )
+        out = df.withColumn("v", F.lit(v))
+        if order_by:
+            # The dynamic-partition writer requires rows sorted by the
+            # partition columns and would insert its own (UNSTABLE)
+            # sort otherwise, destroying any pre-applied clustering.
+            # Sorting (pc, v, *order_by) here satisfies that
+            # requirement as a prefix, so the writer keeps this exact
+            # order and the files come out clustered on order_by.
+            out = out.sortWithinPartitions(self.pc, "v", *order_by)
+        out.write.mode("append").partitionBy(self.pc, "v").parquet(self.data)
         prefix = f"{self.pc}="
         return [
             _unescape_partition(d[len(prefix):])
@@ -429,6 +435,7 @@ class SnapshotStore:
         self,
         spark: SparkSession,
         partition_values: list[str] | None = None,
+        order_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction rewrite (Iceberg's
         ``rewrite_data_files``): re-materialize the latest version's
@@ -450,7 +457,15 @@ class SnapshotStore:
         (wrap in :func:`with_commit_retries` like any incremental
         write). Prior versions still reference the old directories,
         so time travel is unaffected until a vacuum expires them.
-        Returns the new version."""
+        Returns the new version.
+
+        ``order_by`` additionally sorts rows within each rewritten
+        file (Iceberg's sort-order rewrite): a table accreted by
+        unordered upserts gets its rows re-clustered on the named
+        columns, which re-tightens the per-file footer bounds the
+        manifest-stat pruning layer (S20) reads — bounded reads skip
+        more after an ordered compaction. Logical content is
+        unchanged either way."""
         prev_v = self.latest_version()
         if prev_v == 0:
             raise ValueError("nothing to compact: no published version")
@@ -466,7 +481,7 @@ class SnapshotStore:
         v = self._claim_version()
         df = self.read(spark, version=prev_v, partition_values=vals)
         packed = df.repartition(len(vals), F.col(self.pc))
-        written = self._write(packed, v)
+        written = self._write(packed, v, order_by=order_by)
         manifest = {k: pv for k, pv in prev.items() if k not in set(vals)}
         manifest.update({a: v for a in written})
         self._publish(

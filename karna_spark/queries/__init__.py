@@ -61,30 +61,30 @@ from karna_spark.queries import (  # noqa: F401,E402
 #      dedup/similarity twins).
 #
 # Round 9 executes the r8 verdict's pre-planned rotation with the one
-# amendment rule 2(a) forces: the seven r9-born rows take the head, so
-# 41 (not 48) of the 49 r5-stale rows fit this round. The EDF
-# simulation proves the displaced eight (certified r5, deadline r10)
+# amendment rule 2(a) forces: the eight r9-born rows take the head, so
+# 40 (not 48) of the 49 r5-stale rows fit this round. The EDF
+# simulation proves the displaced nine (certified r5, deadline r10)
 # and everything behind them still meet their deadlines: r10 =
-# 8 r5 + 42 r6, r11 = 8 r6 + 42 r7, r12 = 8 r7 + 42 r8, … — a stable
-# 8-row ripple, never a breach. rotation_check.py verifies both the
+# 9 r5 + 41 r6, r11 = 9 r6 + 41 r7, r12 = 9 r7 + 41 r8, … — a stable
+# 9-row ripple, never a breach. rotation_check.py verifies both the
 # instantaneous floor and that simulation; run it after any reorder.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet: the seven r9-born rows — GraphQL
+    # (a) no driver row yet: the eight r9-born rows — GraphQL
     # variables+fragments (the wire shape every real client sends;
     # the last declared-surface gap), three NL operator-backed
     # intents (exact dedup, stratified sampling, BM25 top-k)
     # dispatching the certified operator library, the
     # certification-grade integer-exact PageRank (A35), the snapshot
-    # changelog read (S24), and runtime bloom-filter join pruning
-    # (V8).
+    # changelog read (S24), runtime bloom-filter join pruning
+    # (V8), and the watermarked stream-stream LEFT OUTER join (T15).
     "frontend_graphql_variables", "frontend_nl_dedup_exact",
     "frontend_nl_stratified_sample", "frontend_nl_bm25_topk",
     "graph_pagerank_trade", "snapshot_changelog_read",
-    "join_runtime_bloom_filter",
+    "join_runtime_bloom_filter", "streaming_left_outer_join",
     # (c) the 2 r4-stale rows (displaced from the r8 head by the two
     # late-r8 queries) — due this round or the floor breaks.
     "text_quality", "text_token_counts",
-    # (c) the 41 oldest r5 rows in registry order. text_bm25_scores
+    # (c) the 40 oldest r5 rows in registry order. text_bm25_scores
     # and sample_stratified_quota are also (b) — re-expressed through
     # operators/retrieval.py and operators/sampling.py this round
     # (qcheck-verified plan-equivalent) — and sit in this cohort
@@ -108,9 +108,9 @@ _PRIORITY: tuple[str, ...] = (
     "events_incremental_rollup", "timeseries_gap_fill",
     "window_range_trailing", "text_contamination_ngram",
     "text_bm25_scores", "text_pii_redaction", "sample_stratified_quota",
-    "text_vocab_topk",
-    # ---- 50-cap boundary: the eight displaced r5 rows (deadline r10)
+    # ---- 50-cap boundary: the nine displaced r5 rows (deadline r10)
     # lead r10's (c) head, followed by the r6 cohort in this order ----
+    "text_vocab_topk",
     "dedup_clusters",
     "frontend_nl_docs_profile",
     "sink_partition_upsert",

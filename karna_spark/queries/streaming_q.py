@@ -31,6 +31,7 @@ from karna_spark.streaming.jobs import (
     session_window_stream,
     user_stats_stateful,
     view_click_join,
+    view_click_left_join,
 )
 
 
@@ -119,6 +120,47 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
     return run_to_memory(
         view_click_join(views, clicks), "append", checkpoint=checkpoint
+    )
+
+
+@register_query(
+    "streaming_left_outer_join",
+    oracle="""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           strftime(date_trunc('second', v.ts), '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags="T4 T15 J2",
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: watermarked stream-stream LEFT OUTER join — the matched
+    rows emit like the inner join (T4), and every view with NO click
+    in its following hour emits exactly once with a NULL click side,
+    released only when the click watermark proves no match can still
+    arrive. The landing directory delivers the data file then a
+    far-future flush sentinel as a second micro-batch; the sentinel
+    passes through the watermark operator BEFORE the event-type
+    filter drops it, so state expiry fires and the closing no-data
+    micro-batch drains every unmatched view — the complete streaming
+    result hash-matches the batch LEFT JOIN the oracle runs
+    (karna_spark/streaming/jobs.py: view_click_left_join). TWO
+    sentinel micro-batches: watermark advancement lags one batch, so
+    the nulls released by the first sentinel's watermark are emitted
+    while processing the second (availableNow runs no closing
+    no-data batch)."""
+    landing = stage_events(spark, sf_dir, double_sentinel=True)
+    a = events_stream(spark, landing)
+    b = events_stream(spark, landing)
+    checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
+    return run_to_memory(
+        view_click_left_join(a, b), "append", checkpoint=checkpoint
     )
 
 

@@ -52,19 +52,34 @@ def stage_events(
     sf_dir: str,
     with_sentinel: bool = True,
     duplicate: bool = False,
+    double_sentinel: bool = False,
 ) -> str:
     """Stage the events fixture as a streaming landing directory:
     one data file (the fixture, µs timestamps) + optionally one
     later-arriving sentinel file that drives the watermark forward.
     ``duplicate=True`` instead lands the SAME data file twice (two
     micro-batches of identical rows) — an at-least-once source for the
-    streaming dedup job.
+    streaming dedup job. ``double_sentinel=True`` lands a SECOND
+    sentinel as a third micro-batch: watermark advancement lags one
+    batch (batch N is processed with the watermark computed after
+    batch N-1), so stateful results that can only be RELEASED by the
+    sentinel-driven watermark — outer-join null emissions above all —
+    need one more batch processed at the advanced watermark
+    (availableNow terminates without a closing no-data batch).
 
     Test scaffolding only — a production deployment points readStream
     at the real landing zone / queue instead.
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    flavor = "dup" if duplicate else ("sentinel" if with_sentinel else "plain")
+    flavor = (
+        "dup"
+        if duplicate
+        else (
+            "sentinel2"
+            if double_sentinel
+            else ("sentinel" if with_sentinel else "plain")
+        )
+    )
     root = os.path.join(_STREAM_CACHE, tag, flavor)
     done = os.path.join(root, "_STAGED")
     if not os.path.exists(done):
@@ -83,26 +98,32 @@ def stage_events(
                 os.path.join(root, "00_events.parquet"),
                 os.path.join(root, "01_events_dup.parquet"),
             )
-        if with_sentinel and not duplicate:
-            sent = spark.createDataFrame(
-                [(int(-1), _SENTINEL_TS, int(-1), "__flush__", 0.0, "{}")],
-                "event_id long, ts_s string, user_id long, event_type string,"
-                " value double, props string",
-            ).select(
-                "event_id",
-                F.to_timestamp("ts_s").alias("ts"),
-                "user_id",
-                "event_type",
-                "value",
-                "props",
-            )
-            tmp2 = os.path.join(root, "_tmp_sentinel")
-            sent.coalesce(1).write.mode("overwrite").parquet(tmp2)
-            part2 = next(f for f in os.listdir(tmp2) if f.endswith(".parquet"))
-            # moved second → later mtime → FileStreamSource processes it
-            # as the second micro-batch
-            shutil.move(os.path.join(tmp2, part2), os.path.join(root, "01_flush.parquet"))
-            shutil.rmtree(tmp2)
+        if (with_sentinel or double_sentinel) and not duplicate:
+            n_flush = 2 if double_sentinel else 1
+            for i in range(n_flush):
+                sent = spark.createDataFrame(
+                    [(int(-1 - i), _SENTINEL_TS, int(-1), "__flush__", 0.0, "{}")],
+                    "event_id long, ts_s string, user_id long, event_type string,"
+                    " value double, props string",
+                ).select(
+                    "event_id",
+                    (F.to_timestamp("ts_s") + F.expr(f"INTERVAL {i} HOUR")).alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                    "props",
+                )
+                tmp2 = os.path.join(root, "_tmp_sentinel")
+                sent.coalesce(1).write.mode("overwrite").parquet(tmp2)
+                part2 = next(f for f in os.listdir(tmp2) if f.endswith(".parquet"))
+                # moved after the data file → later mtime →
+                # FileStreamSource processes each as its own
+                # micro-batch, in landing order
+                shutil.move(
+                    os.path.join(tmp2, part2),
+                    os.path.join(root, f"{i + 1:02d}_flush.parquet"),
+                )
+                shutil.rmtree(tmp2)
         open(done, "w").close()
     return root
 
@@ -253,6 +274,76 @@ def view_click_join(
         "inner",
     )
     return joined.select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+def view_click_left_join(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    within: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join (T15): every view emits exactly
+    once — matched views as soon as both rows arrive (inner-join
+    semantics), UNMATCHED views with a NULL click once the click-side
+    watermark passes their match horizon, proving no click can still
+    arrive. This is the harder half of the stream-stream contract:
+    the null result can only be emitted by state expiry, never by
+    data, so it certifies the watermark/state-eviction machinery
+    itself — state stays O(events within the horizon) at any volume.
+
+    The flush sentinel (far-future ts) must reach the
+    EventTimeWatermark operator or the final unmatched views sit in
+    state forever. A plain ``event_type == 'view'`` filter would NOT
+    keep it there: Catalyst pushes filters on non-watermark columns
+    BELOW the watermark node into the scan (and parquet row-group
+    stats then skip the single-row sentinel file entirely — observed:
+    the watermark froze at max(data ts) − delay and the last
+    horizon's nulls never emitted). Both the type filter and the
+    sentinel exclusion therefore reference the watermark column —
+    ``PushPredicateThroughNonJoin`` refuses to push a predicate that
+    mentions the watermark attribute, so the sentinel is scanned,
+    advances the watermark, feeds the join as an ordinary row, and is
+    dropped from the OUTPUT by its own far-future timestamp."""
+    flush_horizon = F.lit("2030-01-01 00:00:00").cast("timestamp")
+    v = (
+        events_a.withWatermark("ts", watermark_delay)
+        # single non-splittable disjunct referencing ts: stays above
+        # the watermark node; lets real views AND sentinels through
+        .filter((F.col("event_type") == "view") | (F.col("ts") >= flush_horizon))
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    c = (
+        events_b.withWatermark("ts", watermark_delay)
+        .filter((F.col("event_type") == "click") | (F.col("ts") >= flush_horizon))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = v.join(
+        c,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    )
+    # Sentinel "views" (and sentinel-sentinel matches) carry the
+    # far-future view_ts — excluded HERE, by a predicate that again
+    # references the watermark attribute, so it cannot migrate below
+    # the view-side watermark node. Sentinel "clicks" match no real
+    # view and vanish with the left join.
+    return joined.filter(F.col("view_ts") < flush_horizon).select(
         F.col("v_user_id").alias("user_id"),
         "view_id",
         "click_id",

@@ -169,6 +169,7 @@ _SLOW_BUILDERS = {
     "sink_result_page",
     "streaming_stateful_user_stats", "streaming_tumbling_watermark",
     "streaming_stream_stream_join", "streaming_dedup_exact",
+    "streaming_left_outer_join",
     "dedup_clusters",  # iterative fixpoint: runs count() jobs to converge
     "sink_partition_upsert",  # seeds + upserts a store at build time
     "source_schema_evolution", "sink_compaction",  # write files at build

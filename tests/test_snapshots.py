@@ -693,8 +693,8 @@ def test_compact_cas_detects_racing_commit(spark, tmp_path):
 
     real_write = store._write
 
-    def write_then_race(df, v):
-        written = real_write(df, v)
+    def write_then_race(df, v, order_by=None):
+        written = real_write(df, v, order_by=order_by)
         # interleave a commit AFTER compact derived its manifest
         SnapshotStore(store.root, "p").upsert(
             spark, _mk(spark, [(9, "a", 90)]), ["k"]
@@ -775,3 +775,24 @@ def test_read_changes_refuses_schema_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema changed"):
         store.read_changes(spark, 1, 2, key_cols=["k"])
+
+
+def test_compact_order_by_sorts_rows_within_file(spark, tmp_path):
+    """compact(order_by=...) is Iceberg's sort-order rewrite: content
+    identical, but rows inside each rewritten file are clustered on
+    the sort columns (read back in file order without a sort, the
+    values must be monotone)."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    rows = [(k, "a", (k * 37) % 100) for k in range(1, 65)]
+    store.commit(_mk(spark, rows).repartition(8))
+    before = _rows(store.read(spark))
+    v = store.compact(spark, order_by=["val"])
+    assert _rows(store.read(spark, version=v)) == before
+    d = store._pdir("a", v)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(files) == 1
+    vals = [
+        r["val"]
+        for r in spark.read.parquet(os.path.join(d, files[0])).collect()
+    ]
+    assert vals == sorted(vals)
