@@ -524,6 +524,72 @@ class SnapshotStore:
         ``v_from`` reproduces ``v_to``'s content exactly. Requires
         both versions to share a column set (schema evolution between
         the two versions is refused loudly)."""
+        j, key_cols, _ = self._change_join(spark, v_from, v_to, key_cols)
+        op = (
+            F.when(F.col("_in_old").isNull(), F.lit("I"))
+            .when(F.col("_in_new").isNull(), F.lit("D"))
+            .when(
+                ~F.col("_old_img").eqNullSafe(F.col("_new_img")), F.lit("U")
+            )
+        )
+        img = F.when(F.col("op") == "D", F.col("_old_img")).otherwise(
+            F.col("_new_img")
+        )
+        return (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .withColumn("_img", img)
+            .select("op", *key_cols, "_img.*")
+        )
+
+    def read_change_feed(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+    ) -> DataFrame:
+        """Change feed with update PREIMAGES (Delta Lake's CDF shape:
+        ``update_preimage``/``update_postimage``): one row per
+        insert ('I', new image) and delete ('D', old image), TWO rows
+        per update — 'U-' carrying the old image and 'U+' the new.
+        This is the shape incremental aggregate maintenance needs: a
+        downstream grouped MV applies the feed as signed contributions
+        (+1 for I/U+, −1 for D/U-) without ever consulting the base
+        table — see ``operators/mv.py``. Same manifest pruning and
+        single full-outer-join topology as :meth:`read_changes`; the
+        U-row doubling is a metadata-free explode, no extra scan."""
+        j, key_cols, _ = self._change_join(spark, v_from, v_to, key_cols)
+        pair = F.when(
+            F.col("_in_old").isNull(),
+            F.array(F.struct(F.lit("I").alias("op"), F.col("_new_img").alias("img"))),
+        ).when(
+            F.col("_in_new").isNull(),
+            F.array(F.struct(F.lit("D").alias("op"), F.col("_old_img").alias("img"))),
+        ).when(
+            ~F.col("_old_img").eqNullSafe(F.col("_new_img")),
+            F.array(
+                F.struct(F.lit("U-").alias("op"), F.col("_old_img").alias("img")),
+                F.struct(F.lit("U+").alias("op"), F.col("_new_img").alias("img")),
+            ),
+        )
+        return (
+            j.withColumn("_pair", pair)
+            .filter(F.col("_pair").isNotNull())
+            .select(F.explode("_pair").alias("_e"), *key_cols)
+            .select(F.col("_e.op").alias("op"), *key_cols, "_e.img.*")
+        )
+
+    def _change_join(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key_cols: list[str],
+    ):
+        """Shared changelog core: manifest-pruned reads of both
+        versions full-outer-joined on the keys, old/new images as
+        structs. Returns ``(joined, key_cols, val_cols)``."""
         old = self._changed_read(spark, v_from, v_to)
         new = self._changed_read(spark, v_to, v_from)
         if sorted(old.columns) != sorted(new.columns):
@@ -542,23 +608,7 @@ class SnapshotStore:
             F.struct(*val_cols).alias("_new_img"),
             F.lit(True).alias("_in_new"),
         )
-        j = o.join(n, key_cols, "full_outer")
-        op = (
-            F.when(F.col("_in_old").isNull(), F.lit("I"))
-            .when(F.col("_in_new").isNull(), F.lit("D"))
-            .when(
-                ~F.col("_old_img").eqNullSafe(F.col("_new_img")), F.lit("U")
-            )
-        )
-        img = F.when(F.col("op") == "D", F.col("_old_img")).otherwise(
-            F.col("_new_img")
-        )
-        return (
-            j.withColumn("op", op)
-            .filter(F.col("op").isNotNull())
-            .withColumn("_img", img)
-            .select("op", *key_cols, "_img.*")
-        )
+        return o.join(n, key_cols, "full_outer"), key_cols, val_cols
 
     def _changed_read(
         self, spark: SparkSession, v: int, v_other: int

@@ -1,0 +1,94 @@
+"""Incremental materialized-view maintenance from a change feed.
+
+NORTH-STAR provenance: every serving-side warehouse keeps grouped
+aggregates (revenue per region, docs per domain, tokens per language)
+over tables that mutate by CDC; recomputing them from the base table
+on every refresh is the pattern that dies first at 100 TB. The
+reference's declared surface has no MV story at all
+(`/root/reference/karna-core/src/lib.rs:1-14` is the cargo template);
+this is the standard incremental view maintenance algebra (Gupta &
+Mumick 1995's counting algorithm, the shape Delta Lake's CDF +
+`MERGE` refresh and Materialize/Flink retraction streams use),
+re-expressed as two Spark aggregates.
+
+The contract: the feed is Delta-CDF-shaped
+(``SnapshotStore.read_change_feed`` — 'I'/'U+' rows carry post-images,
+'D'/'U-' rows carry preimages). COUNT and SUM are abelian-group
+aggregates, so the maintained view is
+
+    mv'(g) = mv(g) ⊕ Σ_{feed rows in g} sign(op) · contribution(row)
+
+with ``sign`` = +1 for I/U+, −1 for D/U-, and groups whose maintained
+count reaches zero dropped (the counting algorithm's liveness rule —
+without the count a sum-only view cannot know when a group vanishes).
+Sums must be over EXACT types (BIGINT / DECIMAL — money in cents, not
+doubles): group theory needs exact inverses, and float retraction
+drifts.
+
+Scale: cost is one map-side-combinable aggregate over the FEED
+(∝ |delta|, never the base table) plus a |groups|-scale full-outer
+merge with the stored view — at 100 TB with a 0.1% daily delta that
+is a 1000× scan reduction per refresh, and the merge is
+metadata-scale whenever the group domain is (region, language, day,
+…). No windows, no collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_mv(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Initial materialization: per-group count + exact sums.
+    Columns: ``*group_cols, mv_count, <c>_sum per sum col``."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("mv_count")] + [
+        F.sum(c).cast("bigint").alias(f"{c}_sum") for c in sum_cols
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_feed(
+    mv: DataFrame,
+    feed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Maintain ``mv`` (the :func:`grouped_mv` shape) with one
+    CDF-shaped feed. Returns the refreshed view — same schema, groups
+    with zero maintained count dropped."""
+    sign = (
+        F.when(F.col("op").isin("I", "U+"), F.lit(1))
+        .when(F.col("op").isin("D", "U-"), F.lit(-1))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+    )
+    delta = (
+        feed.withColumn("_sign", sign)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_sign").cast("bigint").alias("_dcount"),
+            *[
+                F.sum(F.col("_sign") * F.col(c)).cast("bigint").alias(f"_d_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    merged = mv.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("mv_count"), zero)
+            + F.coalesce(F.col("_dcount"), zero)
+        ).alias("mv_count"),
+        *[
+            (
+                F.coalesce(F.col(f"{c}_sum"), zero)
+                + F.coalesce(F.col(f"_d_{c}"), zero)
+            ).alias(f"{c}_sum")
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col("mv_count") > 0)

@@ -81,6 +81,10 @@ _PRIORITY: tuple[str, ...] = (
     "frontend_nl_stratified_sample", "frontend_nl_bm25_topk",
     "graph_pagerank_trade", "snapshot_changelog_read",
     "join_runtime_bloom_filter", "streaming_left_outer_join",
+    # (a) continued — the second-sitting r9 rows: exact triangle
+    # counting (A36, the degree-oriented wedge join) and incremental
+    # MV maintenance from the CDF-shaped change feed (S25).
+    "graph_triangle_count", "snapshot_incremental_mv",
     # (c) the 2 r4-stale rows (displaced from the r8 head by the two
     # late-r8 queries) — due this round or the floor breaks.
     "text_quality", "text_token_counts",

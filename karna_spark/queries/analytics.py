@@ -1491,3 +1491,85 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     return pagerank_exact(edges, iterations=3)
+
+
+# ---------------------------------------------------------------- A36
+_TRI_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l.l_orderkey, CAST(l.l_suppkey AS BIGINT) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+),
+pairs AS (
+  SELECT DISTINCT x.s AS a, y.s AS b
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.s < y.s
+),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs)
+  GROUP BY id
+),
+ori AS (
+  SELECT CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.a ELSE p.b END AS src,
+         CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN p.b ELSE p.a END AS dst,
+         CASE WHEN (da.deg, p.a) < (db.deg, p.b) THEN db.deg ELSE da.deg END AS ddeg
+  FROM pairs p JOIN deg da ON p.a = da.id JOIN deg db ON p.b = db.id
+),
+tri AS (
+  SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+  FROM ori w1 JOIN ori w2
+    ON w1.src = w2.src AND (w1.ddeg, w1.dst) < (w2.ddeg, w2.dst)
+  JOIN ori e ON e.src = w1.dst AND e.dst = w2.dst
+),
+pern AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT u AS id FROM tri UNION ALL SELECT v AS id FROM tri
+    UNION ALL SELECT w AS id FROM tri)
+  GROUP BY id
+)
+SELECT d.id, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles
+FROM deg d LEFT JOIN pern p ON d.id = p.id
+"""
+
+
+@register_query(
+    "graph_triangle_count",
+    oracle=_TRI_ORACLE,
+    tags="A36 J1 A1",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: exact triangle counting (operators/graphrank.py
+    `triangle_counts`) over the January-1995 co-supplier graph —
+    suppliers are adjacent when they ship lines of the same order; the
+    per-node triangle count is the clustering signal a dedup/community
+    pass ranks on (the graph-curation sibling of A35's PageRank).
+    Degree-ordered orientation makes the wedge join's fan-out
+    O(sqrt(|E|)) per node REGARDLESS of degree skew — the scalable
+    formulation (a celebrity node generates no wedges; its edges
+    orient outward from low-degree neighbors). The one-month order
+    window pushes down to the orders scan (partition/row-group
+    pruning); pair generation is per-order local (≤ C(7,2) pairs per
+    order). All equi-joins, all integer — hash-certified bit-for-bit
+    against the identical DuckDB spec."""
+    from karna_spark.operators.graphrank import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1995-01-01", "1995-01-31"))
+        .select("o_orderkey")
+    )
+    sup = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select("l_orderkey", F.col("l_suppkey").cast("bigint").alias("s"))
+        .distinct()
+    )
+    x = sup.select(F.col("l_orderkey").alias("k"), F.col("s").alias("a"))
+    y = sup.select(F.col("l_orderkey").alias("k"), F.col("s").alias("b"))
+    pairs = (
+        x.join(y, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_counts(pairs)

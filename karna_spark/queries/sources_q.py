@@ -873,3 +873,114 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("md5_hex"),
     )
+
+
+# ---------------------------------------------------------------- S25
+_MV_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS k, c_nationkey AS n,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+v2 AS (
+  SELECT k, n, CASE WHEN k % 7 = 0 THEN cents + 500 ELSE cents END AS cents
+  FROM base WHERE k % 19 <> 0
+  UNION ALL
+  SELECT k + 2000000 AS k, n, CAST(300 AS BIGINT) AS cents
+  FROM base WHERE k % 23 = 0
+),
+v3 AS (
+  SELECT k, n, CASE WHEN k % 5 = 0 THEN cents - 150 ELSE cents END AS cents
+  FROM v2 WHERE k % 17 <> 0
+)
+SELECT CAST(n AS INT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(cents) / 100.0, 2) AS total_bal
+FROM v3 GROUP BY n
+"""
+
+
+@register_query(
+    "snapshot_incremental_mv",
+    oracle=_MV_ORACLE,
+    tags="S25 S24 S12 A1",
+)
+def snapshot_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: incremental materialized-view maintenance (operators/mv.py)
+    — the per-nation (count, balance) view is materialized ONCE at v1,
+    then refreshed across two CDC commits purely from the store's
+    Delta-CDF-shaped change feed (`read_change_feed`: updates emit
+    pre- AND post-images), never re-reading the base table: signed
+    counting-algorithm application (+I/U+, −D/U-), zero-count groups
+    dropped, money kept in BIGINT cents so retraction is exact. The
+    oracle recomputes the final state from scratch, so the hash
+    certifies that two incremental refreshes ≡ full recompute. Refresh
+    cost is ∝ |delta| (one map-combinable aggregate over the feed +
+    a |groups|-scale merge) — at 100 TB with a 0.1% daily delta this
+    is the 1000× scan reduction that makes serving-side aggregates
+    refreshable at all."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+    from karna_spark.operators.mv import apply_feed, grouped_mv
+
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    root = _export_dir(sf_dir, "customer_incremental_mv")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "c_nationkey")
+    store.commit(base)  # v1
+    k = F.col("c_custkey")
+    feed_a = (
+        base.filter((k % 7 == 0) | (k % 19 == 0))
+        .withColumn(
+            "op", F.when(k % 19 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .withColumn(
+            "cents",
+            F.when(F.col("op") == "U", F.col("cents") + 500).otherwise(
+                F.col("cents")
+            ),
+        )
+        .unionByName(
+            base.filter(k % 23 == 0).select(
+                (k + 2000000).alias("c_custkey"),
+                "c_nationkey",
+                F.lit(300).cast("bigint").alias("cents"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    store.apply_changes(spark, feed_a, key_cols=["c_custkey"])  # v2
+    v2 = store.read(spark, version=2)
+    k2 = F.col("c_custkey")
+    feed_b = (
+        v2.filter((k2 % 5 == 0) | (k2 % 17 == 0))
+        .withColumn(
+            "op", F.when(k2 % 17 == 0, F.lit("D")).otherwise(F.lit("U"))
+        )
+        .withColumn(
+            "cents",
+            F.when(F.col("op") == "U", F.col("cents") - 150).otherwise(
+                F.col("cents")
+            ),
+        )
+    )
+    store.apply_changes(spark, feed_b, key_cols=["c_custkey"])  # v3
+    # --- the MV path: materialize at v1, refresh from the feeds only.
+    mv = grouped_mv(
+        store.read(spark, version=1), ["c_nationkey"], ["cents"]
+    )
+    for v_from, v_to in ((1, 2), (2, 3)):
+        feed = store.read_change_feed(
+            spark, v_from, v_to, key_cols=["c_custkey"]
+        )
+        mv = apply_feed(mv, feed, ["c_nationkey"], ["cents"])
+    return mv.select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("mv_count").alias("n_customers"),
+        F.round(F.col("cents_sum") / 100.0, 2).alias("total_bal"),
+    )

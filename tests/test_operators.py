@@ -1054,3 +1054,24 @@ def test_pagerank_plan_no_python_no_window(spark):
     assert "EvalPython" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_counts_known_graphs(spark):
+    """A36: K4 gives every node C(3,2)=3 triangles; a star gives zero
+    everywhere (the orientation sends the hub's edges outward from the
+    leaves — no wedge forms at any node); a triangle with a pendant
+    vertex counts 1-1-1-0."""
+    from pyspark.sql import Row
+
+    from karna_spark.operators.graphrank import triangle_counts
+
+    def run(pairs):
+        df = spark.createDataFrame([Row(a=a, b=b) for a, b in pairs])
+        return {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert run(k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    assert run(star) == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+    pendant = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    assert run(pendant) == {1: 1, 2: 1, 3: 1, 4: 0}

@@ -796,3 +796,62 @@ def test_compact_order_by_sorts_rows_within_file(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(d, files[0])).collect()
     ]
     assert vals == sorted(vals)
+
+
+def test_change_feed_emits_update_preimages(spark, tmp_path):
+    """S25: the CDF-shaped feed doubles updates into U- (old image) /
+    U+ (new image), keeps I with the new and D with the old image,
+    and inherits the manifest prune (untouched partition never
+    scanned)."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(
+        _mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)])
+    )
+    ch = spark.createDataFrame(
+        [
+            Row(k=2, p="a", val=21, op="U"),
+            Row(k=3, p="b", val=30, op="D"),
+            Row(k=5, p="a", val=50, op="I"),
+        ]
+    )
+    store.apply_changes(spark, ch, key_cols=["k"])
+    out = store.read_change_feed(spark, 1, 2, key_cols=["k"])
+    got = sorted((r["op"], r["k"], r["p"], r["val"]) for r in out.collect())
+    assert got == [
+        ("D", 3, "b", 30),
+        ("I", 5, "a", 50),
+        ("U+", 2, "a", 21),
+        ("U-", 2, "a", 20),
+    ]
+    assert not any("p=c" in f for f in out.inputFiles()), out.inputFiles()
+
+
+def test_mv_apply_feed_matches_recompute(spark, tmp_path):
+    """S25: incremental maintenance ≡ recompute, including the two
+    cases the counting algorithm exists for — an update that MOVES a
+    row across groups (retract from the old group, add to the new)
+    and a group whose last row is deleted (dropped via the
+    maintained count, which a sum-only view could not decide)."""
+    from karna_spark.operators.mv import apply_feed, grouped_mv
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(
+        _mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)])
+    )
+    ch = spark.createDataFrame(
+        [
+            Row(k=3, p="a", val=31, op="U"),   # moves b -> a
+            Row(k=4, p="c", val=40, op="D"),   # empties group c
+            Row(k=5, p="a", val=50, op="I"),
+        ]
+    )
+    store.apply_changes(spark, ch, key_cols=["k"])
+    mv = grouped_mv(store.read(spark, version=1), ["p"], ["val"])
+    feed = store.read_change_feed(spark, 1, 2, key_cols=["k"])
+    refreshed = apply_feed(mv, feed, ["p"], ["val"])
+    recomputed = grouped_mv(store.read(spark, version=2), ["p"], ["val"])
+    key = lambda r: (r["p"], r["mv_count"], r["val_sum"])  # noqa: E731
+    assert sorted(map(key, refreshed.collect())) == sorted(
+        map(key, recomputed.collect())
+    )
+    assert not any(r["p"] == "c" for r in refreshed.collect())
