@@ -369,3 +369,33 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.lit(n_batches).cast("int").alias("n_batches"),
     )
+
+
+@register_query(
+    "streaming_chained_windowed_agg",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags="T16 T1 T4",
+)
+def streaming_chained_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: chained stateful streaming — hourly tumbling aggregation
+    rolled up to daily INSIDE the same streaming query (two stateful
+    operators, the window-of-window-time re-window), append mode,
+    availableNow. The oracle is the flat batch daily aggregate, and
+    n_hours (= finalized hourly rows per daily row, cross-checked by
+    the oracle's COUNT(DISTINCT hour)) proves the daily stage consumed
+    the intermediate hourly stream rather than raw events. The cascade
+    is the at-scale shape: raw events shuffle once into hour grain;
+    the daily stage's state and input are |hours|-scale."""
+    from karna_spark.streaming.jobs import chained_hourly_daily
+
+    landing = stage_events(spark, sf_dir, with_sentinel=True)
+    return run_to_memory(chained_hourly_daily(events_stream(spark, landing)), "append")

@@ -1906,3 +1906,127 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dominant_bin(tones).select(
         "item_id", "n_frames", "dominant_bin"
     )
+
+
+# ---------------------------------------------------------------- O12
+@register_query(
+    "sample_dsir_importance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             (source = 'src0' AND lang = 'en') AS is_t,
+             CAST(concat('0x', substr(md5(u.word), 1, 2)) AS BIGINT) AS b
+      FROM d, unnest(arr) AS u(word)
+    ),
+    c AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+             CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS rcnt
+      FROM w GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(tcnt) AS BIGINT) AS t_total,
+             CAST(SUM(rcnt) AS BIGINT) AS r_total
+      FROM c
+    ),
+    lam AS (
+      SELECT b,
+             CAST(ROUND(LN((tcnt + 1) / CAST(t_total + 256 AS DOUBLE))
+                        * 1000000) AS BIGINT)
+           - CAST(ROUND(LN((rcnt + 1) / CAST(r_total + 256 AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lam
+      FROM c, tot
+    ),
+    s AS (
+      SELECT w.doc_id, CAST(SUM(lam.lam) AS BIGINT) AS score_e6
+      FROM w JOIN lam USING (b)
+      WHERE NOT w.is_t
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, score_e6
+    FROM s ORDER BY score_e6 DESC, doc_id LIMIT 100
+    """,
+    tags="O12 O6 F9",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12: DSIR — Data Selection via Importance Resampling (Xie et
+    al. 2023, the public pretraining-curation recipe): score every
+    raw-pool document by how much its hashed-unigram bag looks drawn
+    from the TARGET distribution (here: the curated src0/en slice)
+    rather than the raw pool, then keep the top-100. Features are
+    hashed into 256 buckets (first md5 byte — the paper's hashed
+    n-gram trick, which fixes model size at B regardless of vocabulary
+    so the λ table BROADCASTS at any corpus scale); per-bucket
+    Laplace-smoothed log-ratios λ_b = ln p_target(b) − ln p_raw(b) in
+    round-quantized micro-nats (the certified F26 recipe — each ln
+    term rounded identically in both engines, then exact BIGINT
+    algebra), a document's log importance weight is the exact integer
+    sum of λ over its word occurrences. Plan shape: the word explode
+    is per-doc local and consumed twice (counts + scoring) off one
+    lazy localCheckpoint; the counts aggregate map-combines to ≤256
+    rows per task; scoring is a broadcast-λ probe + doc_id-keyed sum;
+    selection is TakeOrdered (per-partition top-k, driver merges
+    100·partitions rows) — no global sort, no window, no UDF. At
+    100 TB the target stays small by definition and everything
+    data-scale is embarrassingly parallel. Deterministic ties
+    (score desc, doc_id asc) make the selected set bit-identical."""
+    docs = table(spark, sf_dir, "documents")
+    from karna_spark.operators.text import words
+
+    is_t = (F.col("source") == "src0") & (F.col("lang") == "en")
+    w = (
+        docs.select(
+            "doc_id",
+            is_t.alias("is_t"),
+            F.explode(words(F.lower(F.trim(F.col("text"))))).alias("word"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            F.conv(F.substring(F.md5(F.col("word")), 1, 2), 16, 10)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    c = w.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("tcnt"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("rcnt"),
+    )
+    tot = c.agg(
+        F.sum("tcnt").cast("bigint").alias("t_total"),
+        F.sum("rcnt").cast("bigint").alias("r_total"),
+    )
+    lam = c.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.round(
+                F.log(
+                    (F.col("tcnt") + 1).cast("double")
+                    / (F.col("t_total") + 256)
+                )
+                * 1000000
+            ).cast("bigint")
+            - F.round(
+                F.log(
+                    (F.col("rcnt") + 1).cast("double")
+                    / (F.col("r_total") + 256)
+                )
+                * 1000000
+            ).cast("bigint")
+        ).alias("lam"),
+    )
+    scores = (
+        w.filter(~F.col("is_t"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lam").cast("bigint").alias("score_e6"))
+    )
+    return scores.orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    ).limit(100)

@@ -636,3 +636,44 @@ def foreachbatch_incremental_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(pairs_dir)
+
+
+def chained_hourly_daily(stream: DataFrame) -> DataFrame:
+    """T16: TWO stateful aggregations chained in one streaming query —
+    hourly tumbling (count + exact decimal sum per event type), then a
+    daily rollup OVER THE HOURLY STREAM via the window-of-window-time
+    re-window (`F.window(F.window_time(w), '1 day')`), Spark's
+    multiple-stateful-operator support (3.4+). The hourly row emits
+    when the watermark passes its hour; the daily row emits when it
+    passes the day — each stage's state stays bounded by the
+    watermark, and the daily stage's input is |hours|-scale, not
+    event-scale: exactly the cascade a 100 TB metrics pipeline runs so
+    raw events are aggregated once and every coarser grain rolls up
+    from the finer one. n_hours counts the finalized hourly rows that
+    fed each daily row (provably the rollup consumed the intermediate
+    stream, not the raw events)."""
+    hourly = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("v").alias("v"),
+        )
+        .select(
+            F.date_format(F.col("d.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "n_hours",
+            F.round(F.col("v").cast("double"), 4).alias("total_value"),
+        )
+    )

@@ -67,6 +67,7 @@ BNLJ_OK = {
     "join_cross",                    # J6: cross join is the semantics
     "q11_important_parts",           # 1-row global value threshold
     "q22_global_sales_opportunity",  # 1-row avg acctbal scalar
+    "sample_dsir_importance",        # 1-row (t_total, r_total) corpus totals (r9b)
     "sample_mixture_hash_threshold", # per-source threshold frame
     "sample_temperature_by_lang",    # 5-row language quota frame
     "sample_weighted_pps",           # 1-row total-weight scalar

@@ -167,3 +167,45 @@ def test_streaming_sessionization_native(spark, workdir):
     # user 1: events at 10:00/10:05 merge (gap<15m); 10:30 starts a new
     # session → two finalized sessions. user 2's session never finalizes.
     assert got == {(1, 2), (1, 1)}
+
+
+def test_chained_windowed_agg_multi_batch(spark, workdir):
+    """T16: hourly→daily chained stateful aggregation across THREE
+    micro-batches whose hours interleave — the daily row for a day
+    split across batches must merge hourly state, not append; the
+    flush sentinel releases the final day. n_hours proves the daily
+    stage consumed finalized hourly rows."""
+    from karna_spark.streaming.jobs import chained_hourly_daily, events_stream, run_to_memory
+
+    b1 = _events_df(
+        spark,
+        [
+            ("2024-03-01 00:10:00", 1, "view", 1.0),
+            ("2024-03-01 02:10:00", 1, "view", 2.0),
+        ],
+    )
+    b2 = _events_df(
+        spark,
+        [
+            ("2024-03-01 00:40:00", 2, "view", 4.0),   # same hour as b1's first
+            ("2024-03-01 05:10:00", 2, "view", 8.0),   # new hour, same day
+        ],
+    )
+    b3 = _events_df(
+        spark,
+        [
+            ("2024-03-02 01:00:00", 3, "view", 16.0),  # next day
+            ("2024-03-09 00:00:00", 9, "__flush__", 0.0),  # sentinel
+        ],
+    )
+    for i, b in enumerate((b1, b2, b3)):
+        _write_one_file(b, workdir, f"{i:02d}_b.parquet")
+    out = run_to_memory(
+        chained_hourly_daily(events_stream(spark, workdir)), "append"
+    )
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["n_hours"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got[("2024-03-01", "view")] == (4, 3, 15.0)
+    assert got[("2024-03-02", "view")] == (1, 1, 16.0)
