@@ -344,3 +344,66 @@ def audio_dominant_bin(df: DataFrame) -> DataFrame:
     return df.select("item_id", "media").mapInPandas(
         extract, AUDIO_SPECTRAL_SCHEMA
     )
+
+
+# ------------------------------------------------------------- video
+# A minimal uncompressed video container ("RVID"): 10-byte header
+# (magic 'RVID', u16 width, u16 height, u16 n_frames, little-endian)
+# followed by n_frames raw frames of width*height grayscale bytes.
+# Stands in for MP4/WebM exactly the way BMP/PPM stand in for
+# JPEG/PNG: the container logic (header parse, frame seek, stride
+# sampling) is REAL; only the codec is trivial. Frame bytes are
+# deterministic in (seed, frame, offset) so the whole pipeline is
+# certifiable against closed-form SQL.
+
+VIDEO_W, VIDEO_H = 16, 16
+
+
+def encode_video_raw(seed: int, n_frames: int) -> bytes:
+    """Deterministic RVID clip: byte i of frame f is
+    ``(seed*31 + f*7 + i*13) mod 256``."""
+    w, h = VIDEO_W, VIDEO_H
+    frames = b"".join(
+        bytes((seed * 31 + f * 7 + i * 13) % 256 for i in range(w * h))
+        for f in range(n_frames)
+    )
+    return struct.pack("<4sHHH", b"RVID", w, h, n_frames) + frames
+
+
+VIDEO_FRAME_SCHEMA = "item_id long, n_frames int, frame_no int, fp7 long"
+
+
+def video_frame_features(df: DataFrame, stride: int = 3) -> DataFrame:
+    """Header-directed frame sampling over (item_id, media) RVID bytes:
+    parse the header, seek every ``stride``-th frame by computed
+    offset (never materializing unsampled frames), and emit a content
+    fingerprint per sampled frame (fp7 = first 7 frame bytes as a
+    little-endian integer — proves the seek landed on the right bytes,
+    not just the right count). Arrow-batched ``mapInPandas``: bytes
+    stay executor-side, per-batch memory is bounded by the file-split
+    size, and the 1→N frame expansion happens inside the batch — the
+    V5 byte-stride shape upgraded with real container semantics."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("item_id", "n_frames", "frame_no", "fp7")}
+            for item_id, payload in zip(pdf["item_id"], pdf["media"]):
+                payload = bytes(payload)
+                magic, w, h, nf = struct.unpack_from("<4sHHH", payload, 0)
+                if magic != b"RVID":
+                    raise ValueError(f"unsupported container: {magic!r}")
+                fsz = w * h
+                for f in range(0, nf, stride):
+                    off = 10 + f * fsz
+                    frame = payload[off : off + fsz]
+                    out["item_id"].append(item_id)
+                    out["n_frames"].append(nf)
+                    out["frame_no"].append(f)
+                    out["fp7"].append(
+                        int.from_bytes(frame[:7], "little")
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("item_id", "media").mapInPandas(
+        extract, VIDEO_FRAME_SCHEMA
+    )

@@ -2030,3 +2030,67 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(
         F.col("score_e6").desc(), F.col("doc_id")
     ).limit(100)
+
+
+# ---------------------------------------------------------------- V9
+@register_query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH clips AS (
+      SELECT CAST(doc_id AS BIGINT) AS c, CAST(10 + doc_id % 5 AS INT) AS nf
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    fr AS (
+      SELECT c, nf, CAST(f.f AS INT) AS frame_no
+      FROM clips, unnest(generate_series(0, nf - 1, 3)) AS f(f)
+    )
+    SELECT c AS item_id, nf AS n_frames, frame_no,
+           CAST((SELECT SUM(CAST((c*31 + frame_no*7 + j.j*13) % 256 AS BIGINT)
+                            << (8 * j.j))
+                 FROM unnest(generate_series(0, 6)) AS j(j)) AS BIGINT) AS fp7
+    FROM fr
+    """,
+    tags="V9 U2 U3 S22",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9: video-container frame extraction — synthesize a real (if
+    trivially coded) RVID clip per selected document (10-byte header +
+    n_frames raw 16×16 grayscale frames, bytes deterministic in
+    (clip, frame, offset)), ship the binary column through
+    Arrow-batched mapInPandas, parse the header, and seek every 3rd
+    frame BY COMPUTED OFFSET — unsampled frames are never
+    materialized, the access pattern a keyframe-striding video
+    pipeline needs. Each sampled frame emits fp7 (first 7 frame bytes
+    as a little-endian integer), so the oracle's closed-form replay of
+    the byte formula certifies header parse, stride arithmetic, AND
+    that every seek landed on the exact bytes. Codec is a stand-in the
+    way BMP/PPM stand in for JPEG/PNG; the container/seek/batch
+    plumbing is the real, scale-relevant part (bytes stay
+    executor-side, 1→N expansion inside the Arrow batch)."""
+    import pandas as pd
+
+    from karna_spark.operators.multimodal import (
+        encode_video_raw,
+        video_frame_features,
+    )
+
+    clips = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").cast("bigint").alias("item_id"))
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "media": [
+                        encode_video_raw(int(c), 10 + int(c) % 5)
+                        for c in pdf["item_id"]
+                    ],
+                }
+            )
+
+    media = clips.mapInPandas(synth, "item_id long, media binary")
+    return video_frame_features(media, stride=3)

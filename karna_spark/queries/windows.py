@@ -391,3 +391,76 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rn").cast("double") / F.col("n"), 6).alias("cume"),
         "rn",
     )
+
+
+# ---------------------------------------------------------------- W11
+def _pctl_terms(p: int) -> str:
+    """SQL fragment: exact PERCENTILE_CONT(p/100) contribution of a
+    ranked row, in integer hundredths (see window_percentile_cont)."""
+    return f"""
+      CASE WHEN rn = ((n-1)*{p})//100 + 1
+           THEN v * (100 - ((n-1)*{p})%100) ELSE 0 END
+    + CASE WHEN ((n-1)*{p})%100 > 0 AND rn = ((n-1)*{p})//100 + 2
+           THEN v * (((n-1)*{p})%100) ELSE 0 END"""
+
+
+@register_query(
+    "window_percentile_cont",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT g AS o_orderpriority,
+           ROUND(SUM({_pctl_terms(25)}) / 100.0, 4) AS p25,
+           ROUND(SUM({_pctl_terms(50)}) / 100.0, 4) AS median,
+           ROUND(SUM({_pctl_terms(75)}) / 100.0, 4) AS p75
+    FROM r GROUP BY g
+    """,
+    tags="W11 W2 A6",
+)
+def window_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: exact INTERPOLATED percentiles (ANSI PERCENTILE_CONT
+    semantics — the gap between A6's approx_percentile sketch and
+    A27's nearest-rank winsorized cuts): p25/median/p75 of order value
+    per priority class, linear interpolation at fractional index
+    h = (n-1)·p. The fractional weights are computed in integer
+    HUNDREDTHS ((n-1)·p div/mod 100 — exact for dyadic p), each
+    percentile is the weighted sum of at most two ranked rows, and the
+    single float division + round(4) recovers the exact 1e-4-grid
+    value, so both engines replay the identical spec. Scale shape:
+    ranks come from the two-phase range-partitioned prefix machinery
+    (operators/prefix.py `row_rank` — NOT a PARTITION BY window, which
+    would bound parallelism at 5 priority groups), the 5-row size
+    frame broadcasts, and the final aggregate map-combines; only rows
+    at the two target ranks contribute nonzero terms."""
+    from karna_spark.operators.prefix import row_rank
+
+    vals = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    sizes = vals.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = row_rank(
+        vals, ["v", "o_orderkey"], group_by=["g"], out_col="rn"
+    ).join(F.broadcast(sizes), "g")
+
+    def term(p: int):
+        lo = F.expr(f"((n-1)*{p}) div 100")
+        rem = ((F.col("n") - 1) * p) % 100
+        return F.when(F.col("rn") == lo + 1, F.col("v") * (100 - rem)).otherwise(
+            F.lit(0.0)
+        ) + F.when(
+            (rem > 0) & (F.col("rn") == lo + 2), F.col("v") * rem
+        ).otherwise(F.lit(0.0))
+
+    return ranked.groupBy("g").agg(
+        *[
+            F.round(F.sum(term(p)) / 100.0, 4).alias(name)
+            for p, name in ((25, "p25"), (50, "median"), (75, "p75"))
+        ]
+    ).select(F.col("g").alias("o_orderpriority"), "p25", "median", "p75")

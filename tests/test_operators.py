@@ -1075,3 +1075,32 @@ def test_triangle_counts_known_graphs(spark):
     assert run(star) == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
     pendant = [(1, 2), (1, 3), (2, 3), (3, 4)]
     assert run(pendant) == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_percentile_cont_matches_duckdb_native(spark):
+    """W11: the integer-hundredths interpolation spec IS ANSI
+    PERCENTILE_CONT — cross-checked against DuckDB's native
+    quantile_cont (an independent implementation, not the replayed
+    spec) at every group."""
+    import duckdb
+
+    from karna_spark.queries.registry import REGISTRY
+
+    got = {
+        r["o_orderpriority"]: (r["p25"], r["median"], r["p75"])
+        for r in REGISTRY["window_percentile_cont"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    con = duckdb.connect()
+    native = con.execute(
+        """
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.25), 4),
+               ROUND(quantile_cont(o_totalprice, 0.50), 4),
+               ROUND(quantile_cont(o_totalprice, 0.75), 4)
+        FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
+        GROUP BY o_orderpriority
+        """
+    ).fetchall()
+    assert got == {g: (p25, p50, p75) for g, p25, p50, p75 in native}
