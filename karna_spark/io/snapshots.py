@@ -110,6 +110,12 @@ class SnapshotStore:
         self.pc = partition_col
         self.data = os.path.join(root, "data")
         self.mdir = os.path.join(root, "_manifests")
+        # Version claims are store-GLOBAL (shared with branches): a
+        # branch store overrides cdir/data to its parent's, so every
+        # version number is unique across all chains and branch writes
+        # land in the shared data dir without collisions.
+        self.cdir = self.mdir
+        self._branch_meta: dict | None = None  # set on branch stores
         os.makedirs(self.mdir, exist_ok=True)
 
     # ---------------------------------------------------- manifests
@@ -138,7 +144,7 @@ class SnapshotStore:
         while True:
             try:
                 fd = os.open(
-                    self._mpath(v) + ".claim",
+                    os.path.join(self.cdir, f"v{v}.json.claim"),
                     os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                 )
                 os.close(fd)
@@ -661,7 +667,12 @@ class SnapshotStore:
         in-place last, so a crash mid-redact leaves every version
         readable (old pointers stay valid until the final swap).
         Returns the number of physical partition directories
-        rewritten. Driver-side work is O(#versions × #partitions)
+        rewritten. Refused on a branch store: branches share the
+        parent's physical dirs, so a branch-scope redact would mutate
+        versions the parent chain still serves — redact through the
+        parent (whose scope covers branch-referenced dirs only via
+        its own chain; merge or delete branches first for full
+        erasure). Driver-side work is O(#versions × #partitions)
         manifest bookkeeping; data work is ONE union-scan probe job
         over all referenced directories (the keys broadcast, so the
         probe is a map-side semi-join with no shuffle) plus ONE
@@ -670,8 +681,21 @@ class SnapshotStore:
         probe loop paid one driver round-trip per dir; this is O(1)
         jobs total. Assumes no concurrent writers for the duration
         (administrative op, like vacuum)."""
-        published = self._published_versions()
-        manifests = {v: self._manifest(v) for v in published}
+        if self._branch_meta is not None:
+            raise ValueError("redact a branch through its parent store")
+        # Right-to-be-forgotten covers BRANCH chains too: their
+        # manifests share the parent's physical dirs (pointer-copy
+        # fork), so they are probed, repointed, and republished in the
+        # same pass — otherwise a redacted dir's removal would leave a
+        # branch manifest dangling (and the erased rows readable).
+        stores: list[SnapshotStore] = [self] + [
+            self.branch(n) for n in self.branches()
+        ]
+        manifests = {
+            (si, v): st._manifest(v)
+            for si, st in enumerate(stores)
+            for v in st._published_versions()
+        }
         # Physical dirs any manifest references: (partition value, ver).
         dirs = {(val, pv) for m in manifests.values() for val, pv in m.items()}
         if not dirs:
@@ -742,18 +766,19 @@ class SnapshotStore:
                 removed_dirs.append(self._pdir(val, pv))
         # Republish every manifest with repointed (or dropped, if the
         # rewrite emptied the directory) partitions, then drop originals.
-        for v, m in manifests.items():
+        for (si, v), m in manifests.items():
+            st = stores[si]
             new_m: dict[str, int] = {}
             for val, pv in m.items():
                 nv = remap.get((val, pv), pv)
                 if nv != -1:  # -1 == rewrite emptied the directory
                     new_m[val] = nv
-            doc = self._manifest_doc(v)
+            doc = st._manifest_doc(v)
             doc["partitions"] = new_m
-            tmp = self._mpath(v) + ".tmp"
+            tmp = st._mpath(v) + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
-            os.replace(tmp, self._mpath(v))  # in-place swap, atomic
+            os.replace(tmp, st._mpath(v))  # in-place swap, atomic
         import shutil
 
         for src in removed_dirs:
@@ -800,6 +825,100 @@ class SnapshotStore:
                 out[doc["name"]] = doc["version"]
         return out
 
+    # ----------------------------------------------------- branches
+    def _bdir(self, name: str) -> str:
+        return os.path.join(self.root, "_branches", name)
+
+    def _branch_store(self, name: str) -> "SnapshotStore":
+        bdir = self._bdir(name)
+        with open(os.path.join(bdir, "meta.json")) as fh:
+            meta = json.load(fh)
+        br = SnapshotStore(bdir, self.pc)
+        br.data = self.data          # shared physical storage (CoW)
+        br.cdir = self.cdir          # store-global version claims
+        br._branch_meta = meta
+        return br
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "SnapshotStore":
+        """Fork a writable branch at ``version`` (default latest) —
+        the write-audit-publish workspace (Iceberg/Nessie branch
+        semantics): the branch's v1 is a POINTER COPY of the parent
+        manifest (no data is rewritten), subsequent commits/upserts/
+        CDC applies on the branch claim store-global version numbers
+        and write into the shared data dir, and the parent chain never
+        sees them until :meth:`merge_branch`. Parent :meth:`vacuum`
+        pins every version a live branch references."""
+        if self._branch_meta is not None:
+            raise ValueError("cannot branch from a branch")
+        v = self.latest_version() if version is None else version
+        if v not in self._published_versions():
+            raise ValueError(f"cannot branch unpublished version v{v}")
+        bdir = self._bdir(name)
+        if os.path.exists(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(os.path.join(bdir, "_manifests"))
+        with open(os.path.join(bdir, "meta.json"), "w") as fh:
+            json.dump({"name": name, "fork_base": v}, fh)
+        br = self._branch_store(name)
+        doc = self._manifest_doc(v)
+        br._publish(
+            1,
+            doc["partitions"],
+            schema_json=doc.get("schema"),
+            stats=doc.get("stats"),
+        )
+        return br
+
+    def branch(self, name: str) -> "SnapshotStore":
+        """Open an existing branch as a store (read/write)."""
+        if not os.path.exists(self._bdir(name)):
+            raise ValueError(f"no such branch: {name!r}")
+        return self._branch_store(name)
+
+    def branches(self) -> list[str]:
+        broot = os.path.join(self.root, "_branches")
+        if not os.path.isdir(broot):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(broot)
+            if os.path.exists(os.path.join(broot, d, "meta.json"))
+        )
+
+    def merge_branch(self, name: str) -> int:
+        """FAST-FORWARD the parent to the branch head: publish a new
+        parent version whose manifest is a pointer copy of the branch
+        head's (data written on the branch becomes visible, still
+        never rewritten). CAS-validated against the branch's fork
+        base — if the parent advanced since the fork this raises
+        ``ConcurrentWriteError`` rather than silently dropping the
+        interleaved commits (a 3-way merge is refused loudly; re-fork
+        and replay instead). The branch stays live until
+        :meth:`delete_branch`."""
+        br = self.branch(name)
+        head = br.latest_version()
+        doc = br._manifest_doc(head)
+        v = self._claim_version()
+        self._publish(
+            v,
+            doc["partitions"],
+            schema_json=doc.get("schema"),
+            base_version=br._branch_meta["fork_base"],
+            stats=doc.get("stats"),
+        )
+        return v
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch's manifest chain; its unmerged data becomes
+        unreferenced and the next parent vacuum collects it."""
+        import shutil
+
+        if not os.path.exists(self._bdir(name)):
+            raise ValueError(f"no such branch: {name!r}")
+        shutil.rmtree(self._bdir(name))
+
     # ------------------------------------------------------ vacuum
     def vacuum(
         self, retain_last: int = 1, orphan_grace_sec: float = 86400.0
@@ -828,6 +947,11 @@ class SnapshotStore:
         be reused even after a vacuum."""
         import shutil
 
+        if self._branch_meta is not None:
+            # A branch shares the parent's data dir but sees only its
+            # own manifests — collecting from its narrow view would
+            # delete dirs the parent chain still references.
+            raise ValueError("vacuum a branch through its parent store")
         published = self._published_versions()
         retained = published[-retain_last:] if retain_last > 0 else []
         # Tagged snapshots are pinned (Iceberg tag semantics): their
@@ -836,15 +960,24 @@ class SnapshotStore:
         live: set[tuple[str, int]] = set()
         for v in retained:
             live.update((val, pv) for val, pv in self._manifest(v).items())
+        # Branch refs pin: every published version of every live branch
+        # keeps its pointers (a branch is a short-lived WAP workspace;
+        # delete_branch releases them for the next vacuum).
+        for name in self.branches():
+            br = self.branch(name)
+            for v in br._published_versions():
+                live.update(
+                    (val, pv) for val, pv in br._manifest(v).items()
+                )
         now = time.time()
         in_flight: set[int] = set()
-        for f in os.listdir(self.mdir):
+        for f in os.listdir(self.cdir):
             if not f.endswith(".claim"):
                 continue
             ver = int(f[1:-11])  # v<N>.json.claim
             if ver in published:
                 continue  # published — not in flight
-            age = now - os.path.getmtime(os.path.join(self.mdir, f))
+            age = now - os.path.getmtime(os.path.join(self.cdir, f))
             if age < orphan_grace_sec:
                 in_flight.add(ver)
         deleted = []

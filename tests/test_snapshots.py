@@ -9,7 +9,7 @@ import os
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from karna_spark.io.snapshots import SnapshotStore
+from karna_spark.io.snapshots import ConcurrentWriteError, SnapshotStore
 
 
 def _rows(df):
@@ -451,6 +451,8 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
         hist[store.commit(frame(first))] = dict(first)
         retained = set(hist)
         pins: dict[str, int] = {}  # model of the tag namespace
+        # model of the branch namespace: name -> {fork, v1, head}
+        brs: dict[str, dict] = {}
 
         def check():
             for v in sorted(hist):
@@ -467,9 +469,10 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                     with pytest.raises(FileNotFoundError):
                         store.read(spark, v)
 
-        for _ in range(12):
+        for _ in range(16):
             op = random.choice(
-                ["commit", "upsert", "cdc", "redact", "vacuum", "tag", "untag"]
+                ["commit", "upsert", "cdc", "redact", "vacuum", "tag",
+                 "untag", "mkbranch", "brwrite", "merge", "delbranch"]
             )
             prev = hist[max(v for v in hist if v in retained)]
             if op == "commit":
@@ -516,6 +519,10 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                     if v in retained:
                         for k in ks:
                             hist[v].pop(k, None)
+                for b in brs.values():  # branch chains are covered too
+                    for k in ks:
+                        b["v1"].pop(k, None)
+                        b["head"].pop(k, None)
             elif op == "vacuum":
                 keep = random.randint(1, 3)
                 store.vacuum(retain_last=keep, orphan_grace_sec=0.0)
@@ -527,11 +534,58 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                 v = random.choice(sorted(v for v in hist if v in retained))
                 store.tag(name, version=v)
                 pins[name] = v
-            else:  # untag
+            elif op == "untag":
                 if pins:
                     name = random.choice(sorted(pins))
                     store.delete_tag(name)
                     del pins[name]
+            elif op == "mkbranch":
+                name = random.choice(["wap", "dev"])
+                latest = max(v for v in hist if v in retained)
+                if name in brs:
+                    with pytest.raises(ValueError):
+                        store.create_branch(name)
+                else:
+                    store.create_branch(name)
+                    brs[name] = {
+                        "fork": latest,
+                        "v1": dict(hist[latest]),
+                        "head": dict(hist[latest]),
+                    }
+            elif op == "brwrite":
+                if brs:
+                    name = random.choice(sorted(brs))
+                    rows = {
+                        k: random.randrange(100)
+                        for k in random.sample(range(1, 9), random.randint(1, 3))
+                    }
+                    store.branch(name).upsert(spark, frame(rows), ["k"])
+                    brs[name]["head"].update(rows)
+            elif op == "merge":
+                if brs:
+                    name = random.choice(sorted(brs))
+                    latest = max(v for v in hist if v in retained)
+                    if latest == brs[name]["fork"]:
+                        v = store.merge_branch(name)
+                        hist[v] = dict(brs[name]["head"])
+                        retained.add(v)
+                    else:  # diverged parent: fast-forward refused
+                        with pytest.raises(ConcurrentWriteError):
+                            store.merge_branch(name)
+            elif op == "delbranch":
+                if brs:
+                    name = random.choice(sorted(brs))
+                    store.delete_branch(name)
+                    del brs[name]
+            assert store.branches() == sorted(brs)
+            for name, b in brs.items():
+                got_br = store.branch(name)
+                assert _rows(got_br.read(spark)) == sorted(
+                    (k, key_part[k], val) for k, val in b["head"].items()
+                ), f"seed={seed} branch={name} head"
+                assert _rows(got_br.read(spark, version=1)) == sorted(
+                    (k, key_part[k], val) for k, val in b["v1"].items()
+                ), f"seed={seed} branch={name} v1"
             assert store.tags() == pins
             for name, v in pins.items():
                 got = sorted(
@@ -855,3 +909,100 @@ def test_mv_apply_feed_matches_recompute(spark, tmp_path):
         map(key, recomputed.collect())
     )
     assert not any(r["p"] == "c" for r in refreshed.collect())
+
+
+def test_branch_write_audit_publish_cycle(spark, tmp_path):
+    """S26: fork a branch, mutate it (commit + CDC apply), verify the
+    parent is untouched, fast-forward merge, verify the parent now
+    serves the branch head — the WAP cycle. Branch v1 is a pointer
+    copy (no data rewritten: parent's physical dirs appear in the
+    branch read's inputFiles)."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    br = store.create_branch("audit")
+    assert _rows(br.read(spark, version=1)) == _rows(store.read(spark))
+    ch = spark.createDataFrame(
+        [Row(k=2, p="b", val=21, op="U"), Row(k=3, p="a", val=30, op="I")]
+    )
+    br.apply_changes(spark, ch, key_cols=["k"])
+    # parent unchanged, branch advanced
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20)]
+    assert _rows(br.read(spark)) == [(1, "a", 10), (2, "b", 21), (3, "a", 30)]
+    v = store.merge_branch("audit")
+    assert _rows(store.read(spark, version=v)) == [
+        (1, "a", 10),
+        (2, "b", 21),
+        (3, "a", 30),
+    ]
+    # merge was a pointer copy: parent head and branch head share dirs
+    assert set(store.read(spark).inputFiles()) == set(br.read(spark).inputFiles())
+
+
+def test_branch_merge_refuses_diverged_parent(spark, tmp_path):
+    """S26: fast-forward-only — a parent that advanced after the fork
+    makes merge_branch raise instead of silently dropping the
+    interleaved commit."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    store.create_branch("dev")
+    store.upsert(spark, _mk(spark, [(2, "a", 20)]), key_cols=["k"])
+    try:
+        store.merge_branch("dev")
+        raise AssertionError("merge of diverged parent must raise")
+    except ConcurrentWriteError:
+        pass
+
+
+def test_branch_pins_data_through_parent_vacuum(spark, tmp_path):
+    """S26: parent vacuum keeps every dir a live branch references —
+    both fork-inherited dirs whose parent versions expired and the
+    branch's own unmerged writes; delete_branch releases them."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    br = store.create_branch("dev")
+    br.upsert(spark, _mk(spark, [(3, "c", 30)]), key_cols=["k"])
+    # parent moves on twice so v1 would normally expire
+    store.commit(_mk(spark, [(4, "d", 40)]))
+    store.commit(_mk(spark, [(5, "e", 50)]))
+    store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    assert _rows(br.read(spark)) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    store.delete_branch("dev")
+    deleted = store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    assert deleted  # the branch-only dirs are collected now
+    assert _rows(store.read(spark)) == [(5, "e", 50)]
+
+
+def test_branch_guards(spark, tmp_path):
+    """S26: nested branches, duplicate names, branch-scope vacuum and
+    redact, and branching an unpublished version all refuse loudly."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    br = store.create_branch("dev")
+    for fn in (
+        lambda: store.create_branch("dev"),
+        lambda: br.create_branch("sub"),
+        lambda: br.vacuum(),
+        lambda: br.redact(spark, ["k"], _mk(spark, [(1, "a", 10)])),
+        lambda: store.create_branch("x", version=99),
+        lambda: store.branch("nope"),
+    ):
+        try:
+            fn()
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+def test_parent_redact_covers_branch_chain(spark, tmp_path):
+    """S26×S15: right-to-be-forgotten through the parent erases the
+    key from BRANCH versions too (shared dirs are repointed in the
+    same pass, branch manifests republished — no dangling pointers,
+    no readable erased rows), including rows the branch itself wrote."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    br = store.create_branch("dev")
+    br.upsert(spark, _mk(spark, [(1, "a", 11), (3, "c", 30)]), key_cols=["k"])
+    store.redact(spark, ["k"], _mk(spark, [(1, "a", 0)]))
+    assert _rows(store.read(spark)) == [(2, "b", 20)]
+    assert _rows(br.read(spark, version=1)) == [(2, "b", 20)]
+    assert _rows(br.read(spark)) == [(2, "b", 20), (3, "c", 30)]

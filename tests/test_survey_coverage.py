@@ -25,6 +25,7 @@ PYTEST_GATED = {
     "S17": "tests/test_snapshots.py",      # redact (right-to-be-forgotten)
     "S21": "tests/test_snapshots.py",      # snapshot tags
     "S23": "tests/test_snapshots.py",      # small-file compaction rewrite
+    "S26": "tests/test_snapshots.py",      # branches (write-audit-publish)
     "V1": "tests/test_frontends.py",       # front-end translators (plus rows)
     "V2": "tests/test_cli.py",             # CLI entry
     "V3": "tests/test_metastore.py",       # durable catalog
