@@ -78,6 +78,13 @@ HEADLINE = [
     # r9: iterative-graph depth — 3 chained |E|-shuffle rank joins in
     # one plan; the per-iteration join cost is the number to watch
     "graph_pagerank_trade",
+    # r9 batch-2: the degree-oriented wedge join (quadratic-in-degree
+    # if the orientation is wrong — the number proves it isn't), the
+    # feed-only incremental MV refresh path (write→CDF→signed-apply
+    # ×2), and the two-pass hashed-feature DSIR scorer
+    "graph_triangle_count",
+    "snapshot_incremental_mv",
+    "sample_dsir_importance",
 ]
 
 

@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count", "snapshot_incremental_mv",
     "sample_dsir_importance", "streaming_chained_windowed_agg",
     "multimodal_video_frames", "window_percentile_cont",
+    "timeseries_ewma",
     # (c) the 2 r4-stale rows (displaced from the r8 head by the two
     # late-r8 queries) — due this round or the floor breaks.
     "text_quality", "text_token_counts",

@@ -580,3 +580,63 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+# ---------------------------------------------------------------- T17
+@register_query(
+    "timeseries_ewma",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    arr AS (
+      SELECT user_id, list(c ORDER BY ts, event_id) AS cs
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(cs) AS BIGINT) AS n_events,
+           CAST(list_reduce(cs, (s, x) -> (s + x) // 2) AS BIGINT) AS ewma_c
+    FROM arr
+    """,
+    tags="T17 T1 F5",
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: exponentially weighted moving average per user series —
+    the recurrence s_t = (c_t + s_{t-1}) div 2 (alpha = 1/2, integer
+    cents, truncating division) folded over the time-ordered series,
+    the classic smoothing signal windows cannot express (each step
+    depends on the previous RESULT, not a frame of inputs). Engine
+    shape: one grouped collect into a (ts, event_id, c)-sorted array,
+    then a JVM `aggregate()` fold — the whole recurrence runs inside
+    whole-stage codegen with ZERO extra shuffles beyond the one
+    group-by, embarrassingly parallel across series; per-series memory
+    is the series length (fixture ~60 events/user; an unbounded
+    production series would chunk by day and chain the seed, same
+    fold). DuckDB replays the identical fold via list_reduce, and the
+    truncating-division integer recurrence (div ≡ // on positives)
+    makes the hash bit-exact — the F28/A35 certification recipe
+    applied to sequential recurrences."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    arr = e.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, c))),"
+            " r -> r.c)"
+        ).alias("cs")
+    )
+    return arr.select(
+        "user_id",
+        F.size("cs").cast("bigint").alias("n_events"),
+        F.expr(
+            "aggregate(slice(cs, 2, size(cs) - 1), cs[0],"
+            " (s, x) -> (s + x) div 2)"
+        )
+        .cast("bigint")
+        .alias("ewma_c"),
+    )
