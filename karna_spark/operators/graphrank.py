@@ -60,12 +60,19 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     equi-joins (no BNLJ), all integer arithmetic — DuckDB replays the
     identical spec and the driver hash-certifies bit-for-bit.
     """
+    # The pair list feeds degree counting (twice, via the endpoint
+    # union) and the orientation join; the degree frame feeds both
+    # endpoint attachments and the final left join. Materialize each
+    # once (lazy localCheckpoint — released with the frame by the
+    # ContextCleaner, the pagerank/bm25 pattern) so the upstream
+    # edge-building scans run a single time.
+    pairs = pairs.localCheckpoint(eager=False)
     deg = (
         pairs.select(F.col("a").alias("id"))
         .unionAll(pairs.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").cast("bigint").alias("deg"))
-    )
+    ).localCheckpoint(eager=False)
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
     keyed = pairs.join(da, "a").join(db, "b")

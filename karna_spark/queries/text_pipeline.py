@@ -1994,10 +1994,12 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # ≤256 rows but TWO consumers (totals + lambda) — checkpoint so
+    # the corpus-scale bucket aggregate runs once, not twice.
     c = w.groupBy("b").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("bigint").alias("tcnt"),
         F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("bigint").alias("rcnt"),
-    )
+    ).localCheckpoint(eager=False)
     tot = c.agg(
         F.sum("tcnt").cast("bigint").alias("t_total"),
         F.sum("rcnt").cast("bigint").alias("r_total"),
