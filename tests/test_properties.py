@@ -470,3 +470,93 @@ def test_snapshot_lifecycle_redact_vacuum_model(spark, tmp_path_factory, ops):
     for v in expired:
         with pytest.raises(FileNotFoundError):
             store.read(spark, version=v)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),
+            st.integers(min_value=1, max_value=8),
+        ),
+        min_size=0,
+        max_size=16,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """A36 property: degree-oriented wedge counting equals the O(V^3)
+    brute-force triple enumeration on random graphs (self-loops
+    dropped, duplicates collapsed) — orientation/tie-break bugs would
+    miscount exactly on the skewed or tie-heavy graphs hypothesis
+    finds."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    from karna_spark.operators.graphrank import triangle_counts
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not pairs:
+        return
+    eset = set(pairs)
+    nodes = sorted({n for p in pairs for n in p})
+    want = {n: 0 for n in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in eset and (x, z) in eset and (y, z) in eset):
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in pairs])
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # series key
+            st.integers(min_value=0, max_value=500),  # ts offset (sec)
+            st.integers(min_value=0, max_value=9999),  # cents
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_ewma_fold_matches_python(spark, rows):
+    """T17 property: the codegen aggregate() fold equals a pure-Python
+    replay of s_t = (c_t + s_{t-1}) // 2 over the (ts, id)-sorted
+    series — including duplicate timestamps (event_id tie-break) and
+    length-1 series (seed only, no fold step)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=k, ts=t, event_id=i, c=c)
+            for i, (k, t, c) in enumerate(rows)
+        ]
+    )
+    arr = df.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, c)))," 
+            " r -> r.c)"
+        ).alias("cs")
+    )
+    out = arr.select(
+        "user_id",
+        F.expr(
+            "aggregate(slice(cs, 2, size(cs) - 1), cs[0],"
+            " (s, x) -> (s + x) div 2)"
+        ).alias("ewma"),
+    )
+    got = {r["user_id"]: r["ewma"] for r in out.collect()}
+    series: dict[int, list] = {}
+    for i, (k, t, c) in enumerate(rows):
+        series.setdefault(k, []).append((t, i, c))
+    want = {}
+    for k, items in series.items():
+        s = None
+        for _, _, c in sorted(items):
+            s = c if s is None else (s + c) // 2
+        want[k] = s
+    assert got == want
