@@ -137,6 +137,33 @@ def _perm_constants(num_perm: int, seed: int = 0x9E3779B97F4A7C15):
     return a, b
 
 
+def _chunked_perm_minima(
+    h_all: "np.ndarray", off: "np.ndarray", a: "np.ndarray", b: "np.ndarray",
+    max_matrix_bytes: int = 200 * 2**20,
+) -> "np.ndarray":
+    """Per-doc minima of all permutations over a flat gram-hash array,
+    swept in doc-aligned chunks so the (num_perm × grams) intermediate
+    never exceeds ``max_matrix_bytes`` — the unchunked matrix OOM-killed
+    Python workers at 800k-doc corpora. Bit-identical to the one-shot
+    ``np.minimum.reduceat`` over the full matrix (unit-tested)."""
+    max_grams = max(1, max_matrix_bytes // (8 * len(a)))
+    chunks = []
+    lo_doc = 0
+    while lo_doc < len(off):
+        hi_doc = lo_doc
+        while hi_doc < len(off) and (
+            (len(h_all) if hi_doc + 1 == len(off) else off[hi_doc + 1]) - off[lo_doc]
+        ) <= max_grams:
+            hi_doc += 1
+        hi_doc = max(hi_doc, lo_doc + 1)  # a single huge doc still goes
+        lo_g = off[lo_doc]
+        hi_g = len(h_all) if hi_doc == len(off) else off[hi_doc]
+        t = a[:, None] * h_all[None, lo_g:hi_g] + b[:, None]
+        chunks.append(np.minimum.reduceat(t, off[lo_doc:hi_doc] - lo_g, axis=1))
+        lo_doc = hi_doc
+    return np.concatenate(chunks, axis=1)
+
+
 def minhash_signature_text_udf(num_perm: int, shingle_n: int):
     """Arrow-vectorized text → MinHash signature (``array<long>``).
 
@@ -186,10 +213,11 @@ def minhash_signature_text_udf(num_perm: int, shingle_n: int):
             h_all = pd.util.hash_array(
                 np.asarray(flat, dtype=object)
             ).astype(np.uint64)
-            # (num_perm, total) wraparound multiply-add, then per-doc min.
-            t_all = a[:, None] * h_all[None, :] + b[:, None]
-            minima = np.minimum.reduceat(t_all, np.asarray(offsets), axis=1)
-            sigs = minima.astype(np.int64)
+            # (num_perm, total) wraparound multiply-add, then per-doc min,
+            # swept in memory-bounded chunks (see _chunked_perm_minima).
+            sigs = _chunked_perm_minima(
+                h_all, np.asarray(offsets, dtype=np.int64), a, b
+            ).astype(np.int64)
         i = 0
         for k in keep:
             if k:

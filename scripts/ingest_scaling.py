@@ -22,7 +22,9 @@ warm runs. Prints a markdown table for SKEW.md plus a JSON line.
 
 from __future__ import annotations
 
+import argparse
 import json
+import math
 import os
 import shutil
 import sys
@@ -86,6 +88,24 @@ def noop(df: DataFrame) -> None:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sizes", type=int, nargs="+", default=CORPUS_SIZES)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--ops", nargs="+", choices=["minhash", "ivf"], default=["minhash", "ivf"]
+    )
+    ap.add_argument(
+        "--nlist-rule",
+        choices=["fixed8", "sqrt"],
+        default="sqrt",
+        help="IVF cell count: fixed 8 (the r9b run that showed ~1× because "
+        "candidate scoring at nprobe/nlist=3/8 touches 37%% of the corpus "
+        "per ingest) or sqrt(n) (the production rule — probe cost per query "
+        "~ nprobe*sqrt(n), and the stored table saves the n*nlist "
+        "re-assignment)",
+    )
+    args = ap.parse_args()
+
     from karna_spark.operators.dedup import (
         minhash_lsh_incremental_pairs,
         minhash_lsh_pairs,
@@ -103,46 +123,64 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="ingest_scaling_")
     rows = []
     try:
-        for n in CORPUS_SIZES:
-            corpus_path = os.path.join(work, f"docs_{n}.parquet")
-            synth_docs(spark, n, salt=1).write.mode("overwrite").parquet(corpus_path)
-            corpus = spark.read.parquet(corpus_path)
-            batch = synth_docs(spark, BATCH, salt=2, start=n).localCheckpoint()
+        for n in args.sizes:
+            row = {"corpus": n, "batch": BATCH}
 
-            # one-time index build (reported, not the per-ingest number)
-            sig_path = os.path.join(work, f"sigs_{n}.parquet")
-            t0 = time.perf_counter()
-            minhash_signature_table(corpus, "doc_id", "text").write.mode(
-                "overwrite"
-            ).parquet(sig_path)
-            sig_build = round(time.perf_counter() - t0, 3)
-            sigs = spark.read.parquet(sig_path)
-
-            def ingest_stored():
-                out = minhash_lsh_incremental_pairs(
-                    corpus, batch, "doc_id", "text", base_signatures=sigs
+            if "minhash" in args.ops:
+                corpus_path = os.path.join(work, f"docs_{n}.parquet")
+                synth_docs(spark, n, salt=1).write.mode("overwrite").parquet(
+                    corpus_path
                 )
-                noop(out)
-                release_intermediates(out)
+                corpus = spark.read.parquet(corpus_path)
+                batch = synth_docs(spark, BATCH, salt=2, start=n).localCheckpoint()
 
-            def ingest_naive():
-                out = minhash_lsh_pairs(
-                    corpus.unionByName(batch), "doc_id", "text"
+                # one-time index build (reported, not the per-ingest number)
+                sig_path = os.path.join(work, f"sigs_{n}.parquet")
+                t0 = time.perf_counter()
+                minhash_signature_table(corpus, "doc_id", "text").write.mode(
+                    "overwrite"
+                ).parquet(sig_path)
+                sig_build = round(time.perf_counter() - t0, 3)
+                sigs = spark.read.parquet(sig_path)
+
+                def ingest_stored():
+                    out = minhash_lsh_incremental_pairs(
+                        corpus, batch, "doc_id", "text", base_signatures=sigs
+                    )
+                    noop(out)
+                    release_intermediates(out)
+
+                def ingest_naive():
+                    out = minhash_lsh_pairs(
+                        corpus.unionByName(batch), "doc_id", "text"
+                    )
+                    noop(out)
+                    release_intermediates(out)
+
+                stored_s = timed(ingest_stored, args.reps)
+                naive_s = timed(ingest_naive, args.reps)
+                row.update(
+                    minhash_stored_s=stored_s,
+                    minhash_naive_s=naive_s,
+                    minhash_speedup=round(naive_s / stored_s, 1),
+                    sig_build_once_s=sig_build,
                 )
-                noop(out)
-                release_intermediates(out)
 
-            stored_s = timed(ingest_stored)
-            naive_s = timed(ingest_naive)
+            if "ivf" not in args.ops:
+                rows.append(row)
+                print(f"done corpus={n}: {row}", file=sys.stderr)
+                spark.catalog.clearCache()
+                continue
 
             # ---- J19: IVF ANN ingest --------------------------------
+            nlist = 8 if args.nlist_rule == "fixed8" else max(8, int(math.isqrt(n)))
             vec_path = os.path.join(work, f"vecs_{n}.parquet")
             synth_vecs(spark, n, salt=3).write.mode("overwrite").parquet(vec_path)
             vecs = spark.read.parquet(vec_path)
             vbatch = synth_vecs(spark, BATCH, salt=4, start=n).localCheckpoint()
             cents = (
-                vecs.filter(F.col("vec_id") % (n // 8) == 0)
-                .limit(8)
+                vecs.filter(F.col("vec_id") % (n // nlist) == 0)
+                .limit(nlist)
                 .select(
                     "vec_id",
                     F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -195,39 +233,43 @@ def main() -> None:
                     )
                 )
 
-            ann_stored_s = timed(ann_stored)
-            ann_naive_s = timed(ann_naive)
+            ann_stored_s = timed(ann_stored, args.reps)
+            ann_naive_s = timed(ann_naive, args.reps)
 
-            rows.append(
-                {
-                    "corpus": n,
-                    "batch": BATCH,
-                    "minhash_stored_s": stored_s,
-                    "minhash_naive_s": naive_s,
-                    "minhash_speedup": round(naive_s / stored_s, 1),
-                    "sig_build_once_s": sig_build,
-                    "ivf_stored_s": ann_stored_s,
-                    "ivf_naive_s": ann_naive_s,
-                    "ivf_speedup": round(ann_naive_s / ann_stored_s, 1),
-                    "ivf_build_once_s": asg_build,
-                }
+            row.update(
+                ivf_nlist=nlist,
+                ivf_stored_s=ann_stored_s,
+                ivf_naive_s=ann_naive_s,
+                ivf_speedup=round(ann_naive_s / ann_stored_s, 1),
+                ivf_build_once_s=asg_build,
             )
-            print(f"done corpus={n}: {rows[-1]}", file=sys.stderr)
+            rows.append(row)
+            print(f"done corpus={n}: {row}", file=sys.stderr)
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print("\n| corpus docs | batch | J18 stored (s) | J18 naive (s) | J18 speedup |"
-          " sig build 1× (s) | J19 stored (s) | J19 naive (s) | J19 speedup |")
-    print("|---|---|---|---|---|---|---|---|---|")
+    cols = ["corpus", "batch"]
+    if "minhash" in args.ops:
+        cols += ["minhash_stored_s", "minhash_naive_s", "minhash_speedup",
+                 "sig_build_once_s"]
+    if "ivf" in args.ops:
+        cols += ["ivf_nlist", "ivf_stored_s", "ivf_naive_s", "ivf_speedup",
+                 "ivf_build_once_s"]
+    print("\n| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
     for r in rows:
-        print(
-            f"| {r['corpus']:,} | {r['batch']} | {r['minhash_stored_s']} |"
-            f" {r['minhash_naive_s']} | {r['minhash_speedup']}× |"
-            f" {r['sig_build_once_s']} | {r['ivf_stored_s']} |"
-            f" {r['ivf_naive_s']} | {r['ivf_speedup']}× |"
+        print("| " + " | ".join(str(r.get(c, "")) for c in cols) + " |")
+    print(
+        json.dumps(
+            {
+                "ingest_scaling": rows,
+                "reps": args.reps,
+                "nlist_rule": args.nlist_rule if "ivf" in args.ops else None,
+                "load_1m": os.getloadavg()[0],
+            }
         )
-    print(json.dumps({"ingest_scaling": rows, "load_1m": os.getloadavg()[0]}))
+    )
     spark.stop()
 
 

@@ -89,6 +89,33 @@ def test_minhash_signature_elements_differ(spark):
     assert len(set(sig)) > 8, f"signature degenerate: {sig[:4]}..."
 
 
+def test_chunked_perm_minima_matches_one_shot():
+    """The memory-bounded chunked permutation sweep must be bit-identical
+    to the unchunked (num_perm × grams) matrix it replaced — forced to
+    chunk at every boundary shape by a tiny byte budget."""
+    import numpy as np
+
+    from karna_spark.operators.dedup import _chunked_perm_minima, _perm_constants
+
+    a, b = _perm_constants(16)
+    rng_state = 0x12345
+    hashes, offsets, pos = [], [], 0
+    for doc_len in [3, 1, 40, 7, 7, 1, 25, 2]:  # includes a doc > max_grams
+        offsets.append(pos)
+        for _ in range(doc_len):
+            rng_state = (rng_state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 64
+            )
+            hashes.append(rng_state)
+        pos += doc_len
+    h_all = np.asarray(hashes, dtype=np.uint64)
+    off = np.asarray(offsets, dtype=np.int64)
+    one_shot = np.minimum.reduceat(a[:, None] * h_all[None, :] + b[:, None], off, axis=1)
+    for budget in [1, 8 * 16 * 5, 8 * 16 * 39, 10**9]:
+        got = _chunked_perm_minima(h_all, off, a, b, max_matrix_bytes=budget)
+        assert np.array_equal(got, one_shot), f"budget={budget}"
+
+
 def test_simhash_near_dups(spark):
     from karna_spark.operators.dedup import simhash_near_dup_pairs
 
