@@ -85,6 +85,11 @@ HEADLINE = [
     "graph_triangle_count",
     "snapshot_incremental_mv",
     "sample_dsir_importance",
+    # r9 batch-3: the merge-on-read delete path (commit → delete-file
+    # write → anti-join read ×3 snapshots → COW carry) and the
+    # all-codegen URL normalization + domain reputation join
+    "snapshot_mor_delete_read",
+    "text_url_domain_stats",
 ]
 
 

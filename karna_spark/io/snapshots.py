@@ -42,7 +42,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -159,6 +159,7 @@ class SnapshotStore:
         schema_json: str | None = None,
         base_version: int | None = None,
         stats: dict[str, dict[str, list]] | None = None,
+        deletes: list[dict] | None = None,
     ) -> None:
         """Publish manifest ``v``. When ``base_version`` is given the
         publish is CAS-style (Iceberg's commit validation): the
@@ -183,6 +184,8 @@ class SnapshotStore:
             doc["stats"] = stats
         if schema_json is not None:
             doc["schema"] = schema_json
+        if deletes:
+            doc["deletes"] = deletes
         with open(tmp, "w") as fh:
             json.dump(doc, fh, sort_keys=True)
         # Link-then-unlink instead of rename: os.link fails with EEXIST
@@ -228,7 +231,24 @@ class SnapshotStore:
         (r7 ADVICE: returning the escaped name verbatim made upsert
         retain the old pointer AND add the escaped-name key, serving
         that partition's rows twice)."""
-        out = df.withColumn("v", F.lit(v))
+        if "_rv" in df.columns or "_rid" in df.columns:
+            raise ValueError(
+                "column names _rv/_rid are reserved for the store's "
+                "row identity (merge-on-read deletes)"
+            )
+        # Synthetic row identity for merge-on-read deletes (S27):
+        # (_rv, _rid) is globally unique — _rv is this claimed
+        # version (never reused, even across vacuum) and _rid is
+        # unique within the write. Stored IN the files, so rewrites
+        # that copy rows (redact) preserve identity and delete
+        # entries keep matching, while rewrites that fold deletes
+        # in (upsert/compact read via :meth:`read`) mint fresh ids
+        # and retire the old entries naturally.
+        out = (
+            df.withColumn("v", F.lit(v))
+            .withColumn("_rv", F.lit(v).cast("long"))
+            .withColumn("_rid", F.monotonically_increasing_id())
+        )
         if order_by:
             # The dynamic-partition writer requires rows sorted by the
             # partition columns and would insert its own (UNSTABLE)
@@ -251,6 +271,31 @@ class SnapshotStore:
         return os.path.join(
             self.data, f"{self.pc}={_escape_partition(val)}", f"v={pv}"
         )
+
+    def _ddir(self, dv: int) -> str:
+        """Physical dir of merge-on-read delete set ``dv`` (named by
+        the version that produced it). Lives under the data dir —
+        shared with branches, covered by vacuum — but the underscore
+        prefix keeps it invisible to any directory-level scan."""
+        return os.path.join(self.data, "_deletes", f"d={dv}")
+
+    @staticmethod
+    def _carry_deletes(
+        prev_doc: dict, rewritten: set[str]
+    ) -> list[dict] | None:
+        """Delete entries a copy-on-write commit carries forward:
+        the commit read through the deletes, so every partition it
+        REWROTE has them folded into fresh files (fresh row ids) —
+        entries are pruned to the partitions still served by
+        inherited pointers and dropped entirely once none remain.
+        Older manifests keep their own copies; this never mutates
+        them."""
+        out = []
+        for e in prev_doc.get("deletes", []):
+            live = [p for p in e["partitions"] if p not in rewritten]
+            if live:
+                out.append({"id": e["id"], "partitions": live})
+        return out or None
 
     def _partition_stats(
         self, vals: list[str], v: int
@@ -289,6 +334,8 @@ class SnapshotStore:
                         name = col.path_in_schema
                         if "." in name:
                             continue  # nested leaves don't prune
+                        if name in ("_rv", "_rid"):
+                            continue  # hidden row identity — never queried
                         st = col.statistics
                         if st is None or not st.has_min_max:
                             tainted.add(name)
@@ -390,6 +437,9 @@ class SnapshotStore:
             schema_json=merged.schema.json(),
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
+            deletes=self._carry_deletes(
+                self._manifest_doc(prev_v), set(affected)
+            ),
         )
         return v
 
@@ -434,6 +484,71 @@ class SnapshotStore:
             schema_json=merged.schema.json(),
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
+            deletes=self._carry_deletes(
+                self._manifest_doc(prev_v), set(affected)
+            ),
+        )
+        return v
+
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Merge-on-read row delete (S27 — Iceberg v2 position
+        deletes / Delta deletion vectors, re-expressed on the
+        synthetic row identity): rows of the LATEST version matching
+        ``condition`` (a Column or SQL string) are recorded in a
+        small delete file of (``_rv``, ``_rid``) pairs and a new
+        version is published whose partition POINTERS are an
+        unchanged copy of the base — no data file is rewritten, so a
+        delete of 100 rows from a 100 TB table costs one filtered
+        scan plus a KB-scale write, instead of rewriting every hit
+        partition the way copy-on-write :meth:`apply_changes` 'D'
+        rows do. Readers of the new version anti-join the delete set
+        (see :meth:`read`); prior versions still serve the rows
+        (time travel intact); a later :meth:`compact` folds deletes
+        into the data and retires the entries.
+
+        The manifest entry records the partitions the delete touches,
+        which keeps the changelog's identical-pointer prune honest
+        (a MOR delete changes content without changing pointers) and
+        lets copy-on-write commits prune inert entries. CAS-published
+        against the base version like any incremental write. Returns
+        the new version; matching zero rows still publishes (a
+        deterministic no-op version with the base's delete list)."""
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        prev_v = self.latest_version()
+        if prev_v == 0:
+            raise ValueError("nothing to delete from: no published version")
+        prev_doc = self._manifest_doc(prev_v)
+        v = self._claim_version()
+        matched = (
+            self.read(spark, version=prev_v, _keep_hidden=True)
+            .filter(condition)
+            .select(
+                F.col(self.pc).cast("string").alias("_pval"), "_rv", "_rid"
+            )
+        )
+        ddir = self._ddir(v)
+        matched.coalesce(1).write.mode("overwrite").parquet(ddir)
+        touched = sorted(
+            r["_pval"]
+            for r in spark.read.parquet(ddir).select("_pval").distinct().collect()
+        )
+        deletes = [
+            dict(e) for e in prev_doc.get("deletes", [])
+        ]
+        if touched:
+            deletes.append({"id": v, "partitions": touched})
+        else:
+            import shutil
+
+            shutil.rmtree(ddir, ignore_errors=True)
+        self._publish(
+            v,
+            dict(prev_doc["partitions"]),
+            schema_json=prev_doc.get("schema"),
+            base_version=prev_v,
+            stats=prev_doc.get("stats"),
+            deletes=deletes or None,
         )
         return v
 
@@ -497,6 +612,7 @@ class SnapshotStore:
             or df.schema.json(),
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
+            deletes=self._carry_deletes(self._manifest_doc(prev_v), set(vals)),
         )
         return v
 
@@ -619,10 +735,24 @@ class SnapshotStore:
     def _changed_read(
         self, spark: SparkSession, v: int, v_other: int
     ) -> DataFrame:
-        """Read version ``v`` restricted to partitions whose pointer
-        differs from ``v_other``'s manifest (the changelog prune)."""
-        m, mo = self._manifest(v), self._manifest(v_other)
-        changed = [val for val, pv in m.items() if mo.get(val) != pv]
+        """Read version ``v`` restricted to partitions whose CONTENT
+        can differ from ``v_other``'s: pointer differs, OR a
+        merge-on-read delete set present in exactly one of the two
+        versions names the partition (a MOR delete changes content
+        under identical pointers — its manifest entry records the
+        touched partitions precisely so this prune stays exact)."""
+        doc, doco = self._manifest_doc(v), self._manifest_doc(v_other)
+        m, mo = doc["partitions"], doco["partitions"]
+        dels = {e["id"]: set(e["partitions"]) for e in doc.get("deletes", [])}
+        delso = {e["id"]: set(e["partitions"]) for e in doco.get("deletes", [])}
+        mor_touched: set[str] = set()
+        for did in set(dels) ^ set(delso):
+            mor_touched |= dels.get(did, set()) | delso.get(did, set())
+        changed = [
+            val
+            for val, pv in m.items()
+            if mo.get(val) != pv or val in mor_touched
+        ]
         return self.read(spark, version=v, partition_values=sorted(changed))
 
     def _inherit_stats(
@@ -868,6 +998,7 @@ class SnapshotStore:
             doc["partitions"],
             schema_json=doc.get("schema"),
             stats=doc.get("stats"),
+            deletes=doc.get("deletes"),
         )
         return br
 
@@ -907,6 +1038,7 @@ class SnapshotStore:
             schema_json=doc.get("schema"),
             base_version=br._branch_meta["fork_base"],
             stats=doc.get("stats"),
+            deletes=doc.get("deletes"),
         )
         return v
 
@@ -958,17 +1090,22 @@ class SnapshotStore:
         # manifests and data stay until the tag is deleted.
         retained = sorted(set(retained) | set(self.tags().values()))
         live: set[tuple[str, int]] = set()
+        live_dels: set[int] = set()
         for v in retained:
-            live.update((val, pv) for val, pv in self._manifest(v).items())
+            doc = self._manifest_doc(v)
+            live.update((val, pv) for val, pv in doc["partitions"].items())
+            live_dels.update(e["id"] for e in doc.get("deletes", []))
         # Branch refs pin: every published version of every live branch
         # keeps its pointers (a branch is a short-lived WAP workspace;
         # delete_branch releases them for the next vacuum).
         for name in self.branches():
             br = self.branch(name)
             for v in br._published_versions():
+                bdoc = br._manifest_doc(v)
                 live.update(
-                    (val, pv) for val, pv in br._manifest(v).items()
+                    (val, pv) for val, pv in bdoc["partitions"].items()
                 )
+                live_dels.update(e["id"] for e in bdoc.get("deletes", []))
         now = time.time()
         in_flight: set[int] = set()
         for f in os.listdir(self.cdir):
@@ -994,6 +1131,18 @@ class SnapshotStore:
                 if (val, ver) not in live and ver not in in_flight:
                     shutil.rmtree(os.path.join(pdir, vd))
                     deleted.append(os.path.join(d, vd))
+        # Merge-on-read delete sets: GC those no retained manifest
+        # (parent or branch) lists, same in-flight grace as data dirs
+        # (delete_where writes its set before publishing).
+        droot = os.path.join(self.data, "_deletes")
+        if os.path.isdir(droot):
+            for dd in sorted(os.listdir(droot)):
+                if not dd.startswith("d="):
+                    continue
+                dv = int(dd[2:])
+                if dv not in live_dels and dv not in in_flight:
+                    shutil.rmtree(os.path.join(droot, dd))
+                    deleted.append(os.path.join("_deletes", dd))
         for f in os.listdir(self.mdir):
             if (
                 f.startswith("v")
@@ -1012,6 +1161,7 @@ class SnapshotStore:
         partition_values: list[str] | None = None,
         where: tuple[str, object, object] | None = None,
         tag: str | None = None,
+        _keep_hidden: bool = False,
     ) -> DataFrame:
         """Read snapshot ``version`` (default: latest). Resolves the
         manifest to leaf dirs so Spark scans exactly the committed
@@ -1022,6 +1172,19 @@ class SnapshotStore:
         (r7 ADVICE — the time-travel contract says every version stays
         readable); a MISSING manifest (never published, or expired by
         vacuum) still fails loudly with FileNotFoundError.
+
+        Versions carrying merge-on-read delete sets (S27,
+        :meth:`delete_where`) are served by a broadcast anti-join of
+        the scan against the version's delete files on the synthetic
+        row identity (``_rv``, ``_rid``) — Iceberg-v2
+        position-delete / Delta deletion-vector semantics: no data
+        file is rewritten at delete time, every reader of this and
+        later versions sees the rows gone, and earlier versions are
+        untouched. Delete sets are assumed small relative to the
+        table (the merge-on-read premise — ~16 bytes/row broadcast);
+        fold a large accumulated set into the data with
+        :meth:`compact`, which reads through the deletes and clears
+        the fully-rewritten entries.
 
         ``where=(col, lo, hi)`` is the manifest-stat data-skipping
         path for NON-partition columns (Iceberg-style): partitions
@@ -1064,6 +1227,14 @@ class SnapshotStore:
                     f"snapshot v{v} is empty and carries no schema"
                 )
             schema = StructType.fromJson(json.loads(schema_json))
+            if _keep_hidden:
+                schema = StructType(
+                    schema.fields
+                    + [
+                        StructField("_rv", LongType()),
+                        StructField("_rid", LongType()),
+                    ]
+                )
             out = spark.createDataFrame([], schema)
         else:
             out = (
@@ -1071,6 +1242,14 @@ class SnapshotStore:
                 .parquet(*dirs)
                 .drop("v")
             )
+            dels = doc.get("deletes", [])
+            if dels:
+                ddf = spark.read.parquet(
+                    *[self._ddir(e["id"]) for e in dels]
+                ).select("_rv", "_rid")
+                out = out.join(F.broadcast(ddf), ["_rv", "_rid"], "left_anti")
+            if not _keep_hidden:
+                out = out.drop("_rv", "_rid")
         if where is not None:
             out = out.filter(F.col(where[0]).between(where[1], where[2]))
         return out

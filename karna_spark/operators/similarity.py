@@ -241,12 +241,23 @@ def _nearest_centroids_udf(centroid_rows: list, n: int):
     ids = np.asarray([r["cluster_id"] for r in rows], dtype=np.int64)
     cents = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
 
+    # The (rows, k, d) difference tensor is the memory hot spot: at a
+    # 10k-row Arrow batch and k=√n cells (e.g. 894 at n=800k, d=64)
+    # it is ~4.6 GB PER WORKER — the kernel OOM-kills the JVM. Chunk
+    # rows so the tensor stays ≤ ~200 MB; per-element arithmetic is
+    # unchanged, so results are bit-identical to the one-shot form.
+    chunk = max(1, (200 * 2**20) // (8 * max(1, cents.shape[0] * cents.shape[1])))
+
     @pandas_udf("array<long>")
     def nearest(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy()).astype(np.float64)  # (b, d)
-        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (b, k)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :n]
-        return pd.Series([ids[o] for o in order])
+        out = []
+        for lo in range(0, mat.shape[0], chunk):
+            sub = mat[lo : lo + chunk]
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            out.extend(ids[o] for o in order)
+        return pd.Series(out)
 
     return nearest
 
@@ -331,7 +342,17 @@ def ann_ivf_topk(
     steady-state: only the query batch touches the argmin UDF and the
     corpus is consulted purely through its stored inverted lists —
     ``corpus``/``corpus_id`` are ignored in that mode, and the two
-    paths return identical rows (differential-tested)."""
+    paths return identical rows (differential-tested).
+
+    SIZE THE CELL COUNT WITH THE CORPUS: candidate-scoring cost per
+    query is ~``nprobe * n / nlist``, so a fixed small nlist makes
+    every ingest scan a constant FRACTION of the corpus and the
+    stored-assignment saving (skipping the ``n × nlist`` corpus
+    re-assignment) disappears into scoring noise — measured in
+    scripts/ingest_scaling.py. The standard rule is nlist ≈ √n
+    (scoring and assignment both ~√n per query then), which is what
+    the scaling harness uses; centroids stay a driver-side closure
+    constant (√n × dim doubles — ~0.5 MB at n=1e6, d=64)."""
     cent_rows = centroids.select("cluster_id", "centroid").collect()  # k rows
 
     def assign(df: DataFrame, id_col_: str, vcol: str, n: int, out: str) -> DataFrame:
@@ -456,14 +477,23 @@ def pq_encode_udf(codebooks: list):
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     m, _, dsub = cb.shape
 
+    # Row-chunk the (rows, m, ksub, dsub) difference tensor to ~200 MB
+    # (at d=64/ksub=256 the full 10k-row Arrow batch would be ~1.3 GB
+    # per worker) — same bit-identical chunking as the IVF argmin.
+    chunk = max(1, (200 * 2**20) // (8 * max(1, cb.size)))
+
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
         if len(v) == 0:  # empty Arrow batch from an empty partition
             return pd.Series([], dtype=object)
         X = np.vstack(v.to_numpy()).astype(np.float64)
         Xs = X.reshape(len(X), m, dsub)
-        d2 = ((Xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
-        return pd.Series(list(d2.argmin(axis=-1).astype(np.int32)))
+        out = []
+        for lo in range(0, len(Xs), chunk):
+            sub = Xs[lo : lo + chunk]
+            d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+            out.extend(d2.argmin(axis=-1).astype(np.int32))
+        return pd.Series(out)
 
     return encode
 

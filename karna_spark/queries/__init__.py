@@ -88,6 +88,11 @@ _PRIORITY: tuple[str, ...] = (
     "sample_dsir_importance", "streaming_chained_windowed_agg",
     "multimodal_video_frames", "window_percentile_cont",
     "timeseries_ewma",
+    # (a) continued — the third-sitting r9 rows: merge-on-read
+    # position deletes (S27), URL/domain curation (F29), and the
+    # stream-static enrichment join (T18).
+    "snapshot_mor_delete_read", "text_url_domain_stats",
+    "streaming_static_enrich",
     # (c) the 2 r4-stale rows (displaced from the r8 head by the two
     # late-r8 queries) — due this round or the floor breaks.
     "text_quality", "text_token_counts",
@@ -107,16 +112,24 @@ _PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customers", "q19_discounted_revenue",
     "q20_part_promotion_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q16_supplier_relation_count", "projection_expressions",
+    "q16_supplier_relation_count",
+    # (b) materially changed in r9: re-expressed through
+    # operators/retrieval.py and operators/sampling.py — certified
+    # this round, not left on their r5 rows.
+    "text_bm25_scores", "sample_stratified_quota",
+    "projection_expressions",
     "filter_predicates", "distinct_projection",
     "null_three_valued_logic", "join_star_counts", "join_left_outer",
     "join_full_outer", "sessionization", "sessionization_salted",
     "window_rolling_median", "session_window_agg", "asof_join_nearest",
-    "events_incremental_rollup", "timeseries_gap_fill",
-    "window_range_trailing", "text_contamination_ngram",
-    "text_bm25_scores", "text_pii_redaction", "sample_stratified_quota",
-    # ---- 50-cap boundary: the nine displaced r5 rows (deadline r10)
-    # lead r10's (c) head, followed by the r6 cohort in this order ----
+    "events_incremental_rollup",
+    # ---- 50-cap boundary (the cap falls after sessionization_salted
+    # above — verified by scripts/rotation_check.py): the displaced
+    # r5 rows below have deadline r10 and lead r10's (c) head, then
+    # the r6 cohort ----
+    "text_pii_redaction",
+    "timeseries_gap_fill", "window_range_trailing",
+    "text_contamination_ngram",
     "text_vocab_topk",
     "dedup_clusters",
     "frontend_nl_docs_profile",

@@ -340,6 +340,82 @@ def source_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_query(
+    "snapshot_mor_delete_read",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    v2 AS (
+        SELECT * FROM base
+        WHERE NOT (o_orderkey % 3 = 0 AND o_year >= 1996)
+    ),
+    delta AS (
+        SELECT o_orderkey, o_year, ROUND(o_totalprice + 5.00, 2) AS o_totalprice
+        FROM v2 WHERE o_year = 1995 AND o_orderkey % 10 = 0
+    ),
+    v3 AS (
+        SELECT * FROM v2 WHERE NOT (o_year = 1995 AND o_orderkey % 10 = 0)
+        UNION ALL SELECT * FROM delta
+    )
+    SELECT 'v1' AS snapshot, * FROM base
+    UNION ALL SELECT 'v2' AS snapshot, * FROM v2
+    UNION ALL SELECT 'v3' AS snapshot, * FROM v3
+    """,
+    tags="S27",
+)
+def snapshot_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: merge-on-read row deletes (Iceberg v2 position deletes /
+    Delta deletion vectors, keyed on the store's synthetic row
+    identity). Orders partitioned by year are committed as v1;
+    ``delete_where`` records every third order of 1996+ in a KB-scale
+    delete file and publishes v2 WITHOUT rewriting a single data file
+    (the manifest's partition pointers are byte-identical to v1's —
+    asserted in tests/test_snapshots.py); an upsert to 1995 then
+    publishes v3 copy-on-write, carrying the delete entries forward
+    for the partitions it didn't touch. Reading all three snapshots
+    certifies: v1 still serves the deleted rows (time travel), v2
+    anti-joins them away, and v3 keeps them gone under a later COW
+    commit while applying its delta. At 100 TB this is the delete
+    path that makes small deletes affordable — one filtered scan plus
+    a tiny write, instead of rewriting every hit partition."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    root = _export_dir(sf_dir, "orders_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)  # v1
+    store.delete_where(
+        spark, (F.col("o_orderkey") % 3 == 0) & (F.col("o_year") >= 1996)
+    )  # v2 — merge-on-read, zero data files rewritten
+    delta = (
+        store.read(spark, version=2)
+        .filter((F.col("o_year") == 1995) & (F.col("o_orderkey") % 10 == 0))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") + 5.00, 2))
+    )
+    store.upsert(spark, delta, key_cols=["o_orderkey"])  # v3 — COW carry
+    cols = ["snapshot", "o_orderkey", "o_year", "o_totalprice"]
+    out = None
+    for v in (1, 2, 3):
+        s = (
+            store.read(spark, version=v)
+            .withColumn("snapshot", F.lit(f"v{v}"))
+            .select(*cols)
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.withColumn("o_year", F.col("o_year").cast("int"))
+
+
+@register_query(
     "source_cdc_apply",
     oracle="""
     WITH base AS (

@@ -26,6 +26,7 @@ from karna_spark.streaming.jobs import (
     events_stream,
     run_to_memory,
     stage_events,
+    static_enrich_join,
     tumbling_watermark,
     dedup_stream,
     session_window_stream,
@@ -399,3 +400,32 @@ def streaming_chained_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFram
 
     landing = stage_events(spark, sf_dir, with_sentinel=True)
     return run_to_memory(chained_hourly_daily(events_stream(spark, landing)), "append")
+
+
+@register_query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment, c.c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags="T18",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18: stream-static enrichment join — the event stream joined
+    per micro-batch against the static customer dimension
+    (streaming/jobs.py:static_enrich_join). Stateless: no watermark,
+    no state store; the dimension rides a broadcast hint so the
+    STREAM side never shuffles (the posture that holds when the fact
+    stream is 100 TB/day and the dimension is millions of rows);
+    append emits each enriched row exactly once, so the complete
+    streaming output hash-matches the oracle's batch join."""
+    landing = stage_events(spark, sf_dir, with_sentinel=False)
+    stream = events_stream(spark, landing, one_batch=True)
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    checkpoint = os.path.join(_STREAM_CACHE, "ckpt", uuid.uuid4().hex[:10])
+    return run_to_memory(
+        static_enrich_join(stream, dim), "append", checkpoint=checkpoint
+    )

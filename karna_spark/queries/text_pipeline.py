@@ -2096,3 +2096,121 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = clips.mapInPandas(synth, "item_id long, media binary")
     return video_frame_features(media, stride=3)
+
+
+@register_query(
+    "text_url_domain_stats",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+            CASE doc_id % 5 WHEN 0 THEN 'example.com'
+                            WHEN 1 THEN 'data.co.uk'
+                            WHEN 2 THEN 'archive.org'
+                            WHEN 3 THEN 'news.com.au'
+                            ELSE 'web-corpus.net' END AS dom,
+            CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                            ELSE 'cdn.assets.' END AS sub,
+            CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+            CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END AS keep_port,
+            '/P/' || CAST(doc_id AS VARCHAR) AS path,
+            CASE WHEN doc_id % 2 = 1
+                 THEN '?q=' || CAST(doc_id % 11 AS VARCHAR)
+                 ELSE '' END AS qs
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id,
+               n_chars,
+               scheme || '://' || sub || dom || keep_port || path || qs
+                   AS url_norm,
+               dom AS domain
+        FROM u
+        UNION ALL
+        SELECT doc_id, n_chars,
+               'https://' || sub || dom || '/ALT/' || CAST(doc_id AS VARCHAR)
+                   AS url_norm,
+               dom AS domain
+        FROM u WHERE doc_id % 6 = 0
+    ),
+    d AS (
+        SELECT domain,
+               count(*) AS n_urls,
+               count(DISTINCT doc_id) AS n_docs,
+               ROUND(avg(n_chars), 4) AS avg_chars
+        FROM n GROUP BY domain
+    )
+    SELECT n.doc_id, n.url_norm, n.domain, d.n_urls, d.n_docs, d.avg_chars
+    FROM n JOIN d USING (domain)
+    """,
+    tags="F29",
+)
+def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F29: URL normalization + registered-domain curation
+    (operators/urls.py — the domain-level gate crawl pipelines run
+    before any text scoring). Each document gets a deterministic
+    synthetic crawl URL whose RAW form carries the noise a real
+    frontier sees — mixed-case scheme and host, default :443 ports,
+    fragments — and the engine normalizes it (lower scheme/host, strip
+    default port and fragment, preserve case-sensitive path/query),
+    extracts the registered domain through the multi-label
+    public-suffix rule (data.co.uk stays data.co.uk; cdn.assets
+    subdomains collapse to their registrable parent), and joins
+    per-domain reputation stats back onto every URL row. The oracle
+    derives the SAME canonical forms independently from the generation
+    parameters — it never runs the normalizer — so the hash certifies
+    the parser against ground truth, not against a replay. All JVM
+    string/array expressions: row-local until the |domains|-row
+    map-combined aggregate, no UDF, no window — unchanged at 100 TB."""
+    from karna_spark.operators.urls import domain_stats, registered_domain, url_host, url_normalize
+
+    doc = F.col("doc_id")
+    dom = F.element_at(
+        F.array(*[F.lit(x) for x in [
+            "example.com", "data.co.uk", "archive.org",
+            "news.com.au", "web-corpus.net",
+        ]]),
+        (doc % 5 + 1).cast("int"),
+    )
+    sub = F.element_at(
+        F.array(F.lit(""), F.lit("www."), F.lit("cdn.assets.")),
+        (doc % 3 + 1).cast("int"),
+    )
+    host_raw = F.concat(sub, dom)
+    host_raw = F.when(doc % 7 == 0, F.upper(host_raw)).otherwise(host_raw)
+    scheme = F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    port = (
+        F.when(doc % 4 == 0, F.lit(":443"))
+        .when(doc % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(F.lit("/P/"), doc.cast("string"))
+    qs = F.when(
+        doc % 2 == 1, F.concat(F.lit("?q="), (doc % 11).cast("string"))
+    ).otherwise(F.lit(""))
+    frag = F.when(doc % 3 == 0, F.lit("#Top")).otherwise(F.lit(""))
+    raw = F.concat(scheme, F.lit("://"), host_raw, port, path, qs, frag)
+    # A second crawl record for every 6th doc (same site, different
+    # page): n_urls > n_docs for those domains, so the hash certifies
+    # the DISTINCT doc count, not just row counts.
+    raw_alt = F.concat(
+        F.lit("HTTPS://"), host_raw, F.lit(":443/ALT/"), doc.cast("string")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", raw.alias("url")
+    )
+    alts = (
+        table(spark, sf_dir, "documents")
+        .filter(doc % 6 == 0)
+        .select("doc_id", "n_chars", raw_alt.alias("url"))
+    )
+    urls = (
+        docs.unionByName(alts)
+        .withColumn("url_norm", url_normalize(F.col("url")))
+        .withColumn("domain", registered_domain(url_host(F.col("url"))))
+    )
+    stats = domain_stats(urls, "url", "doc_id", "n_chars").withColumnRenamed(
+        "avg_quality", "avg_chars"
+    )
+    return urls.join(F.broadcast(stats), "domain").select(
+        "doc_id", "url_norm", "domain", "n_urls", "n_docs", "avg_chars"
+    )

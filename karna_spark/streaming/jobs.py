@@ -352,6 +352,35 @@ def view_click_left_join(
     )
 
 
+def static_enrich_join(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join (T18): every micro-batch of the
+    event stream joins against a STATIC dimension snapshot — the
+    lookup-table shape every ingest pipeline runs (user → account,
+    doc → domain reputation). Stateless on the streaming side: no
+    watermark, no state store, nothing buffered across batches — the
+    static side is planned per micro-batch (so a dimension small
+    enough to broadcast never shuffles the stream; the explicit
+    broadcast hint pins that at any fact volume), and append mode
+    emits each enriched row exactly once, so the complete streaming
+    result hash-matches the batch join. The static frame is re-read
+    per batch at its CURRENT content — pair with a SnapshotStore
+    read for a consistent pinned version."""
+    return (
+        stream.join(
+            F.broadcast(dim),
+            stream["user_id"] == dim["c_custkey"],
+            "inner",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+
+
 def user_stats_stateful(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running totals carried in explicit group state across micro-batches.

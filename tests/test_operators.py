@@ -1131,3 +1131,42 @@ def test_percentile_cont_matches_duckdb_native(spark):
         """
     ).fetchall()
     assert got == {g: (p25, p50, p75) for g, p25, p50, p75 in native}
+
+
+def test_url_normalize_and_registered_domain(spark):
+    """F29 edge shapes: mixed case, default vs real ports, fragments,
+    trailing host dots, multi-label public suffixes, bare suffixes,
+    single-label hosts, scheme-less strings."""
+    from karna_spark.operators.urls import (
+        registered_domain,
+        url_host,
+        url_normalize,
+    )
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path?q=1#frag",
+         "https://www.example.com/Path?q=1", "example.com"),
+        ("http://example.com:80/", "http://example.com/", "example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x",
+         "example.com"),
+        ("https://a.b.shop.co.uk./p", "https://a.b.shop.co.uk/p",
+         "shop.co.uk"),
+        ("https://news.com.au", "https://news.com.au", "news.com.au"),
+        ("https://co.uk/odd", "https://co.uk/odd", "co.uk"),
+        ("https://localhost:9000/x", "https://localhost:9000/x",
+         "localhost"),
+        ("https://cdn.assets.web-corpus.net/a/B?x=Y",
+         "https://cdn.assets.web-corpus.net/a/B?x=Y", "web-corpus.net"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = (
+        df.select(
+            "url",
+            url_normalize(F.col("url")).alias("norm"),
+            registered_domain(url_host(F.col("url"))).alias("dom"),
+        )
+        .collect()
+    )
+    by_url = {r["url"]: (r["norm"], r["dom"]) for r in got}
+    for u, want_norm, want_dom in cases:
+        assert by_url[u] == (want_norm, want_dom), u

@@ -472,7 +472,8 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
         for _ in range(16):
             op = random.choice(
                 ["commit", "upsert", "cdc", "redact", "vacuum", "tag",
-                 "untag", "mkbranch", "brwrite", "merge", "delbranch"]
+                 "untag", "mkbranch", "brwrite", "merge", "delbranch",
+                 "mordelete"]
             )
             prev = hist[max(v for v in hist if v in retained)]
             if op == "commit":
@@ -577,6 +578,13 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                     name = random.choice(sorted(brs))
                     store.delete_branch(name)
                     del brs[name]
+            elif op == "mordelete":
+                thresh = random.randrange(100)
+                v = store.delete_where(spark, f"val < {thresh}")
+                hist[v] = {
+                    k: val for k, val in prev.items() if val >= thresh
+                }
+                retained.add(v)
             assert store.branches() == sorted(brs)
             for name, b in brs.items():
                 got_br = store.branch(name)
@@ -1006,3 +1014,117 @@ def test_parent_redact_covers_branch_chain(spark, tmp_path):
     assert _rows(store.read(spark)) == [(2, "b", 20)]
     assert _rows(br.read(spark, version=1)) == [(2, "b", 20)]
     assert _rows(br.read(spark)) == [(2, "b", 20), (3, "c", 30)]
+
+
+# ------------------------------------------------- S27: merge-on-read
+
+
+def test_mor_delete_rewrites_no_data_files(spark, tmp_path):
+    """S27 core contract: delete_where publishes a new version whose
+    partition POINTERS are byte-identical to the base (no data file
+    written or rewritten — only a delete file), the latest read
+    excludes the rows, and the base version still serves them."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    files_v1 = sorted(glob.glob(f"{store.data}/p=*/**/*.parquet", recursive=True))
+    v2 = store.delete_where(spark, "val >= 20")
+    assert v2 == 2
+    files_v2 = sorted(glob.glob(f"{store.data}/p=*/**/*.parquet", recursive=True))
+    assert files_v2 == files_v1, "MOR delete must not touch data files"
+    assert store._manifest(2) == store._manifest(1)
+    assert store._manifest_doc(2)["deletes"] == [
+        {"id": 2, "partitions": ["a", "b"]}
+    ]
+    assert _rows(store.read(spark)) == [(1, "a", 10)]
+    assert _rows(store.read(spark, version=1)) == [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30)
+    ]
+
+
+def test_mor_delete_zero_matches_is_noop_version(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    v2 = store.delete_where(spark, "val > 99")
+    assert "deletes" not in store._manifest_doc(v2)
+    assert _rows(store.read(spark)) == [(1, "a", 10)]
+    assert not os.path.isdir(store._ddir(v2))
+
+
+def test_mor_carry_forward_prunes_to_inherited_partitions(spark, tmp_path):
+    """A later copy-on-write commit folds the deletes into the
+    partitions it rewrites (fresh files, fresh row ids) and carries
+    the entries forward pruned to still-inherited partitions; a full
+    compact retires them entirely; vacuum then GCs the delete set."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(
+        _mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)])
+    )
+    store.delete_where(spark, "val IN (10, 30)")  # touches a AND b
+    # v3: upsert rewrites partition a -> entry pruned to b only.
+    store.upsert(spark, _mk(spark, [(5, "a", 50)]), ["k"])
+    assert store._manifest_doc(3)["deletes"] == [
+        {"id": 2, "partitions": ["b"]}
+    ]
+    assert _rows(store.read(spark)) == [(2, "a", 20), (4, "b", 40), (5, "a", 50)]
+    # v4: full compact reads through the deletes and clears entries.
+    v4 = store.compact(spark)
+    assert "deletes" not in store._manifest_doc(v4)
+    assert _rows(store.read(spark)) == [(2, "a", 20), (4, "b", 40), (5, "a", 50)]
+    # Only v4 retained -> the delete set is unreferenced garbage.
+    gone = store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    assert any(d.startswith("_deletes/") for d in gone)
+    assert not os.path.isdir(os.path.join(store.data, "_deletes", "d=2"))
+    assert _rows(store.read(spark)) == [(2, "a", 20), (4, "b", 40), (5, "a", 50)]
+
+
+def test_mor_deletions_survive_redact_rewrite(spark, tmp_path):
+    """Redact rewrites hit dirs by COPYING surviving rows — row
+    identity (_rv,_rid) is stored in the files, so rows deleted
+    merge-on-read stay deleted after their directory is rewritten
+    (physical-position keying would resurrect them here)."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)]))
+    store.delete_where(spark, "k = 2")  # MOR-delete k=2 in partition a
+    store.redact(spark, ["k"], _mk(spark, [(3, "a", 0)]))  # rewrites dir a
+    assert _rows(store.read(spark, version=1)) == [(1, "a", 10), (2, "a", 20)]
+    assert _rows(store.read(spark, version=2)) == [(1, "a", 10)]
+
+
+def test_mor_changelog_emits_deletes_despite_identical_pointers(spark, tmp_path):
+    """S27×S24: the changelog prune keys on pointer equality, which a
+    MOR delete preserves — the manifest's delete entries record the
+    touched partitions so read_changes still emits the D rows."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    store.delete_where(spark, "val >= 20")
+    got = sorted(
+        (r["op"], r["k"], r["p"], r["val"])
+        for r in store.read_changes(spark, 1, 2, ["k"]).collect()
+    )
+    assert got == [("D", 2, "a", 20), ("D", 3, "b", 30)]
+
+
+def test_mor_branch_fork_inherits_deletes(spark, tmp_path):
+    """S27×S26: a branch forked after a MOR delete serves the
+    deleted-row view through the shared delete files; merging a
+    branch that itself MOR-deleted fast-forwards the entries."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    store.delete_where(spark, "k = 1")
+    br = store.create_branch("wap")
+    assert _rows(br.read(spark)) == [(2, "a", 20), (3, "b", 30)]
+    br.delete_where(spark, "k = 3")
+    assert _rows(br.read(spark)) == [(2, "a", 20)]
+    store.merge_branch("wap")
+    assert _rows(store.read(spark)) == [(2, "a", 20)]
+    # Parent history is untouched below the merge point.
+    assert _rows(store.read(spark, version=2)) == [(2, "a", 20), (3, "b", 30)]
+
+
+def test_reserved_row_identity_columns_refused(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    bad = _mk(spark, [(1, "a", 10)]).withColumn("_rid", F.lit(7))
+    with pytest.raises(ValueError, match="reserved"):
+        store.commit(bad)
