@@ -1573,3 +1573,88 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(pairs)
+
+
+# ---------------------------------------------------------------- A37
+@register_query(
+    "dq_expectations_wap",
+    oracle="""
+    WITH bad AS (
+        SELECT o_orderkey,
+               o_custkey + 10000000 AS o_custkey,
+               'X' AS o_orderstatus,
+               -o_totalprice AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    frame AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+        UNION ALL SELECT * FROM bad
+    ),
+    nbad AS (SELECT COUNT(*) AS v FROM bad),
+    ntot AS (SELECT COUNT(*) AS t FROM frame)
+    SELECT 'not_null:o_orderpriority' AS expectation,
+           CAST(v AS BIGINT) AS violations, CAST(t AS BIGINT) AS total,
+           v = 0 AS ok
+    FROM nbad, ntot
+    UNION ALL
+    SELECT 'in_range:o_totalprice', CAST(v AS BIGINT), CAST(t AS BIGINT),
+           v = 0
+    FROM nbad, ntot
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus', CAST(v AS BIGINT),
+           CAST(t AS BIGINT), v = 0
+    FROM nbad, ntot
+    UNION ALL
+    SELECT 'unique_key:o_orderkey', CAST(v AS BIGINT), CAST(t AS BIGINT),
+           v = 0
+    FROM nbad, ntot
+    UNION ALL
+    SELECT 'referential:o_custkey', CAST(v AS BIGINT), CAST(t AS BIGINT),
+           v = 0
+    FROM nbad, ntot
+    """,
+    tags="A37",
+)
+def dq_expectations_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: expectation-suite validation, the AUDIT gate in
+    write-audit-publish (operators/expectations.py). Orders get a
+    planted bad cohort (every 97th key re-inserted with a NULL priority,
+    negative price, unknown status, orphaned custkey, and a duplicate
+    key), and the five-expectation suite — not-null, range, accepted
+    values, key uniqueness, referential — must report EXACTLY the
+    planted violation counts. The oracle derives the counts from the
+    plant, never running the validator, so the hash certifies each
+    check's semantics (incl. NULL-violates for range/accepted). Scale
+    shape: the three row-local checks share ONE map-combinable
+    aggregate pass; uniqueness is a two-stage grouped count;
+    referential is one broadcast left join counting violations and
+    total in the same pass — report size = |expectations| rows. The
+    branch-head integration (suite refuses a WAP merge) is pytest-gated
+    alongside S26."""
+    from karna_spark.operators.expectations import expectation_report
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+    bad = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_custkey", F.col("o_custkey") + 10000000)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .withColumn("o_orderpriority", F.lit(None).cast("string"))
+    )
+    frame = orders.unionByName(bad)
+    customer = table(spark, sf_dir, "customer")
+    return expectation_report(
+        frame,
+        [
+            {"kind": "not_null", "col": "o_orderpriority"},
+            {"kind": "in_range", "col": "o_totalprice", "lo": 0, "hi": 10**9},
+            {"kind": "accepted_values", "col": "o_orderstatus",
+             "values": ["F", "O", "P"]},
+            {"kind": "unique_key", "cols": ["o_orderkey"]},
+            {"kind": "referential", "col": "o_custkey", "dim": customer,
+             "dim_col": "c_custkey"},
+        ],
+    )

@@ -1128,3 +1128,45 @@ def test_reserved_row_identity_columns_refused(spark, tmp_path):
     bad = _mk(spark, [(1, "a", 10)]).withColumn("_rid", F.lit(7))
     with pytest.raises(ValueError, match="reserved"):
         store.commit(bad)
+
+
+def test_expectations_gate_refuses_bad_branch(spark, tmp_path):
+    """A37×S26: the write-audit-publish cycle with a REAL audit — a
+    branch whose head violates the expectation suite is refused before
+    merge; after the branch fixes the data the suite passes and the
+    fast-forward merge publishes it."""
+    import pytest
+
+    from karna_spark.operators.expectations import (
+        ExpectationError,
+        assert_expectations,
+        expectation_report,
+    )
+
+    suite = [
+        {"kind": "not_null", "col": "val"},
+        {"kind": "in_range", "col": "val", "lo": 0, "hi": 100},
+        {"kind": "unique_key", "cols": ["k"]},
+    ]
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    br = store.create_branch("wap")
+    # Audit fails: the branch writes an out-of-range value.
+    br.upsert(spark, _mk(spark, [(3, "a", 999)]), ["k"])
+    with pytest.raises(ExpectationError, match="in_range:val"):
+        assert_expectations(br.read(spark), suite)
+    # Fix on the branch; audit passes; publish.
+    br.upsert(spark, _mk(spark, [(3, "a", 99)]), ["k"])
+    assert_expectations(br.read(spark), suite)
+    store.merge_branch("wap")
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20), (3, "a", 99)]
+    # Report shape: every expectation reports totals and ok=True.
+    rep = {
+        r["expectation"]: (r["violations"], r["total"], r["ok"])
+        for r in expectation_report(store.read(spark), suite).collect()
+    }
+    assert rep == {
+        "not_null:val": (0, 3, True),
+        "in_range:val": (0, 3, True),
+        "unique_key:k": (0, 3, True),
+    }
