@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     # stream-static enrichment join (T18).
     "snapshot_mor_delete_read", "text_url_domain_stats",
     "streaming_static_enrich", "dq_expectations_wap",
+    "text_stupid_backoff_logprob",
     # (c) the 2 r4-stale rows (displaced from the r8 head by the two
     # late-r8 queries) — due this round or the floor breaks.
     "text_quality", "text_token_counts",

@@ -2214,3 +2214,193 @@ def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.join(F.broadcast(stats), "domain").select(
         "doc_id", "url_norm", "domain", "n_urls", "n_docs", "avg_chars"
     )
+
+
+@register_query(
+    "text_stupid_backoff_logprob",
+    oracle="""
+    WITH d0 AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents
+    ),
+    train AS (SELECT * FROM d0 WHERE doc_id % 2 = 0),
+    scored AS (
+      SELECT doc_id,
+             list_concat(arr, [
+               'z' || CAST(doc_id % 7 AS VARCHAR), arr[1]
+             ]) AS arr
+      FROM d0 WHERE doc_id % 2 = 1
+    ),
+    bg_t AS (
+      SELECT arr[i] AS w1, arr[i] || ' ' || arr[i+1] AS bigram
+      FROM train, unnest(generate_series(1, len(arr) - 1)) t(i)
+      WHERE len(arr) >= 2
+    ),
+    c2 AS (SELECT w1, bigram, COUNT(*) AS cnt FROM bg_t GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(cnt) AS cw1 FROM c2 GROUP BY 1),
+    uni AS (
+      SELECT word, COUNT(*) AS ucnt FROM (
+        SELECT unnest(arr) AS word FROM train) GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(ucnt) AS BIGINT) AS N,
+             CAST(COUNT(*) AS BIGINT) AS V
+      FROM uni
+    ),
+    bg_s AS (
+      SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2,
+             arr[i] || ' ' || arr[i+1] AS bigram
+      FROM scored, unnest(generate_series(1, len(arr) - 1)) t(i)
+      WHERE len(arr) >= 2
+    ),
+    model AS (
+      SELECT s.bigram,
+             CAST(round(CASE
+               WHEN c2.cnt IS NOT NULL
+                 THEN ln(c2.cnt::DOUBLE / ctx.cw1)
+               WHEN uni.ucnt IS NOT NULL
+                 THEN ln(0.4 * uni.ucnt::DOUBLE / tot.N)
+               ELSE ln(0.4 / (tot.N + tot.V))
+             END * 1000000) AS BIGINT) AS lp_e6
+      FROM (SELECT DISTINCT w1, w2, bigram FROM bg_s) s
+      LEFT JOIN c2 USING (bigram)
+      LEFT JOIN ctx ON s.w1 = ctx.w1
+      LEFT JOIN uni ON s.w2 = uni.word, tot
+    ),
+    per_doc AS (
+      SELECT bg_s.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(-model.lp_e6) AS BIGINT) AS nll_e6
+      FROM bg_s JOIN model USING (bigram)
+      GROUP BY 1
+    )
+    SELECT CAST(floor(nll_e6::DOUBLE * 10 / (n_bigrams * 1000000)) AS BIGINT)
+             AS nll_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(nll_e6) AS BIGINT) AS sum_nll_e6
+    FROM per_doc
+    GROUP BY 1
+    """,
+    tags="F30",
+)
+def text_stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F30: stupid-backoff LM scoring on a HELD-OUT split (Brants
+    2007, the web-scale recipe) — the methodological upgrade over
+    F26's self-scored Laplace model: the model trains on even doc_ids
+    (raw MLE bigram, no smoothing) and scores odd doc_ids, backing
+    off to 0.4 x unigram for unseen bigrams and to an OOV floor
+    0.4/(N+V) for unseen words — held-out scoring is what real
+    pipelines run (a Wikipedia-trained model over the crawl). Each
+    scored doc carries two planted tokens (a doc_id%7-derived z-token
+    then the doc's first word) so BOTH backoff branches provably fire
+    on every doc: (last_word, z_k) is an unseen bigram with an unseen
+    w2 (OOV floor) and (z_k, first_word) an unseen bigram with a SEEN
+    w2 (unigram backoff). Exactness: one ln() per DISTINCT scored
+    bigram, micro-nat BIGINT quantization, integer reductions —
+    summation order can't drift the hash. Plan: train-side counts are
+    two-phase aggregates at |distinct-bigram|/|vocab| scale; the
+    scored-bigram model joins back by broadcast (df-weighted size ≪
+    corpus; at crawl scale drop the hint and AQE picks SMJ); the 1-row
+    (N, V) totals ride a scalar broadcast (BNLJ_OK)."""
+    from karna_spark.operators.text import words
+
+    d0 = table(spark, sf_dir, "documents").select(
+        "doc_id", words(F.trim(F.col("text"))).alias("arr")
+    )
+    train = d0.filter(F.col("doc_id") % 2 == 0)
+    scored = d0.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat(
+            F.col("arr"),
+            F.array(
+                F.concat(F.lit("z"), (F.col("doc_id") % 7).cast("string")),
+                F.element_at(F.col("arr"), 1),
+            ),
+        ).alias("arr"),
+    )
+
+    def bigrams(df, with_doc):
+        n = F.size(F.col("arr"))
+        cols = (["doc_id"] if with_doc else []) + [
+            F.col("b.w1").alias("w1"),
+            F.col("b.w2").alias("w2"),
+            F.col("b.bigram").alias("bigram"),
+        ]
+        return (
+            df.filter(n >= 2)
+            .select(
+                *(["doc_id"] if with_doc else []),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("arr"), i).alias("w1"),
+                            F.element_at(F.col("arr"), i + 1).alias("w2"),
+                            F.concat_ws(
+                                " ",
+                                F.element_at(F.col("arr"), i),
+                                F.element_at(F.col("arr"), i + 1),
+                            ).alias("bigram"),
+                        ),
+                    )
+                ).alias("b"),
+            )
+            .select(*cols)
+        )
+
+    bg_t = bigrams(train, with_doc=False)
+    c2 = bg_t.groupBy("w1", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = c2.groupBy("w1").agg(F.sum("cnt").alias("cw1"))
+    uni = (
+        train.select(F.explode("arr").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    tot = uni.agg(
+        F.sum("ucnt").cast("bigint").alias("N"),
+        F.count(F.lit(1)).cast("bigint").alias("V"),
+    )
+    bg_s = bigrams(scored, with_doc=True)
+    dist = bg_s.select("w1", "w2", "bigram").distinct()
+    model = (
+        dist.join(c2.select("bigram", "cnt"), "bigram", "left")
+        .join(ctx, "w1", "left")
+        .join(uni.withColumnRenamed("word", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            F.round(
+                F.when(
+                    F.col("cnt").isNotNull(),
+                    F.log(F.col("cnt").cast("double") / F.col("cw1")),
+                )
+                .when(
+                    F.col("ucnt").isNotNull(),
+                    F.log(F.lit(0.4) * F.col("ucnt").cast("double") / F.col("N")),
+                )
+                .otherwise(F.log(F.lit(0.4) / (F.col("N") + F.col("V"))))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lp_e6"),
+        )
+    )
+    per_doc = (
+        bg_s.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(-F.col("lp_e6")).alias("nll_e6"),
+        )
+    )
+    return per_doc.groupBy(
+        F.floor(
+            F.col("nll_e6").cast("double") * 10 / (F.col("n_bigrams") * 1000000)
+        )
+        .cast("bigint")
+        .alias("nll_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+        F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
+    )

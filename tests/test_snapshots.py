@@ -1170,3 +1170,21 @@ def test_expectations_gate_refuses_bad_branch(spark, tmp_path):
         "in_range:val": (0, 3, True),
         "unique_key:k": (0, 3, True),
     }
+
+
+def test_mor_delete_composes_with_stat_pruning(spark, tmp_path):
+    """S27×S20: a bounded read of a version carrying merge-on-read
+    deletes still prunes partitions by manifest bounds BEFORE listing
+    files (the anti-join runs after the pruned scan), and the delete
+    set applies to what survives the prune."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [
+        (1, "a", 10), (2, "a", 19),
+        (3, "b", 30), (4, "b", 39),
+        (5, "c", 50),
+    ]))
+    store.delete_where(spark, "k = 4")
+    df = store.read(spark, where=("val", 25, 45))
+    data_files = [f for f in df.inputFiles() if "/p=" in f]
+    assert data_files and all("/p=b/" in f for f in data_files), data_files
+    assert _rows(df) == [(3, "b", 30)]
