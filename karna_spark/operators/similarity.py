@@ -251,6 +251,10 @@ def _nearest_centroids_udf(centroid_rows: list, n: int):
     @pandas_udf("array<long>")
     def nearest(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy()).astype(np.float64)  # (b, d)
+        if mat.shape[0] <= chunk:  # common case: batch fits — no loop
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n]
+            return pd.Series([ids[o] for o in order])
         out = []
         for lo in range(0, mat.shape[0], chunk):
             sub = mat[lo : lo + chunk]
@@ -488,6 +492,9 @@ def pq_encode_udf(codebooks: list):
             return pd.Series([], dtype=object)
         X = np.vstack(v.to_numpy()).astype(np.float64)
         Xs = X.reshape(len(X), m, dsub)
+        if len(Xs) <= chunk:  # common case: batch fits — no loop
+            d2 = ((Xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+            return pd.Series(list(d2.argmin(axis=-1).astype(np.int32)))
         out = []
         for lo in range(0, len(Xs), chunk):
             sub = Xs[lo : lo + chunk]
