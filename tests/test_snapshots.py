@@ -473,7 +473,7 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
             op = random.choice(
                 ["commit", "upsert", "cdc", "redact", "vacuum", "tag",
                  "untag", "mkbranch", "brwrite", "merge", "delbranch",
-                 "mordelete"]
+                 "mordelete", "brmordelete"]
             )
             prev = hist[max(v for v in hist if v in retained)]
             if op == "commit":
@@ -585,6 +585,16 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                     k: val for k, val in prev.items() if val >= thresh
                 }
                 retained.add(v)
+            elif op == "brmordelete":
+                if brs:
+                    name = random.choice(sorted(brs))
+                    thresh = random.randrange(100)
+                    store.branch(name).delete_where(spark, f"val < {thresh}")
+                    brs[name]["head"] = {
+                        k: val
+                        for k, val in brs[name]["head"].items()
+                        if val >= thresh
+                    }
             assert store.branches() == sorted(brs)
             for name, b in brs.items():
                 got_br = store.branch(name)
