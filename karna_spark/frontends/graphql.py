@@ -195,10 +195,35 @@ def _resolve_variables(op, provided: dict | None) -> dict:
     return resolved
 
 
-def _inline_fragments(sel_set, fragments: dict, depth: int = 0) -> None:
+def _directive_keeps(sel, variables: dict | None) -> bool:
+    """Evaluate ``@skip(if:)`` / ``@include(if:)`` on a selection —
+    the two spec-defined execution directives every client library
+    emits (conditional fields are how clients share one query across
+    UI states). The argument may be a literal boolean or a ``$var``;
+    per spec, a selection with both directives is kept only when
+    @skip says keep AND @include says keep. Unknown directives error
+    loudly rather than silently altering results."""
+    keep = True
+    for d in getattr(sel, "directives", None) or ():
+        dname = d.name.value
+        if dname not in ("skip", "include"):
+            raise GraphQLError(f"unsupported directive @{dname}")
+        args = {a.name.value: _value(a.value, variables) for a in d.arguments}
+        if set(args) != {"if"} or not isinstance(args["if"], bool):
+            raise GraphQLError(f"@{dname} requires a boolean 'if' argument")
+        keep = keep and (not args["if"] if dname == "skip" else args["if"])
+    return keep
+
+
+def _inline_fragments(
+    sel_set, fragments: dict, variables: dict | None = None, depth: int = 0
+) -> None:
     """Replace every FragmentSpread / InlineFragment in ``sel_set``
     (recursively) with the fragment's own selections, in place, so the
-    translator walks plain fields only. Type conditions are not
+    translator walks plain fields only — dropping any selection whose
+    @skip/@include directives exclude it (evaluated here, against the
+    resolved variables, so the emitted plan is byte-identical to the
+    hand-pruned query). Type conditions are not
     enforced — this engine has no GraphQL type system; a fragment's
     selections must name real columns/relationships of wherever it is
     spread, and resolution errors surface exactly as for inline
@@ -210,17 +235,19 @@ def _inline_fragments(sel_set, fragments: dict, depth: int = 0) -> None:
         raise GraphQLError("fragment nesting too deep (cycle?)")
     new_sels: list = []
     for sel in sel_set.selections:
+        if not _directive_keeps(sel, variables):
+            continue
         if isinstance(sel, gql_ast.FragmentSpreadNode):
             frag = fragments.get(sel.name.value)
             if frag is None:
                 raise GraphQLError(f"unknown fragment ...{sel.name.value}")
-            _inline_fragments(frag.selection_set, fragments, depth + 1)
+            _inline_fragments(frag.selection_set, fragments, variables, depth + 1)
             new_sels.extend(frag.selection_set.selections)
         elif isinstance(sel, gql_ast.InlineFragmentNode):
-            _inline_fragments(sel.selection_set, fragments, depth + 1)
+            _inline_fragments(sel.selection_set, fragments, variables, depth + 1)
             new_sels.extend(sel.selection_set.selections)
         else:
-            _inline_fragments(sel.selection_set, fragments, depth)
+            _inline_fragments(sel.selection_set, fragments, variables, depth)
             new_sels.append(sel)
     sel_set.selections = tuple(new_sels)
 
@@ -472,7 +499,7 @@ def translate(
         if isinstance(d, gql_ast.FragmentDefinitionNode)
     }
     resolved_vars = _resolve_variables(ops[0], variables)
-    _inline_fragments(ops[0].selection_set, fragments)
+    _inline_fragments(ops[0].selection_set, fragments, resolved_vars)
     roots = ops[0].selection_set.selections
     if len(roots) != 1:
         raise GraphQLError("expected exactly one root field")

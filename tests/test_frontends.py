@@ -475,3 +475,60 @@ def test_nl_bm25_intent(fixtures):
         fixtures.table("documents"), "doc_id", "text", ["query", "data"], 5
     ).collect()
     assert [tuple(r) for r in top] == [tuple(r) for r in direct]
+
+
+def test_graphql_skip_include_directives(fixtures):
+    """@skip/@include (the two spec execution directives every client
+    library emits) prune selections BEFORE translation: the directive
+    form must produce the exact rows and plan of the hand-pruned
+    query, whether driven by literals or variables, on fields and on
+    fragment spreads; both-directives composition follows the spec
+    (kept only if @skip keeps AND @include keeps)."""
+    import pytest
+
+    from karna_spark.frontends.graphql import GraphQLError, translate
+
+    directive = translate(
+        fixtures,
+        """
+        query Q($wantSize: Boolean!, $dropBrand: Boolean!) {
+          part {
+            p_partkey
+            p_size @include(if: $wantSize)
+            p_brand @skip(if: $dropBrand)
+            p_retailprice @skip(if: false) @include(if: true)
+            p_type @include(if: false)
+          }
+        }
+        """,
+        flat=True,
+        variables={"wantSize": True, "dropBrand": True},
+    )
+    pruned = translate(
+        fixtures,
+        "query { part { p_partkey p_size p_retailprice } }",
+        flat=True,
+    )
+    assert directive.schema == pruned.schema
+    assert directive.collect() == pruned.collect()
+
+    # Directives on a fragment spread drop the whole fragment.
+    frag = translate(
+        fixtures,
+        """
+        query { part { p_partkey ...extra @skip(if: true) } }
+        fragment extra on part { p_size p_brand }
+        """,
+        flat=True,
+    )
+    only_key = translate(fixtures, "query { part { p_partkey } }", flat=True)
+    assert frag.schema == only_key.schema
+
+    with pytest.raises(GraphQLError, match="unsupported directive"):
+        translate(
+            fixtures,
+            'query { part { p_partkey @deprecated(reason: "x") } }',
+            flat=True,
+        )
+    with pytest.raises(GraphQLError, match="boolean 'if'"):
+        translate(fixtures, "query { part { p_partkey @skip(if: 3) } }", flat=True)
