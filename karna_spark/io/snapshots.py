@@ -105,6 +105,12 @@ def with_commit_retries(op, retries: int = 3, backoff_sec: float = 0.05):
 class SnapshotStore:
     """Versioned partitioned parquet table rooted at ``root``."""
 
+    # Accumulated MOR delete sets up to this size (on-disk parquet
+    # bytes) are broadcast on read; larger sets fall back to a plain
+    # anti-join (see :meth:`read`). Parquet of (_rv,_rid) pairs is
+    # ~16B/row, so 64 MB ≈ 4M deleted rows still broadcast.
+    BROADCAST_DELETES_MAX_BYTES = 64 << 20
+
     def __init__(self, root: str, partition_col: str):
         self.root = root
         self.pc = partition_col
@@ -520,15 +526,35 @@ class SnapshotStore:
             raise ValueError("nothing to delete from: no published version")
         prev_doc = self._manifest_doc(prev_v)
         v = self._claim_version()
-        matched = (
-            self.read(spark, version=prev_v, _keep_hidden=True)
-            .filter(condition)
-            .select(
-                F.col(self.pc).cast("string").alias("_pval"), "_rv", "_rid"
+        # Partition-type inference OFF for this internal scan: Spark
+        # would otherwise re-render directory values ('00123'→123,
+        # '1.10'→1.1) and the touched-partition names recorded below
+        # would mismatch the raw manifest keys, silently skipping the
+        # partition in the changelog's MOR prune (r9 ADVICE). With
+        # inference off the partition column comes back as the raw
+        # directory string — exactly the manifest key — and a typed
+        # user ``condition`` on it still works (Spark casts the
+        # comparison).
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_old = spark.conf.get(infer_key, None)
+        spark.conf.set(infer_key, "false")
+        try:
+            matched = (
+                self.read(spark, version=prev_v, _keep_hidden=True)
+                .filter(condition)
+                .select(
+                    F.col(self.pc).cast("string").alias("_pval"),
+                    "_rv",
+                    "_rid",
+                )
             )
-        )
-        ddir = self._ddir(v)
-        matched.coalesce(1).write.mode("overwrite").parquet(ddir)
+            ddir = self._ddir(v)
+            matched.coalesce(1).write.mode("overwrite").parquet(ddir)
+        finally:
+            if infer_old is None:
+                spark.conf.unset(infer_key)
+            else:
+                spark.conf.set(infer_key, infer_old)
         touched = sorted(
             r["_pval"]
             for r in spark.read.parquet(ddir).select("_pval").distinct().collect()
@@ -836,10 +862,27 @@ class SnapshotStore:
         # the physical version come back from directory parsing, then
         # a broadcast semi-join marks the (partition, version) dirs
         # that actually hold a matching row.
+        #
+        # Partition-type inference OFF (same hazard as delete_where,
+        # r9 ADVICE): inference can re-render a string partition value
+        # ('00123'→123→'123'), so the hit set / remap keys would
+        # mismatch the raw manifest keys and the rewrite would write
+        # differently-named directories. With inference off the
+        # directory string round-trips exactly through probe, filter,
+        # partitionBy rewrite, and manifest repoint; typed keys still
+        # match because kcast below casts them to the parsed (string)
+        # type, which is the same rendering partitionBy produced.
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_old = spark.conf.get(infer_key, None)
+        spark.conf.set(infer_key, "false")
         union = (
             spark.read.option("basePath", self.data)
             .parquet(*(self._pdir(val, pv) for val, pv in sorted(dirs)))
         )
+        if infer_old is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, infer_old)
         # Align key types: directory-parsed partition values may infer
         # a narrower type than the caller's keys frame.
         kcast = kdf.select(
@@ -849,12 +892,12 @@ class SnapshotStore:
             ]
         )
         hits = {
-            (str(r["_pval"]), r["_pv"])
+            (str(r["_pval"]), int(r["_pv"]))
             for r in (
                 union.join(F.broadcast(kcast), key_cols, "left_semi")
                 .select(
                     F.col(self.pc).cast("string").alias("_pval"),
-                    F.col("v").alias("_pv"),
+                    F.col("v").cast("bigint").alias("_pv"),
                 )
                 .distinct()
                 .collect()
@@ -1027,7 +1070,11 @@ class SnapshotStore:
         ``ConcurrentWriteError`` rather than silently dropping the
         interleaved commits (a 3-way merge is refused loudly; re-fork
         and replay instead). The branch stays live until
-        :meth:`delete_branch`."""
+        :meth:`delete_branch` — on a successful merge its fork base is
+        ADVANCED to the just-published parent version, so a branch
+        that keeps committing can be merged again (previously the
+        stale fork base made every second merge raise
+        ``ConcurrentWriteError`` even with no interleaved writer)."""
         br = self.branch(name)
         head = br.latest_version()
         doc = br._manifest_doc(head)
@@ -1040,6 +1087,14 @@ class SnapshotStore:
             stats=doc.get("stats"),
             deletes=doc.get("deletes"),
         )
+        meta_path = os.path.join(self._bdir(name), "meta.json")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        meta["fork_base"] = v
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, meta_path)
         return v
 
     def delete_branch(self, name: str) -> None:
@@ -1244,10 +1299,27 @@ class SnapshotStore:
             )
             dels = doc.get("deletes", [])
             if dels:
-                ddf = spark.read.parquet(
-                    *[self._ddir(e["id"]) for e in dels]
-                ).select("_rv", "_rid")
-                out = out.join(F.broadcast(ddf), ["_rv", "_rid"], "left_anti")
+                ddirs = [self._ddir(e["id"]) for e in dels]
+                ddf = spark.read.parquet(*ddirs).select("_rv", "_rid")
+                # Broadcast only while the accumulated delete set is
+                # genuinely small (the merge-on-read premise). On-disk
+                # parquet bytes are a cheap, job-free proxy; past the
+                # threshold fall back to a plain anti-join and let AQE
+                # pick the strategy — an unconditional broadcast of a
+                # multi-GB delete set would OOM every executor at
+                # 100 TB. compact() is the real fix for a set that
+                # large; this keeps reads correct in the meantime.
+                dbytes = 0
+                for d in ddirs:
+                    for root_, _, files in os.walk(d):
+                        dbytes += sum(
+                            os.path.getsize(os.path.join(root_, f))
+                            for f in files
+                            if f.endswith(".parquet")
+                        )
+                if dbytes <= self.BROADCAST_DELETES_MAX_BYTES:
+                    ddf = F.broadcast(ddf)
+                out = out.join(ddf, ["_rv", "_rid"], "left_anti")
             if not _keep_hidden:
                 out = out.drop("_rv", "_rid")
         if where is not None:

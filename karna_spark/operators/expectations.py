@@ -95,14 +95,21 @@ def expectation_report(df: DataFrame, expectations: list[dict]) -> DataFrame:
                 )
             )
         elif e["kind"] == "referential":
-            dim = e["dim"].select(F.col(e["dim_col"]).alias("_pk")).distinct()
+            # dbt / Great Expectations relationship semantics: a NULL
+            # foreign key is SKIPPED (not a violation) — pair with a
+            # not_null expectation on the FK column when nulls should
+            # fail. ``total`` counts all rows so the report still
+            # shows coverage. Internal alias is namespaced so a user
+            # column named ``_pk`` cannot collide.
+            pk = "__karna_ref_pk"
+            dim = e["dim"].select(F.col(e["dim_col"]).alias(pk)).distinct()
+            fk = df[e["col"]]
             reports.append(
-                df.join(
-                    F.broadcast(dim), df[e["col"]] == F.col("_pk"), "left"
-                ).agg(
+                df.join(F.broadcast(dim), fk == F.col(pk), "left").agg(
                     F.lit(_name(e)).alias("expectation"),
                     F.sum(
-                        F.when(F.col("_pk").isNull(), 1).otherwise(0)
+                        F.when(fk.isNotNull() & F.col(pk).isNull(), 1)
+                        .otherwise(0)
                     ).alias("violations"),
                     F.count(F.lit(1)).alias("total"),
                 )

@@ -37,6 +37,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DataType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
+
+
+def _sum_type(df: DataFrame, c: str) -> DataType:
+    """The exact accumulator type for summing column ``c``: integral
+    inputs widen to BIGINT, DECIMAL(p,s) widens to DECIMAL(38,s)
+    (maximum headroom at the input's scale — a DECIMAL(18,2) cents
+    column keeps its cents instead of being truncated to whole
+    units). Float inputs are REFUSED: retraction needs exact group
+    inverses, and float sums drift."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, DecimalType):
+        return DecimalType(38, dt.scale)
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return LongType()
+    raise TypeError(
+        f"mv sum column {c!r} must be an exact type (integral or "
+        f"decimal); got {dt.simpleString()} — cast money to DECIMAL "
+        "or integer cents upstream"
+    )
 
 
 def grouped_mv(
@@ -45,7 +72,7 @@ def grouped_mv(
     """Initial materialization: per-group count + exact sums.
     Columns: ``*group_cols, mv_count, <c>_sum per sum col``."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("mv_count")] + [
-        F.sum(c).cast("bigint").alias(f"{c}_sum") for c in sum_cols
+        F.sum(c).cast(_sum_type(df, c)).alias(f"{c}_sum") for c in sum_cols
     ]
     return df.groupBy(*group_cols).agg(*aggs)
 
@@ -65,13 +92,16 @@ def apply_feed(
         .otherwise(F.lit(None))
         .cast("bigint")
     )
+    types = {c: _sum_type(feed, c) for c in sum_cols}
     delta = (
         feed.withColumn("_sign", sign)
         .groupBy(*group_cols)
         .agg(
             F.sum("_sign").cast("bigint").alias("_dcount"),
             *[
-                F.sum(F.col("_sign") * F.col(c)).cast("bigint").alias(f"_d_{c}")
+                F.sum(F.col("_sign") * F.col(c))
+                .cast(types[c])
+                .alias(f"_d_{c}")
                 for c in sum_cols
             ],
         )
@@ -85,9 +115,11 @@ def apply_feed(
         ).alias("mv_count"),
         *[
             (
-                F.coalesce(F.col(f"{c}_sum"), zero)
-                + F.coalesce(F.col(f"_d_{c}"), zero)
-            ).alias(f"{c}_sum")
+                F.coalesce(F.col(f"{c}_sum"), F.lit(0).cast(types[c]))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0).cast(types[c]))
+            )
+            .cast(types[c])
+            .alias(f"{c}_sum")
             for c in sum_cols
         ],
     )

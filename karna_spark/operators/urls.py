@@ -83,9 +83,14 @@ def url_normalize(url: Column) -> Column:
         | ((scheme == "http") & (port == "80"))
     )
     nofrag = F.split_part(url, F.lit("#"), F.lit(1))
+    # Take the tail by POSITION of the first '://', not split_part:
+    # split_part splits at EVERY occurrence, so a URL embedding another
+    # absolute URL ('https://h/r?u=https://b.com', the redirect /
+    # web-archive shape) would be silently truncated at the second
+    # '://' and distinct pages would collide on one canonical string.
     rest = F.when(
         F.instr(nofrag, "://") > 0,
-        F.split_part(nofrag, F.lit("://"), F.lit(2)),
+        nofrag.substr(F.instr(nofrag, "://") + 3, F.length(nofrag)),
     ).otherwise(nofrag)
     auth = _authority(url)
     tail = rest.substr(F.length(auth) + 1, F.length(rest))

@@ -1157,6 +1157,16 @@ def test_url_normalize_and_registered_domain(spark):
          "localhost"),
         ("https://cdn.assets.web-corpus.net/a/B?x=Y",
          "https://cdn.assets.web-corpus.net/a/B?x=Y", "web-corpus.net"),
+        # r9 ADVICE: a URL embedding another absolute URL (redirect /
+        # web-archive shape) must keep its FULL tail — only the first
+        # '://' delimits the scheme. Distinct targets must not
+        # collide on one canonical string.
+        ("HTTPS://Redirect.Example.com/r?u=https://a.com/x",
+         "https://redirect.example.com/r?u=https://a.com/x",
+         "example.com"),
+        ("https://web.archive.org:443/web/2020/https://b.com/y#f",
+         "https://web.archive.org/web/2020/https://b.com/y",
+         "archive.org"),
     ]
     df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
     got = (

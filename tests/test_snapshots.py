@@ -570,6 +570,10 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                         v = store.merge_branch(name)
                         hist[v] = dict(brs[name]["head"])
                         retained.add(v)
+                        # fork base advances to the published merge:
+                        # the branch stays mergeable until the parent
+                        # diverges again (r9 ADVICE).
+                        brs[name]["fork"] = v
                     else:  # diverged parent: fast-forward refused
                         with pytest.raises(ConcurrentWriteError):
                             store.merge_branch(name)
@@ -1198,3 +1202,123 @@ def test_mor_delete_composes_with_stat_pruning(spark, tmp_path):
     data_files = [f for f in df.inputFiles() if "/p=" in f]
     assert data_files and all("/p=b/" in f for f in data_files), data_files
     assert _rows(df) == [(3, "b", 30)]
+
+
+def test_branch_merge_twice_after_more_commits(spark, tmp_path):
+    """r9 ADVICE: a successful merge advances the branch's fork base
+    to the published parent version, so a branch that keeps
+    committing can be merged AGAIN (previously the stale fork base
+    raised ConcurrentWriteError on every second merge even with no
+    interleaved writer). A genuinely diverged parent still refuses."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    br = store.create_branch("dev")
+    br.upsert(spark, _mk(spark, [(2, "a", 20)]), key_cols=["k"])
+    v1 = store.merge_branch("dev")
+    assert _rows(store.read(spark, version=v1)) == [(1, "a", 10), (2, "a", 20)]
+    # keep working on the SAME branch, merge again
+    br = store.branch("dev")
+    br.upsert(spark, _mk(spark, [(3, "b", 30)]), key_cols=["k"])
+    v2 = store.merge_branch("dev")
+    assert _rows(store.read(spark, version=v2)) == [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30)]
+    # a parent commit after the second merge re-diverges the branch
+    store.upsert(spark, _mk(spark, [(4, "a", 40)]), key_cols=["k"])
+    try:
+        store.merge_branch("dev")
+        raise AssertionError("diverged parent must still refuse")
+    except ConcurrentWriteError:
+        pass
+
+
+def test_mor_delete_changelog_with_padded_string_partitions(spark, tmp_path):
+    """r9 ADVICE: delete_where records touched partitions as RAW
+    manifest-key strings even when Spark's partition type inference
+    would re-render them ('00123'→'123') — otherwise the changelog's
+    MOR prune silently skips the partition and read_changes misses
+    the deleted rows."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "00123", 10), (2, "00123", 20), (3, "456", 30)]))
+    v = store.delete_where(spark, "val = 10")
+    doc = store._manifest_doc(v)
+    assert doc["deletes"][0]["partitions"] == ["00123"]
+    # (the read-back partition COLUMN renders through Spark's usual
+    # inference — 123/456 — which is vanilla parquet behavior; the
+    # exactness contract is on manifest keys and the changelog)
+    assert _rows(store.read(spark)) == [(2, 123, 20), (3, 456, 30)]
+    # the change feed between v1 and v2 must carry the deleted row
+    feed = store.read_change_feed(spark, 1, v, key_cols=["k"])
+    dels = [(r["k"], r["op"]) for r in feed.collect() if r["op"] == "D"]
+    assert dels == [(1, "D")]
+
+
+def test_redact_padded_string_partition_values(spark, tmp_path):
+    """Same inference hazard as delete_where, in redact: the rewrite
+    and the manifest repoint must use the RAW directory strings."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "00123", 10), (2, "00123", 20), (3, "456", 30)]))
+    keys = spark.createDataFrame([Row(k=1)])
+    n = store.redact(spark, ["k"], keys)
+    assert n == 1
+    assert _rows(store.read(spark)) == [(2, 123, 20), (3, 456, 30)]
+    # manifest keys stay raw; no dangling pointers
+    doc = store._manifest_doc(store.latest_version())
+    assert set(doc["partitions"]) == {"00123", "456"}
+
+
+def test_expectations_referential_null_fk_skipped(spark):
+    """r9 ADVICE: referential follows dbt/GE relationship semantics —
+    a NULL foreign key is SKIPPED, not a violation (pair with
+    not_null to fail nulls); and the internal alias must not collide
+    with a user column named ``_pk``."""
+    from karna_spark.operators.expectations import expectation_report
+
+    fact = spark.createDataFrame(
+        [Row(fk=1, _pk="user-col-a"), Row(fk=None, _pk="user-col-b"),
+         Row(fk=99, _pk="user-col-c")]
+    )
+    dim = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    rep = expectation_report(
+        fact,
+        [{"kind": "referential", "col": "fk", "dim": dim, "dim_col": "pk"},
+         {"kind": "not_null", "col": "fk"}],
+    ).collect()
+    by = {r["expectation"]: (r["violations"], r["total"], r["ok"]) for r in rep}
+    # only fk=99 violates referential; the NULL is skipped but counted
+    # in total; the NULL is caught by not_null instead
+    assert by["referential:fk"] == (1, 3, False)
+    assert by["not_null:fk"] == (1, 3, False)
+
+
+def test_mv_decimal_sums_exact(spark):
+    """r9 ADVICE: grouped_mv/apply_feed preserve DECIMAL scale — a
+    DECIMAL(18,2) cents column must not be truncated to whole units;
+    float sum columns are refused (retraction needs exact inverses)."""
+    from decimal import Decimal
+
+    import pytest
+
+    from karna_spark.operators.mv import apply_feed, grouped_mv
+
+    base = spark.createDataFrame(
+        [("a", Decimal("1.25")), ("a", Decimal("2.50")), ("b", Decimal("0.75"))],
+        "g string, amt decimal(18,2)",
+    )
+    mv = grouped_mv(base, ["g"], ["amt"])
+    got = {r["g"]: (r["mv_count"], r["amt_sum"]) for r in mv.collect()}
+    assert got == {"a": (2, Decimal("3.75")), "b": (1, Decimal("0.75"))}
+    feed = spark.createDataFrame(
+        [("a", Decimal("2.50"), "D"), ("b", Decimal("0.10"), "I"),
+         ("c", Decimal("9.99"), "I")],
+        "g string, amt decimal(18,2), op string",
+    )
+    out = {r["g"]: (r["mv_count"], r["amt_sum"])
+           for r in apply_feed(mv, feed, ["g"], ["amt"]).collect()}
+    assert out == {
+        "a": (1, Decimal("1.25")),
+        "b": (2, Decimal("0.85")),
+        "c": (1, Decimal("9.99")),
+    }
+    floats = spark.createDataFrame([("a", 1.5)], "g string, amt double")
+    with pytest.raises(TypeError, match="exact type"):
+        grouped_mv(floats, ["g"], ["amt"])
