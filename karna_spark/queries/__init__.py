@@ -60,84 +60,64 @@ from karna_spark.queries import (  # noqa: F401,E402
 #      added (precedent: the r8 retirement of the four rows-only
 #      dedup/similarity twins).
 #
-# Round 9 executes the r8 verdict's pre-planned rotation with the one
-# amendment rule 2(a) forces: the eight r9-born rows take the head, so
-# 40 (not 48) of the 49 r5-stale rows fit this round. The EDF
-# simulation proves the displaced nine (certified r5, deadline r10)
-# and everything behind them still meet their deadlines: r10 =
-# 9 r5 + 41 r6, r11 = 9 r6 + 41 r7, r12 = 9 r7 + 41 r8, … — a stable
-# 9-row ripple, never a breach. rotation_check.py verifies both the
-# instantaneous floor and that simulation; run it after any reorder.
+# Round 10 executes the r9 verdict's post-round reorder plus the first
+# rule-4 consolidation: 13 strictly-dominated queries retired (each
+# builder keeps a RETIRED docstring naming its dominating certified
+# superset — agg rollup/cube/having/distinct, NL count/topn/
+# docs_profile, join_cross, limit_offset_page, tumbling_window_agg,
+# sessionization, multimodal_frame_sampling, text_fingerprint), and
+# the rows-only BPE pair is replaced by one hash-certified query, so
+# N lands ~210 where floor stays 5 and steady-state demand is
+# ~42/50 per round. Head = (a) the r10-born rows, (b) the five
+# queries whose operators materially changed with the r9 ADVICE
+# fixes, (c) the 19 surviving r5-stale rows, then the oldest r6 rows
+# to fill 50. rotation_check.py verifies floor + EDF feasibility.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet: the eight r9-born rows — GraphQL
-    # variables+fragments (the wire shape every real client sends;
-    # the last declared-surface gap), three NL operator-backed
-    # intents (exact dedup, stratified sampling, BM25 top-k)
-    # dispatching the certified operator library, the
-    # certification-grade integer-exact PageRank (A35), the snapshot
-    # changelog read (S24), runtime bloom-filter join pruning
-    # (V8), and the watermarked stream-stream LEFT OUTER join (T15).
-    "frontend_graphql_variables", "frontend_nl_dedup_exact",
-    "frontend_nl_stratified_sample", "frontend_nl_bm25_topk",
-    "graph_pagerank_trade", "snapshot_changelog_read",
-    "join_runtime_bloom_filter", "streaming_left_outer_join",
-    # (a) continued — the second-sitting r9 rows: exact triangle
-    # counting (A36, the degree-oriented wedge join) and incremental
-    # MV maintenance from the CDF-shaped change feed (S25).
-    "graph_triangle_count", "snapshot_incremental_mv",
-    "sample_dsir_importance", "streaming_chained_windowed_agg",
-    "multimodal_video_frames", "window_percentile_cont",
-    "timeseries_ewma",
-    # (a) continued — the third-sitting r9 rows: merge-on-read
-    # position deletes (S27), URL/domain curation (F29), and the
-    # stream-static enrichment join (T18).
-    "snapshot_mor_delete_read", "text_url_domain_stats",
-    "streaming_static_enrich", "dq_expectations_wap",
-    "text_stupid_backoff_logprob",
-    # (c) the 2 r4-stale rows (displaced from the r8 head by the two
-    # late-r8 queries) — due this round or the floor breaks.
-    "text_quality", "text_token_counts",
-    # (c) the 40 oldest r5 rows in registry order. text_bm25_scores
-    # and sample_stratified_quota are also (b) — re-expressed through
-    # operators/retrieval.py and operators/sampling.py this round
-    # (qcheck-verified plan-equivalent) — and sit in this cohort
-    # anyway. TPC-H block first:
-    "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_items", "q4_order_priority",
-    "q7_volume_shipping", "q8_market_share",
-    "q9_product_type_profit",
-    "q12_shipping_delay_class",
-    "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_discounted_revenue",
-    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "q2_min_cost_supplier",
-    "q16_supplier_relation_count",
-    # (b) materially changed in r9: re-expressed through
-    # operators/retrieval.py and operators/sampling.py — certified
-    # this round, not left on their r5 rows.
-    "text_bm25_scores", "sample_stratified_quota",
-    "projection_expressions",
-    "filter_predicates", "distinct_projection",
-    "null_three_valued_logic", "join_star_counts", "join_left_outer",
-    "join_full_outer", "sessionization", "sessionization_salted",
+    # (a) no driver row yet — the r10-born rows (registered as they
+    # land this round; names listed ahead of implementation so the
+    # head stays stable): hash-certified BPE merge learning (F22
+    # upgrade), trained language-ID classifier (F31), image
+    # perceptual-hash dedup (J20), snapshot schema evolution (S28).
+    "text_bpe_merges_exact", "text_lang_id_classifier",
+    "dedup_image_phash", "snapshot_schema_evolution",
+    # (b) materially changed this round — the r9 ADVICE fixes touched
+    # their operators (urls tail-by-position, expectations NULL-FK
+    # semantics, mv decimal accumulators, delete_where raw partition
+    # keys, MOR broadcast threshold):
+    "text_url_domain_stats", "dq_expectations_wap",
+    "snapshot_incremental_mv", "snapshot_mor_delete_read",
+    "snapshot_changelog_read",
+    # (c) the 19 surviving r5-stale rows (deadline r10), registry
+    # order:
+    "join_left_outer", "join_full_outer", "sessionization_salted",
     "window_rolling_median", "session_window_agg", "asof_join_nearest",
-    "events_incremental_rollup",
-    # ---- 50-cap boundary (the cap falls after sessionization_salted
-    # above — verified by scripts/rotation_check.py): the displaced
-    # r5 rows below have deadline r10 and lead r10's (c) head, then
-    # the r6 cohort ----
-    "text_pii_redaction",
+    "events_incremental_rollup", "text_pii_redaction",
     "timeseries_gap_fill", "window_range_trailing",
-    "text_contamination_ngram",
-    "text_vocab_topk",
-    "dedup_clusters",
-    "frontend_nl_docs_profile",
-    "sink_partition_upsert",
-    "source_schema_evolution",
+    "text_contamination_ngram", "text_vocab_topk", "dedup_clusters",
+    "sink_partition_upsert", "source_schema_evolution",
     "sink_compaction", "streaming_stream_stream_join",
     "streaming_dedup_exact", "streaming_session_window",
+    # (c) the oldest r6 rows fill the remaining slots; whatever
+    # spills past 50 leads r11's (c) head:
+    "join_semi", "join_anti", "join_theta_range", "sort_multi_key",
+    "union_all_vs_distinct", "intersect_except", "join_fuzzy_entity",
+    "agg_statistical", "agg_percentiles", "agg_collect", "agg_pivot",
+    "window_ranking", "window_offsets", "window_running_aggs",
+    "window_topk_per_group", "asof_join_events", "datetime_functions",
+    "events_anomaly_mad", "events_funnel_conversion",
+    "string_functions", "array_functions", "json_functions",
+    "text_lang_id", "text_repetition_filter",
+    "sample_temperature_by_lang", "text_unigram_logprob",
+    "text_chunk_documents", "text_sequence_packing",
+    "pipeline_training_corpus", "dedup_exact_stats",
+    "dedup_minhash_lsh", "dedup_simhash_md5_pairs",
+    "dedup_semantic_assign", "dedup_semantic_keep",
+    "dedup_shared_ngrams", "vector_ops", "similarity_topk_bruteforce",
+    "similarity_lsh_recall", "similarity_ivf_recall",
+    "similarity_pq_recall", "frontend_graphql_filter_join",
+    "frontend_nl_dynamic_view", "frontend_graphql_dynamic_rel",
+    "source_time_travel", "streaming_foreachbatch_upsert",
+    "join_interval_overlap",
 )
 
 

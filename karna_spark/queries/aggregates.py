@@ -24,21 +24,10 @@ from karna_spark.queries.registry import register_query, table
 
 
 # ---------------------------------------------------------------- A3
-@register_query(
-    "agg_distinct",
-    oracle="""
-    SELECT
-      l_returnflag,
-      COUNT(DISTINCT l_suppkey) AS n_supp,
-      COUNT(DISTINCT l_partkey) AS n_part,
-      CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_qty
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    tags="A3 A1",
-)
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: distinct aggregates. Spark expands multiple DISTINCTs via
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by q16_supplier_relation_count + union_all_vs_distinct (A3 exact count-distinct in anchored query shapes). The builder stays for plan/bench/test surfaces.
+
+    A3: distinct aggregates. Spark expands multiple DISTINCTs via
     the Expand operator (one shuffle, n× row multiplication) — the
     scalable plan for multi-distinct."""
     li = table(spark, sf_dir, "lineitem")
@@ -141,19 +130,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- A7
-@register_query(
-    "agg_having",
-    oracle=f"""
-    SELECT l_suppkey, COUNT(*) AS n_items,
-           {sql_dsum("l_extendedprice", "supp_revenue")}
-    FROM lineitem
-    GROUP BY l_suppkey
-    HAVING COUNT(*) > 500
-    """,
-    tags="A7 A1",
-)
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: HAVING = filter over the aggregate output."""
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by q11_important_parts / q18_large_volume_customers (A7 HAVING inside certified TPC-H shapes). The builder stays for plan/bench/test surfaces.
+
+    A7: HAVING = filter over the aggregate output."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey")
@@ -166,19 +146,10 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- A8
-@register_query(
-    "agg_rollup",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           GROUPING(o_orderstatus, o_orderpriority) AS gid
-    FROM orders
-    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-    """,
-    tags="A8",
-)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: ROLLUP hierarchy (status, priority) → (status) → (); Spark's
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by agg_grouping_sets (ROLLUP is the GROUPING SETS shorthand; same Expand plan, superset semantics). The builder stays for plan/bench/test surfaces.
+
+    A8: ROLLUP hierarchy (status, priority) → (status) → (); Spark's
     Expand produces all granularities in one shuffle."""
     orders = table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -187,19 +158,10 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "agg_cube",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           {sql_dsum("l_quantity", "sum_qty")},
-           GROUPING(l_returnflag, l_linestatus) AS gid
-    FROM lineitem
-    GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-    tags="A8",
-)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: CUBE — all four granularities."""
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by agg_grouping_sets (CUBE is the GROUPING SETS shorthand; same Expand plan, superset semantics). The builder stays for plan/bench/test surfaces.
+
+    A8: CUBE — all four granularities."""
     li = table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),

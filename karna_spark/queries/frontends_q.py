@@ -214,31 +214,20 @@ def frontend_nl_join_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ask(spark, _NL_JOIN_AGG)
 
 
-@register_query(
-    "frontend_nl_count",
-    oracle=(
-        "SELECT o_orderstatus, COUNT(*) AS count FROM orders "
-        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
-    ),
-    tags="S6 A1",
-)
 def frontend_nl_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NL front-end, count form ('count of T by Y')."""
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by frontend_nl_aggregate (the count intent is a strict subset of its translation path). The builder stays for plan/bench/test surfaces.
+
+    NL front-end, count form ('count of T by Y')."""
     from karna_spark.frontends.nl import ask
 
     _fixtures(spark, sf_dir)
     return ask(spark, _NL_COUNT)
 
 
-@register_query(
-    "frontend_nl_topn",
-    oracle=(
-        "SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 15"
-    ),
-    tags="S6 O1 O3",
-)
 def frontend_nl_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NL front-end, top-N form — unique-key tie-break keeps the page
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by frontend_nl_bm25_topk + frontend_nl_aggregate (top-k intent with scoring, superset translation). The builder stays for plan/bench/test surfaces.
+
+    NL front-end, top-N form — unique-key tie-break keeps the page
     deterministic at any parallelism; plans as TakeOrderedAndProject."""
     from karna_spark.frontends.nl import ask
 
@@ -295,16 +284,10 @@ def frontend_graphql_nested_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "frontend_nl_docs_profile",
-    oracle=(
-        "SELECT source, AVG(n_chars) AS avg_n_chars FROM documents "
-        "GROUP BY source ORDER BY source"
-    ),
-    tags="S6 A1 F9",
-)
 def frontend_nl_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NL front-end over the corpus table: 'average n_chars by source
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by frontend_nl_aggregate + frontend_nl_dynamic_view (NL) and profile_table_stats (A19 profiling). The builder stays for plan/bench/test surfaces.
+
+    NL front-end over the corpus table: 'average n_chars by source
     in documents' — shows the translator is table-generic (the grammar
     resolves any registered table's vocabulary, not just TPC-H).
     Integer sums divide exactly, so the avg is cross-engine stable."""

@@ -281,18 +281,10 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- J5
-@register_query(
-    "join_cross",
-    oracle="""
-    SELECT r_name, s.o_orderstatus, COUNT(*) AS n_pairs
-    FROM region
-    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
-    GROUP BY r_name, s.o_orderstatus
-    """,
-    tags="J5 P3 A1",
-)
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: explicit Cartesian product of two tiny relations. Cross joins
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by similarity_topk_bruteforce (J5 cross product as broadcast NLJ — the plan you want at scale). The builder stays for plan/bench/test surfaces.
+
+    J5: explicit Cartesian product of two tiny relations. Cross joins
     are only ever sane when at least one side is broadcast-small — this
     one is 5×3."""
     region = table(spark, sf_dir, "region")
@@ -355,18 +347,10 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- O2
-@register_query(
-    "limit_offset_page",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    ORDER BY o_orderkey
-    LIMIT 50 OFFSET 100
-    """,
-    tags="O2",
-)
 def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2: pagination (the web-UI idiom, reference README.md:2 "web
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by sink_result_page (O2 keyset + offset pagination against a sink, superset) + q3 (O2). The builder stays for plan/bench/test surfaces.
+
+    O2: pagination (the web-UI idiom, reference README.md:2 "web
     interface"). Ordered by unique key so the page is stable."""
     return (
         table(spark, sf_dir, "orders")

@@ -137,29 +137,10 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "text_fingerprint",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(ws) >= 3 THEN
-               list_distinct(list_transform(generate_series(1, len(ws)-2),
-                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-             ELSE [text] END AS shingles,
-             text
-      FROM w
-    )
-    SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_exact,
-           md5(array_to_string(list_sort(list_transform(shingles, s -> md5(s)))[1:5], ''))
-             AS fp_winnow
-    FROM sh
-    """,
-    tags="F9 F7",
-)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9/F7: document fingerprints — exact (normalized md5) and
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by text_duplicate_span_scrub / text_intradoc_span_dedup (rolling-hash fingerprints at span grain, superset machinery). The builder stays for plan/bench/test surfaces.
+
+    F9/F7: document fingerprints — exact (normalized md5) and
     edit-robust (min-5 shingle-hash winnowing)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
@@ -243,28 +224,10 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "multimodal_frame_sampling",
-    oracle="""
-    WITH m AS (
-      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
-      FROM documents WHERE doc_id % 25 = 0
-    ),
-    offs AS (
-      SELECT doc_id, n_bytes,
-             list_slice(generate_series(0, CAST(greatest(n_bytes - 1, 0) AS BIGINT), 64),
-                        1, 4) AS o
-      FROM m
-    )
-    SELECT doc_id AS item_id, n_bytes,
-           CAST(generate_subscripts(o, 1) - 1 AS INT) AS frame_idx,
-           CAST(unnest(o) AS INT) AS byte_offset
-    FROM offs
-    """,
-    tags="U2 F4",
-)
 def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: 1→N frame-sampling expansion (posexplode of stride
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by multimodal_video_frames (V9 real container frame extraction) + multimodal_decode_pipeline (U2/U3). The builder stays for plan/bench/test surfaces.
+
+    Multimodal: 1→N frame-sampling expansion (posexplode of stride
     offsets) — the row-shape video pipelines need, fully JVM-side. The
     oracle regenerates the same stride offsets from the payload length."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
@@ -1170,12 +1133,128 @@ def _bpe_merge_count() -> int:
     return int(os.environ.get("KARNA_BPE_MERGES", "20"))
 
 
+def _bpe_cte_oracle(k: int) -> str:
+    """DuckDB chained-CTE replay of ``learn_bpe`` at ``k`` merges: the
+    same word-frequency table, the same deterministic argmax
+    (count desc, then lexicographic), and the same greedy
+    left-to-right merge fold — expressed as k chained
+    pair-count/argmax/merge CTE triples, so the oracle re-derives the
+    merge table INDEPENDENTLY instead of replaying Spark's answer
+    (the A35 PageRank chained-CTE pattern). The fold uses
+    list_reduce over single-element lists (list_reduce seeds the
+    accumulator with the first element, so lifting symbols to
+    1-lists keeps accumulator and element types aligned)."""
+    parts = ["""
+    w0 AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM w0 WHERE w <> '' GROUP BY 1
+    ),
+    s0 AS (
+      SELECT w, freq,
+             list_append(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)),
+                         '</w>') AS syms
+      FROM wf
+    )"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT syms[j] AS a, syms[j+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM s{i-1}, unnest(generate_series(1, len(syms) - 1)) t(j)
+      WHERE len(syms) >= 2
+      GROUP BY 1, 2
+    ),
+    b{i} AS (
+      SELECT {i-1} AS merge_idx, a, b, cnt
+      FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{i} AS (
+      SELECT w, freq,
+        list_reduce(
+          list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = bi.a
+                                AND x[1] = bi.b
+                      THEN list_concat(acc[1:len(acc)-1], [bi.a || bi.b])
+                      ELSE list_concat(acc, x) END
+        ) AS syms
+      FROM s{i-1}, b{i} bi
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT merge_idx, a AS left_sym, b AS right_sym, a || b AS merged,"
+        f" cnt AS pair_freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f""",
+    m AS ({union}),
+    tot AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS total_words,
+             CAST(SUM(freq * len(syms)) AS BIGINT) AS total_bpe_tokens
+      FROM s{k}
+    )
+    SELECT m.merge_idx, m.left_sym, m.right_sym, m.merged, m.pair_freq,
+           tot.total_words, tot.total_bpe_tokens
+    FROM m, tot"""
+    )
+
+
+_BPE_EXACT_K = 8
+
+
 @register_query(
-    "text_bpe_merges",
+    "text_bpe_merges_exact",
+    oracle=_bpe_cte_oracle(_BPE_EXACT_K),
     tags="F9 F22",
 )
+def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22, hash-certified (r10 — upgrades the retired rows-only
+    text_bpe_merges/text_bpe_token_stats pair): byte-pair-encoding
+    merge learning (Sennrich 2016) at k=8 merges, certified against a
+    DuckDB chained-CTE replay that re-derives every merge
+    independently — pair counts, the deterministic argmax (count desc
+    then lexicographic), the greedy left-to-right fold, AND the
+    applied tokenization (total_words / total_bpe_tokens after all 8
+    merges ride on every row), so a wrong fold, tie-break, or count
+    anywhere in the loop breaks the hash. Engine shape (operators/
+    bpe.py:learn_bpe): one corpus pass builds the (word, freq) frame;
+    each merge is ONE distributed pair-count aggregate over the
+    |vocab| frame plus a 1-row argmax collect; the merge is a JVM-side
+    F.aggregate fold — |vocab|-scale forever, corpus-scale once,
+    unchanged at 100 TB. k is a literal (not the env knob): the oracle
+    text must replay exactly this many merges."""
+    from karna_spark.operators.bpe import learn_bpe, word_frequencies
+
+    wf = word_frequencies(table(spark, sf_dir, "documents"))
+    merges, syms = learn_bpe(
+        wf, num_merges=_BPE_EXACT_K, return_symbols=True
+    )
+    mdf = spark.createDataFrame(
+        merges,
+        "merge_idx int, left_sym string, right_sym string, "
+        "merged string, pair_freq bigint",
+    )
+    stats = syms.agg(
+        F.sum("freq").cast("bigint").alias("total_words"),
+        F.sum(F.col("freq") * F.size("syms"))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+    )
+    out = mdf.crossJoin(F.broadcast(stats))
+    out._karna_persisted = getattr(syms, "_karna_persisted", [])  # type: ignore[attr-defined]
+    return out
+
+
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F22: REAL byte-pair-encoding merge learning over the corpus
+    """RETIRED from the driver registry (r10 consolidation): was
+    rows-only; superseded by the HASH-CERTIFIED ``text_bpe_merges_exact``
+    (k=8 chained-CTE oracle replay). Builder stays for pytest
+    differential + env-knob production use.
+
+    F22: REAL byte-pair-encoding merge learning over the corpus
     (Sennrich 2016) — one corpus pass builds the word-frequency table,
     then each merge is one distributed pair-count aggregate over the
     |vocab| frame plus a 1-row argmax collect; the merge itself is a
@@ -1197,12 +1276,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "text_bpe_token_stats",
-    tags="F9 F22",
-)
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F22 applied: tokenize the corpus with the LEARNED BPE merges —
+    """RETIRED from the driver registry (r10 consolidation): was
+    rows-only; the applied-tokenization totals are hash-certified
+    inside ``text_bpe_merges_exact`` now. Builder stays for tests.
+
+    F22 applied: tokenize the corpus with the LEARNED BPE merges —
     the word→token-count lookup is the trainer's final symbol frame
     (every vocabulary word's tokenization falls out of training for
     free), so corpus tokenization is one (lang, word) aggregate joined

@@ -19,20 +19,10 @@ from karna_spark.queries.registry import register_query, table
 
 
 # ---------------------------------------------------------------- T1
-@register_query(
-    "tumbling_window_agg",
-    oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    tags="T1 A1 F3",
-)
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1: 1-hour tumbling windows — `F.window` (the same operator
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by sliding_window_agg (tumbling = sliding with slide == width) + events_incremental_rollup (T1). The builder stays for plan/bench/test surfaces.
+
+    T1: 1-hour tumbling windows — `F.window` (the same operator
     Structured Streaming uses) grouped with event_type. Plain hash
     aggregation: partial per partition, one shuffle on (window, type)."""
     ev = table(spark, sf_dir, "events")

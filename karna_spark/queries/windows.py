@@ -152,34 +152,10 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- W5
-@register_query(
-    "sessionization",
-    oracle="""
-    WITH tagged AS (
-      SELECT user_id, ts,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                         OVER (PARTITION BY user_id ORDER BY ts)
-                       > 1800000000
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-    ),
-    sessions AS (
-      SELECT user_id,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM tagged
-    )
-    SELECT user_id,
-           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
-           COUNT(*) AS n_events
-    FROM sessions
-    GROUP BY user_id
-    """,
-    tags="W5",
-)
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: gap-based sessions (30 min) via the lag→flag→running-sum
+    """RETIRED from the driver registry (r10 consolidation): strictly dominated by sessionization_salted (same gap semantics; its oracle IS the plain ground truth, plus skew salting). The builder stays for plan/bench/test surfaces.
+
+    W5: gap-based sessions (30 min) via the lag→flag→running-sum
     idiom (karna_spark.operators.sessionize), rolled up per user."""
     ev = table(spark, sf_dir, "events")
     stats = session_stats(ev, "user_id", "ts", gap_seconds=1800)

@@ -38,10 +38,9 @@ SF = "/root/testdata/sf0.001"
 # the sliding-window row multiplication; anywhere else it is almost
 # always an accidentally-planned multi-distinct (the Q21 bug class).
 EXPAND_OK = {
-    "agg_cube",            # A8: CUBE semantics
-    "agg_rollup",          # A8: ROLLUP semantics
-    "agg_grouping_sets",   # A8: GROUPING SETS semantics
-    "agg_distinct",        # A3: multi-column distinct aggregate, one pass
+    "agg_grouping_sets",   # A8: GROUPING SETS semantics (r10: the
+                           # retired rollup/cube shorthands are
+                           # dominated by this row)
     "profile_table_stats", # A23: multi-countDistinct profile, one scan
     "sliding_window_agg",  # T2: overlapping windows duplicate rows by design
     "unpivot_melt",        # P6: melt = Expand by construction
@@ -50,8 +49,8 @@ EXPAND_OK = {
 # Every adjudicated BroadcastNestedLoopJoin is a crossJoin(broadcast(X))
 # where X is a ≤|groups|-row aggregate (corpus stats, quantile cuts,
 # recall denominators) — a scalar/metadata broadcast, not a data-scale
-# nested loop. join_cross is the J6 coverage query (cross join IS the
-# semantics).
+# nested loop. (join_cross, the one true-Cartesian entry, was retired
+# in the r10 consolidation — no registered query plans a Cartesian.)
 BNLJ_OK = {
     "agg_hll_mergeable_rollup",      # 1-row exact-count comparison side
     "agg_kll_quantile_rollup",       # 1-row exact-quantile comparison side
@@ -64,7 +63,6 @@ BNLJ_OK = {
     "events_session_length_histogram",  # 1-row session-count denominator
     "frontend_nl_bm25_topk",         # 1-row (N, avgdl) corpus stats (r9)
     "graph_pagerank_trade",          # 1-row node-count base scalar (r9)
-    "join_cross",                    # J6: cross join is the semantics
     "q11_important_parts",           # 1-row global value threshold
     "q22_global_sales_opportunity",  # 1-row avg acctbal scalar
     "sample_dsir_importance",        # 1-row (t_total, r_total) corpus totals (r9b)

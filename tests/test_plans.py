@@ -86,8 +86,12 @@ def test_topk_uses_window_group_limit(spark):
 
 def test_top_n_plans_take_ordered(spark):
     # ORDER BY + LIMIT fuses to TakeOrderedAndProject: no global sort.
-    plan = plan_of(spark, "frontend_nl_topn", mode="simple")
-    assert "TakeOrderedAndProject" in plan
+    # (frontend_nl_topn was retired in the r10 consolidation; the NL
+    # top-k intent now plans through frontend_nl_bm25_topk, and q3 is
+    # the classic ORDER+LIMIT shape.)
+    for name in ("frontend_nl_bm25_topk", "q3_shipping_priority"):
+        plan = plan_of(spark, name, mode="simple")
+        assert "TakeOrderedAndProject" in plan, name
 
 
 def test_partition_pruning(spark):
@@ -183,6 +187,7 @@ _SLOW_BUILDERS = {
     "dedup_cluster_keep_best",  # iterative CC fixpoint at build
     # posting-gram cache barrier (one count) pins the shared explosion
     "dedup_shared_ngrams", "dedup_containment",
+    "text_bpe_merges_exact",  # trains 8 merges (1 job each) at build
 }
 
 
@@ -193,8 +198,9 @@ def test_no_rowwise_python_in_hot_path(spark, name):
     plan = plan_of(spark, name, mode="simple")
     if name not in _PYTHON_OK:
         assert "BatchEvalPython" not in plan, name
-    if name != "join_cross":
-        assert "CartesianProduct" not in plan, name
+    # join_cross (the one true-Cartesian query) was retired in r10:
+    # NO registered query may plan a CartesianProduct.
+    assert "CartesianProduct" not in plan, name
 
 
 def test_lsh_plan_build_runs_no_jobs(spark):
