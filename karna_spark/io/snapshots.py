@@ -166,6 +166,7 @@ class SnapshotStore:
         base_version: int | None = None,
         stats: dict[str, dict[str, list]] | None = None,
         deletes: list[dict] | None = None,
+        colmap: dict[str, str] | None = None,
     ) -> None:
         """Publish manifest ``v``. When ``base_version`` is given the
         publish is CAS-style (Iceberg's commit validation): the
@@ -186,6 +187,10 @@ class SnapshotStore:
             )
         tmp = self._mpath(v) + ".tmp"
         doc = {"version": v, "partitions": partitions}
+        if colmap is not None:
+            # presence (even {}) marks an evolved table: reads project
+            # the manifest's LOGICAL schema through this mapping
+            doc["colmap"] = colmap
         if stats is not None:
             doc["stats"] = stats
         if schema_json is not None:
@@ -363,6 +368,19 @@ class SnapshotStore:
         return stats
 
     @staticmethod
+    def _to_physical(df: DataFrame, colmap: dict[str, str] | None) -> DataFrame:
+        """Rename LOGICAL columns to their stable PHYSICAL names
+        before a data write (S28 schema evolution: physical names
+        never change after first write — renames are metadata-only,
+        added columns get version-suffixed physical names — so every
+        data file in the store stays readable under one mapping)."""
+        if not colmap:
+            return df
+        return df.select(
+            *[F.col(c).alias(colmap.get(c, c)) for c in df.columns]
+        )
+
+    @staticmethod
     def _affected_values(delta: DataFrame, pc: str) -> list[str]:
         vals = [r[0] for r in delta.select(pc).distinct().collect()]
         if any(v is None for v in vals):
@@ -434,7 +452,8 @@ class SnapshotStore:
         )
         keep = existing.join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(delta)
-        written = self._write(merged, v)
+        cm = self._manifest_doc(prev_v).get("colmap")
+        written = self._write(self._to_physical(merged, cm), v)
         manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
         manifest.update({a: v for a in written})
         self._publish(
@@ -446,6 +465,7 @@ class SnapshotStore:
             deletes=self._carry_deletes(
                 self._manifest_doc(prev_v), set(affected)
             ),
+            colmap=cm,
         )
         return v
 
@@ -481,7 +501,8 @@ class SnapshotStore:
         keep = existing.join(changes.select(*key_cols).distinct(), key_cols, "left_anti")
         upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
         merged = keep.unionByName(upserts)
-        written = self._write(merged, v)
+        cm = self._manifest_doc(prev_v).get("colmap")
+        written = self._write(self._to_physical(merged, cm), v)
         manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
         manifest.update({a: v for a in written})
         self._publish(
@@ -493,6 +514,7 @@ class SnapshotStore:
             deletes=self._carry_deletes(
                 self._manifest_doc(prev_v), set(affected)
             ),
+            colmap=cm,
         )
         return v
 
@@ -575,6 +597,7 @@ class SnapshotStore:
             base_version=prev_v,
             stats=prev_doc.get("stats"),
             deletes=deletes or None,
+            colmap=prev_doc.get("colmap"),
         )
         return v
 
@@ -627,7 +650,10 @@ class SnapshotStore:
             )
         v = self._claim_version()
         df = self.read(spark, version=prev_v, partition_values=vals)
-        packed = df.repartition(len(vals), F.col(self.pc))
+        cm = self._manifest_doc(prev_v).get("colmap")
+        packed = self._to_physical(
+            df.repartition(len(vals), F.col(self.pc)), cm
+        )
         written = self._write(packed, v, order_by=order_by)
         manifest = {k: pv for k, pv in prev.items() if k not in set(vals)}
         manifest.update({a: v for a in written})
@@ -639,8 +665,101 @@ class SnapshotStore:
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
             deletes=self._carry_deletes(self._manifest_doc(prev_v), set(vals)),
+            colmap=cm,
         )
         return v
+
+    # --------------------------------------- schema evolution (S28)
+    def _evolved_doc(self) -> tuple[int, dict, "StructType", dict]:
+        prev_v = self.latest_version()
+        if prev_v == 0:
+            raise ValueError("schema evolution needs a published version")
+        doc = self._manifest_doc(prev_v)
+        if doc.get("schema") is None:
+            raise ValueError("manifest carries no schema to evolve")
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        cm = dict(doc.get("colmap") or {c.name: c.name for c in schema.fields})
+        return prev_v, doc, schema, cm
+
+    def _publish_evolution(
+        self, v: int, prev_v: int, doc: dict, schema: "StructType", cm: dict
+    ) -> int:
+        self._publish(
+            v,
+            dict(doc["partitions"]),
+            schema_json=schema.json(),
+            base_version=prev_v,
+            stats=doc.get("stats"),
+            deletes=doc.get("deletes"),
+            colmap=cm,
+        )
+        return v
+
+    def add_column(self, name: str, dtype) -> int:
+        """S28: add a nullable column — METADATA-ONLY (Iceberg
+        ``ALTER TABLE ADD COLUMN``): publishes a new version whose
+        pointers are a copy of the base; no data file is touched.
+        Files written before this version read NULL for the column.
+        The PHYSICAL name is version-suffixed (``name__v<N>``), the
+        field-ID-lite trick: a column dropped and later re-added under
+        the same logical name can never resurrect stale bytes from old
+        files, because the new physical name never collided with
+        anything ever written. ``dtype`` is a pyspark DataType."""
+        prev_v, doc, schema, cm = self._evolved_doc()
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        v = self._claim_version()  # claimed first: the suffix is unique
+        phys = f"{name}__v{v}"
+        schema = StructType(
+            schema.fields + [StructField(name, dtype, True)]
+        )
+        cm[name] = phys
+        return self._publish_evolution(v, prev_v, doc, schema, cm)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """S28: rename a column — METADATA-ONLY. The physical name in
+        every existing (and future) data file stays the OLD name; only
+        the logical→physical mapping changes, so the rename costs one
+        manifest write on a 100 TB table and time travel still serves
+        each version under the schema it was published with."""
+        prev_v, doc, schema, cm = self._evolved_doc()
+        if old == self.pc:
+            raise ValueError("cannot rename the partition column")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cm[new] = cm.pop(old)
+        schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._publish_evolution(
+            self._claim_version(), prev_v, doc, schema, cm
+        )
+
+    def drop_column(self, name: str) -> int:
+        """S28: drop a column — METADATA-ONLY (a logical projection
+        change; the bytes stay in old files, invisible from this
+        version on, still served by time travel to prior versions).
+        The physical name is retired forever: add_column never reuses
+        one, so a later re-add cannot resurrect the dropped values."""
+        prev_v, doc, schema, cm = self._evolved_doc()
+        if name == self.pc:
+            raise ValueError("cannot drop the partition column")
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r}")
+        cm.pop(name, None)
+        schema = StructType([f for f in schema.fields if f.name != name])
+        return self._publish_evolution(
+            self._claim_version(), prev_v, doc, schema, cm
+        )
 
     def read_changes(
         self,
@@ -844,6 +963,12 @@ class SnapshotStore:
         # fork), so they are probed, repointed, and republished in the
         # same pass — otherwise a redacted dir's removal would leave a
         # branch manifest dangling (and the erased rows readable).
+        cm_red = self._manifest_doc(self.latest_version()).get("colmap")
+        if cm_red:
+            keys = keys.select(
+                *[F.col(c).alias(cm_red.get(c, c)) for c in keys.columns]
+            )
+            key_cols = [cm_red.get(c, c) for c in key_cols]
         stores: list[SnapshotStore] = [self] + [
             self.branch(n) for n in self.branches()
         ]
@@ -1086,6 +1211,7 @@ class SnapshotStore:
             base_version=br._branch_meta["fork_base"],
             stats=doc.get("stats"),
             deletes=doc.get("deletes"),
+            colmap=doc.get("colmap"),
         )
         meta_path = os.path.join(self._bdir(name), "meta.json")
         with open(meta_path) as fh:
@@ -1258,18 +1384,22 @@ class SnapshotStore:
         v = self.latest_version() if version is None else version
         doc = self._manifest_doc(v)
         manifest = doc["partitions"]
+        cm = doc.get("colmap")
         if partition_values is not None:
             manifest = {k: manifest[k] for k in partition_values}
         if where is not None:
             wcol, lo, hi = where
+            # stats are keyed by PHYSICAL column names (computed from
+            # the written footers); translate a logical where-column
+            wphys = (cm or {}).get(wcol, wcol)
             st = doc.get("stats", {})
             manifest = {
                 val: pv
                 for val, pv in manifest.items()
                 if not (
                     val in st
-                    and wcol in st[val]
-                    and (st[val][wcol][0] > hi or st[val][wcol][1] < lo)
+                    and wphys in st[val]
+                    and (st[val][wphys][0] > hi or st[val][wphys][1] < lo)
                 )
             }
         dirs = [
@@ -1292,11 +1422,14 @@ class SnapshotStore:
                 )
             out = spark.createDataFrame([], schema)
         else:
-            out = (
-                spark.read.option("basePath", self.data)
-                .parquet(*dirs)
-                .drop("v")
-            )
+            reader = spark.read.option("basePath", self.data)
+            if cm is not None:
+                # evolved table: files written before an add_column
+                # lack the new physical column — merge footer schemas
+                # so the scan exposes the union (footer-scale cost,
+                # only paid once the table has actually evolved)
+                reader = reader.option("mergeSchema", "true")
+            out = reader.parquet(*dirs).drop("v")
             dels = doc.get("deletes", [])
             if dels:
                 ddirs = [self._ddir(e["id"]) for e in dels]
@@ -1320,6 +1453,21 @@ class SnapshotStore:
                 if dbytes <= self.BROADCAST_DELETES_MAX_BYTES:
                     ddf = F.broadcast(ddf)
                 out = out.join(ddf, ["_rv", "_rid"], "left_anti")
+            if cm is not None:
+                # project the manifest's LOGICAL schema through the
+                # physical mapping: renamed columns come back under
+                # their current logical name, added columns read NULL
+                # from files that predate them, dropped columns vanish
+                schema = StructType.fromJson(json.loads(doc["schema"]))
+                scan_cols = set(out.columns)
+                proj = []
+                for f in schema.fields:
+                    phys = cm.get(f.name, f.name)
+                    if phys in scan_cols:
+                        proj.append(F.col(phys).alias(f.name))
+                    else:
+                        proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+                out = out.select(*proj, "_rv", "_rid")
             if not _keep_hidden:
                 out = out.drop("_rv", "_rid")
         if where is not None:

@@ -407,3 +407,153 @@ def video_frame_features(df: DataFrame, stride: int = 3) -> DataFrame:
     return df.select("item_id", "media").mapInPandas(
         extract, VIDEO_FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------- perceptual hash
+def encode_ppm_pixels(width: int, height: int, gray: list[int]) -> bytes:
+    """Binary PPM (P6) from a per-pixel grayscale array (r=g=b)."""
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + bytes(v for px in gray for v in (px, px, px))
+
+
+def patterned_gray(item_id: int, n_pixels: int = 256) -> list[int]:
+    """Deterministic per-item 16×16 grayscale pattern with planted
+    near-duplicates: items sharing ``item_id // 3`` get the same base
+    pattern, and the variant ``item_id % 3`` perturbs a different
+    sparse pixel subset — so same-group images land within a small
+    Hamming distance of each other's perceptual hash while different
+    groups diverge. The arithmetic is mirrored closed-form by the
+    ``dedup_image_phash`` oracle; change one side and the hash
+    breaks."""
+    g, k = item_id // 3, item_id % 3
+    out = []
+    for p in range(n_pixels):
+        base = ((g + 1) * (p + 3) * 131 + g * p * p * 7) % 256
+        bump = 9 if (p + k) % 53 == 0 else 0
+        out.append((base + bump) % 256)
+    return out
+
+
+def synthesize_patterned_image_df(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a patterned 16×16 PPM ``media`` column per id (fixture
+    generation — the testdata tables carry no real image bytes)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col],
+                    "media": [
+                        encode_ppm_pixels(16, 16, patterned_gray(int(i)))
+                        for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, "item_id bigint, media binary")
+
+
+def image_ahash64(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over decoded image bytes: parse the PPM
+    P6 container, integer-grayscale each pixel ((r+g+b)//3), sum
+    pixels into a ``grid × grid`` block partition, and set bit j iff
+    block_sum_j · grid² > total_sum (strictly — ties are 0), packing
+    the bits into one signed 64-bit value. ALL-INTEGER arithmetic, so
+    the hash is exactly reproducible by closed-form SQL and immune to
+    float rounding across platforms.
+
+    Arrow-batched ``mapInPandas``: bytes stay executor-side, one
+    output row per image — the same plumbing contract as
+    ``decode_media``/``video_frame_features``. Compressed codecs would
+    slot in at the parse step; unsupported magic raises rather than
+    guessing. Requires width and height divisible by ``grid``."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["media"]):
+                b = bytes(payload)
+                if not b.startswith(b"P6"):
+                    raise ValueError("image_ahash64: unsupported magic")
+                # header: P6 <w> <h> <maxval>\n then raw RGB
+                parts = b.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                px = np.frombuffer(parts[3], dtype=np.uint8)[: w * h * 3]
+                gray = (
+                    px.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+                )
+                if w % grid or h % grid:
+                    raise ValueError("image_ahash64: dims not divisible")
+                bh, bw = h // grid, w // grid
+                sums = gray.reshape(grid, bh, grid, bw).sum(axis=(1, 3))
+                total = int(sums.sum())
+                bits = (sums.flatten() * grid * grid) > total
+                hval = 0
+                for j, bit in enumerate(bits):
+                    if bit:
+                        hval |= 1 << j
+                if hval >= 1 << 63:  # two's-complement wrap to signed
+                    hval -= 1 << 64
+                ids.append(int(item_id))
+                hashes.append(hval)
+            yield pd.DataFrame({"item_id": ids, "ahash": hashes})
+
+    return df.mapInPandas(kernel, "item_id bigint, ahash bigint")
+
+
+def ahash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6, band_bits: int = 10
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join — the SimHash
+    pigeonhole: two hashes within ``max_hamming`` of each other must
+    agree exactly on at least one of ceil(64 / band_bits) bit bands
+    (7 bands of ≤10 bits at the defaults tolerate up to 6 differing
+    bits), so candidates surface from |bands| EQUI-joins on
+    (band_idx, band_value) instead of an all-pairs scan, then the
+    exact popcount filter keeps true pairs. Scale: candidate volume
+    ∝ band-bucket occupancy, never |items|²."""
+    from karna_spark.operators.dedup import hamming64
+
+    n_bands = (64 + band_bits - 1) // band_bits
+    assert (n_bands - 1) >= max_hamming, "bands must exceed max_hamming"
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col("item_id"),
+        F.col("ahash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("item_id", "ahash", "bv.band", "bv.val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(
+            F.col("a.item_id").alias("id_a"),
+            F.col("b.item_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("ha"), F.col("hb")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1060,3 +1060,123 @@ def snapshot_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mv_count").alias("n_customers"),
         F.round(F.col("cents_sum") / 100.0, 2).alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------- S28
+@register_query(
+    "snapshot_schema_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    sub AS (
+      SELECT k + 10000000 AS k, o_year, (k + 10000000) % 97 AS val,
+             CASE WHEN k % 20 = 0 THEN 'web' ELSE 'api' END AS channel
+      FROM base WHERE o_year = 1995 AND k % 10 = 0
+    ),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv
+          FROM base),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv
+          FROM sub)
+    SELECT 'v1' AS snapshot, b.n AS n_rows, b.sk AS sum_keys,
+           b.sv AS sum_val, CAST(NULL AS BIGINT) AS n_channel_set,
+           'k,o_year,val' AS cols
+    FROM b
+    UNION ALL
+    SELECT 'v2', b.n, b.sk, b.sv, CAST(0 AS BIGINT), 'channel,k,o_year,val'
+    FROM b
+    UNION ALL
+    SELECT 'v3', b.n + s.n, b.sk + s.sk, b.sv + s.sv, s.n,
+           'channel,k,o_year,val'
+    FROM b, s
+    UNION ALL
+    SELECT 'v4', b.n + s.n, b.sk + s.sk, b.sv + s.sv, s.n,
+           'channel,k,o_year,val_renamed'
+    FROM b, s
+    UNION ALL
+    SELECT 'v5', b.n + s.n, b.sk + s.sk, b.sv + s.sv,
+           CAST(NULL AS BIGINT), 'k,o_year,val_renamed'
+    FROM b, s
+    """,
+    tags="S28",
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28: snapshot-layer schema evolution — Iceberg's ALTER TABLE
+    family as METADATA-ONLY commits on the store (io/snapshots.py:
+    add_column/rename_column/drop_column). v1 commits orders keyed by
+    year; v2 ADDS a nullable channel column (zero data files touched —
+    old files read NULL); v3 upserts new rows that actually carry the
+    column; v4 RENAMES the value column (pure logical→physical
+    mapping flip: every existing file keeps its old physical name);
+    v5 DROPS channel (logical projection change; time travel to
+    v2–v4 still serves it, and the version-suffixed physical names
+    mean a later re-add can never resurrect the dropped bytes).
+    Each snapshot is fingerprinted — row count, exact key/value sums,
+    how many rows have the added column set, and the SORTED column
+    list — and the oracle derives all five fingerprints from the base
+    table alone, so the hash certifies the mapping layer end to end:
+    NULL back-fill, rename invisibility, drop projection, and
+    per-version schema under time travel. At 100 TB every one of the
+    three DDL ops is one manifest write; the r10 pytest also proves
+    compaction, MOR deletes on renamed columns, and redact all
+    compose with the mapping."""
+    import shutil
+
+    from pyspark.sql.types import StringType
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_schema_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                   # v1
+    store.add_column("channel", StringType())            # v2
+    delta = base.filter(
+        (F.col("o_year") == 1995) & (F.col("k") % 10 == 0)
+    ).select(
+        (F.col("k") + 10000000).alias("k"),
+        "o_year",
+        ((F.col("k") + 10000000) % 97).alias("val"),
+        F.when(F.col("k") % 20 == 0, F.lit("web"))
+        .otherwise(F.lit("api"))
+        .alias("channel"),
+    )
+    store.upsert(spark, delta, key_cols=["k"])           # v3
+    store.rename_column("val", "val_renamed")            # v4
+    store.drop_column("channel")                         # v5
+
+    out = None
+    for v in (1, 2, 3, 4, 5):
+        df = store.read(spark, version=v)
+        vcol = "val_renamed" if "val_renamed" in df.columns else "val"
+        ch = (
+            F.sum(F.col("channel").isNotNull().cast("bigint")).cast("bigint")
+            if "channel" in df.columns
+            else F.lit(None).cast("bigint")
+        )
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum(vcol).cast("bigint").alias("sum_val"),
+            ch.alias("n_channel_set"),
+        ).select(
+            F.lit(f"v{v}").alias("snapshot"),
+            "n_rows",
+            "sum_keys",
+            "sum_val",
+            "n_channel_set",
+            F.lit(",".join(sorted(df.columns))).alias("cols"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

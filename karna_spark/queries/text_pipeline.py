@@ -2483,3 +2483,166 @@ def text_stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
         F.sum("nll_e6").cast("bigint").alias("sum_nll_e6"),
     )
+
+
+# ---------------------------------------------------------------- F31
+@register_query(
+    "text_lang_id_classifier",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(trim(text)) AS t, lang FROM documents),
+    tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+    trbg AS (
+      SELECT lang, substr(t, i, 2) AS bg
+      FROM tr, unnest(generate_series(1, length(t) - 1)) u(i)
+      WHERE length(t) >= 2
+    ),
+    cnt AS (SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c
+            FROM trbg GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY 1),
+    vv AS (SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS v FROM cnt),
+    model AS (
+      SELECT t.lang, vb.bg,
+             CAST(round(ln((COALESCE(c.c, 0) + 1)::DOUBLE / (t.tot + vv.v))
+                        * 1000000) AS BIGINT) AS lp_e6
+      FROM (SELECT DISTINCT bg FROM cnt) vb CROSS JOIN tot t CROSS JOIN vv
+      LEFT JOIN cnt c ON c.bg = vb.bg AND c.lang = t.lang
+    ),
+    floors AS (
+      SELECT lang, CAST(round(ln(1.0 / (tot + vv.v)) * 1000000) AS BIGINT)
+               AS floor_e6
+      FROM tot, vv
+    ),
+    tebg AS (
+      SELECT doc_id, lang AS lang_true, substr(t, i, 2) AS bg
+      FROM te, unnest(generate_series(1, length(t) - 1)) u(i)
+      WHERE length(t) >= 2
+    ),
+    bag AS (SELECT doc_id, lang_true, bg, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tebg GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT b.doc_id, b.lang_true, f.lang,
+             CAST(SUM(b.n * COALESCE(m.lp_e6, f.floor_e6)) AS BIGINT)
+               AS score_e6
+      FROM bag b CROSS JOIN floors f
+      LEFT JOIN model m ON m.bg = b.bg AND m.lang = f.lang
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, lang AS lang_pred, score_e6,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_e6 DESC, lang) AS rn
+      FROM scored
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_e6) AS BIGINT) AS sum_score_e6
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    tags="F31",
+)
+def text_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F31: TRAINED language-ID classifier (operators/langid.py) — the
+    statistical core of the CLD/fastText gate crawl pipelines run,
+    upgrading the r6 marker-word heuristic (text_lang_id) to a model
+    learned from the data: per-language character-bigram profiles
+    trained on the even-doc_id half, Laplace-smoothed naive-Bayes
+    scoring of the held-out odd half, argmax prediction with a
+    deterministic tie-break. Emits the confusion matrix with summed
+    scores, so the hash certifies the training counts, the smoothing
+    arithmetic, the OOV floors, AND every argmax — not just accuracy.
+    Log-probs are micro-nat BIGINTs (the certified F26/F30 recipe):
+    reductions are exact at any parallelism and the oracle re-derives
+    them independently. Scale shape: train = one corpus pass into a
+    |langs|×|bigrams| metadata-scale model (broadcast); score = one
+    broadcast equi-join on the bigram + map-combinable per-(doc,lang)
+    aggregate; the only data-scale shuffle is the per-doc bag groupBy
+    — unchanged at 100 TB."""
+    from karna_spark.operators.langid import classify, train_bigram_model
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    model, floors = train_bigram_model(train, "text", "lang")
+    pred = classify(test, model, floors, "doc_id", "text")
+    return (
+        pred.join(test.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_e6").cast("bigint").alias("sum_score_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- J20
+@register_query(
+    "dedup_image_phash",
+    oracle="""
+    WITH items AS (SELECT doc_id AS item_id FROM documents WHERE doc_id < 600),
+    px AS (
+      SELECT i.item_id, u.p,
+             (((i.item_id // 3 + 1) * (u.p + 3) * 131
+               + (i.item_id // 3) * u.p * u.p * 7) % 256
+              + CASE WHEN (u.p + i.item_id % 3) % 53 = 0 THEN 9 ELSE 0 END
+             ) % 256 AS v
+      FROM items i, unnest(generate_series(0, 255)) u(p)
+    ),
+    blocks AS (
+      SELECT item_id,
+             (p // 16 // 2) * 8 + (p % 16) // 2 AS j,
+             CAST(SUM(v) AS BIGINT) AS bs
+      FROM px GROUP BY 1, 2
+    ),
+    tots AS (SELECT item_id, SUM(bs) AS tot FROM blocks GROUP BY 1),
+    bits AS (
+      SELECT b.item_id, b.j,
+             CASE WHEN b.bs * 64 > t.tot THEN 1 ELSE 0 END AS bit
+      FROM blocks b JOIN tots t USING (item_id)
+    ),
+    pairs AS (
+      SELECT a.item_id AS id_a, b.item_id AS id_b,
+             CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+               AS hamming
+      FROM bits a JOIN bits b ON a.j = b.j AND a.item_id < b.item_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+    """,
+    tags="J20",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J20: image perceptual-hash near-duplicate detection — the
+    image-side twin of MinHash/SimHash text dedup that multimodal
+    corpora run before training (copies, re-encodes, light edits of
+    the same picture). Each item gets a deterministic patterned 16×16
+    PPM (same-group items are planted near-dups: variants perturb a
+    sparse pixel subset; the closed-form pixel arithmetic is mirrored
+    by the oracle, the V9 pattern). The engine path is REAL end to
+    end: Arrow-batched mapInPandas parses the container and computes
+    an all-integer 8×8 average-hash (block_sum·64 > total, strict —
+    no float anywhere, so the hash replays exactly in SQL), then the
+    SimHash pigeonhole finds pairs: 7 banded EQUI-joins on 10-bit
+    hash bands + exact popcount ≤ 6 verification
+    (operators/multimodal.py:image_ahash64 / ahash_near_dup_pairs).
+    The oracle derives every hash bit independently from the
+    generation arithmetic and joins ALL pairs quadratically — the
+    engine's banded join must reproduce its answer exactly, which
+    certifies decode, downsample, threshold, banding, and popcount at
+    once. Scale: candidates ∝ band-bucket occupancy (never |items|²);
+    at 100 TB the hash step is one embarrassing-parallel pass and
+    signatures persist like J18's."""
+    from karna_spark.operators.multimodal import (
+        ahash_near_dup_pairs,
+        image_ahash64,
+        synthesize_patterned_image_df,
+    )
+
+    items = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 600)
+        .select(F.col("doc_id").alias("item_id"))
+    )
+    media = synthesize_patterned_image_df(items, "item_id")
+    hashes = image_ahash64(media)
+    return ahash_near_dup_pairs(hashes, max_hamming=6, band_bits=10)

@@ -1180,3 +1180,28 @@ def test_url_normalize_and_registered_domain(spark):
     by_url = {r["url"]: (r["norm"], r["dom"]) for r in got}
     for u, want_norm, want_dom in cases:
         assert by_url[u] == (want_norm, want_dom), u
+
+
+def test_langid_classifier_edges(spark):
+    """F31 edges: sub-2-char docs produce no bigrams (and no
+    prediction row); a doc whose bigrams are all OOV still gets a
+    deterministic prediction (floor-only scores tie across langs →
+    lexicographically first lang wins)."""
+    from pyspark.sql import Row
+
+    from karna_spark.operators.langid import classify, train_bigram_model
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="aaab", lang="aa"), Row(doc_id=2, text="bbba", lang="bb")]
+    )
+    model, floors = train_bigram_model(train, "text", "lang")
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="aaaa"),   # clearly 'aa'
+            Row(doc_id=11, text="x"),      # <2 chars: no bigrams
+            Row(doc_id=12, text="zzzz"),   # all-OOV: floor tie -> 'aa'
+        ]
+    )
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in classify(test, model, floors, "doc_id", "text").collect()}
+    assert got == {10: "aa", 12: "aa"}

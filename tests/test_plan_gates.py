@@ -74,6 +74,8 @@ BNLJ_OK = {
     "similarity_threshold_search",   # 1-row query-vector frame
     "similarity_topk_bruteforce",    # 1-row query-vector frame
     "text_bigram_logprob",           # 1-row corpus-total frame
+    "text_lang_id_classifier",       # |langs|x|bigrams| model build +
+                                     # 5-row floors frame (r10)
     "text_stupid_backoff_logprob",   # 1-row (N, V) train-totals frame (r9c)
     "text_bm25_scores",              # 1-row (N, avgdl) corpus stats
     "text_unigram_logprob",          # 1-row corpus-total frame

@@ -188,6 +188,7 @@ _SLOW_BUILDERS = {
     # posting-gram cache barrier (one count) pins the shared explosion
     "dedup_shared_ngrams", "dedup_containment",
     "text_bpe_merges_exact",  # trains 8 merges (1 job each) at build
+    "snapshot_schema_evolution",  # commits + DDL-evolves a store at build
 }
 
 

@@ -1322,3 +1322,51 @@ def test_mv_decimal_sums_exact(spark):
     floats = spark.createDataFrame([("a", 1.5)], "g string, amt double")
     with pytest.raises(TypeError, match="exact type"):
         grouped_mv(floats, ["g"], ["amt"])
+
+
+def test_schema_evolution_add_rename_drop(spark, tmp_path):
+    """S28: metadata-only schema evolution. Adds read NULL from old
+    files and real values from post-add writes; renames are pure
+    mapping changes (old files stay readable); drops hide the column
+    from the new version on; time travel serves every version under
+    the schema it was published with; a dropped-then-re-added name
+    can NOT resurrect old bytes (version-suffixed physical names);
+    compaction and redact keep working through the mapping."""
+    from pyspark.sql.types import IntegerType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))          # v1
+    v2 = store.add_column("score", IntegerType())                    # v2
+    assert [r["score"] for r in store.read(spark).collect()] == [None, None]
+    delta = spark.createDataFrame([Row(k=3, p="a", val=30, score=7)])
+    v3 = store.upsert(spark, delta, key_cols=["k"])                  # v3
+    got = {r["k"]: r["score"] for r in store.read(spark).collect()}
+    assert got == {1: None, 2: None, 3: 7}
+    v4 = store.rename_column("val", "value_usd")                     # v4
+    rows = {r["k"]: r["value_usd"] for r in store.read(spark).collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}
+    assert "val" not in store.read(spark).columns
+    v5 = store.drop_column("score")                                  # v5
+    assert "score" not in store.read(spark).columns
+    # re-add under the same logical name: old bytes must NOT resurface
+    store.add_column("score", IntegerType())                         # v6
+    assert {r["k"]: r["score"] for r in store.read(spark).collect()} == {
+        1: None, 2: None, 3: None}
+    # time travel: each version under its own schema
+    assert set(store.read(spark, version=1).columns) == {"k", "p", "val"}
+    assert {r["k"]: r["score"] for r in store.read(spark, version=v3).collect()} == {
+        1: None, 2: None, 3: 7}
+    assert "value_usd" in store.read(spark, version=v4).columns
+    assert "score" not in store.read(spark, version=v5).columns
+    # compaction through the mapping: logical content unchanged
+    vc = store.compact(spark)
+    assert {(r["k"], r["value_usd"], r["score"])
+            for r in store.read(spark, version=vc).collect()} == {
+        (1, 10, None), (2, 20, None), (3, 30, None)}
+    # MOR delete with a predicate on a RENAMED column
+    store.delete_where(spark, F.col("value_usd") == 20)
+    assert {r["k"] for r in store.read(spark).collect()} == {1, 3}
+    # redact by key through the mapping
+    store.redact(spark, ["k"], spark.createDataFrame([Row(k=3)]))
+    assert {r["k"] for r in store.read(spark).collect()} == {1}
+    assert v2 == 2 and v3 == 3 and v4 == 4 and v5 == 5
