@@ -669,6 +669,36 @@ class SnapshotStore:
         )
         return v
 
+    @staticmethod
+    def _delete_bytes(ddirs: list[str]) -> int:
+        total = 0
+        for d in ddirs:
+            for root_, _, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(root_, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        return total
+
+    def pending_deletes(self, version: int | None = None) -> dict:
+        """Compaction-pressure report for a version's accumulated
+        merge-on-read delete sets (r9 verdict item 10): entry count,
+        on-disk bytes, and whether reads have already fallen back from
+        the broadcast anti-join to a plain one
+        (``BROADCAST_DELETES_MAX_BYTES``). A truthy
+        ``exceeds_broadcast`` is the operational signal to run
+        :meth:`compact`, which folds the deletes in and clears the
+        entries."""
+        v = self.latest_version() if version is None else version
+        dels = self._manifest_doc(v).get("deletes", [])
+        b = self._delete_bytes([self._ddir(e["id"]) for e in dels])
+        return {
+            "n_entries": len(dels),
+            "bytes": b,
+            "exceeds_broadcast": b > self.BROADCAST_DELETES_MAX_BYTES,
+        }
+
     # --------------------------------------- schema evolution (S28)
     def _evolved_doc(self) -> tuple[int, dict, "StructType", dict]:
         prev_v = self.latest_version()
@@ -1442,14 +1472,7 @@ class SnapshotStore:
                 # multi-GB delete set would OOM every executor at
                 # 100 TB. compact() is the real fix for a set that
                 # large; this keeps reads correct in the meantime.
-                dbytes = 0
-                for d in ddirs:
-                    for root_, _, files in os.walk(d):
-                        dbytes += sum(
-                            os.path.getsize(os.path.join(root_, f))
-                            for f in files
-                            if f.endswith(".parquet")
-                        )
+                dbytes = self._delete_bytes(ddirs)
                 if dbytes <= self.BROADCAST_DELETES_MAX_BYTES:
                     ddf = F.broadcast(ddf)
                 out = out.join(ddf, ["_rv", "_rid"], "left_anti")

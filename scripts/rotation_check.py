@@ -23,6 +23,15 @@ round (CORRECTNESS_rN.json always holds exactly 50 rows). Policy
    50×floor). Exceeding it demands consolidation, not a bigger floor.
 
 Run before committing a registry reorder:  python scripts/rotation_check.py
+
+``--assume-reorder`` (r9 verdict item 8): evaluate the policy AS IF
+the planning round's top-50 were the EDF-obligatory head (never-checked
+queries first, then stalest-deadline-first) instead of the current
+registry order. Between a round's CORRECTNESS landing and the next
+round's reorder commit the registry head is expectedly stale; this
+flag answers "does a compliant reorder EXIST?" so end-of-round state
+is never spuriously red, while a genuinely infeasible registry still
+fails under both modes.
 """
 
 from __future__ import annotations
@@ -84,7 +93,20 @@ def main() -> int:
         return 1
     this_round = max(rounds) + 1  # the round whose top-50 we are planning
 
-    top50 = set(names[:50])
+    assume_reorder = "--assume-reorder" in sys.argv[1:]
+    if assume_reorder:
+        # The obligatory head: never-checked first (rule 2a), then by
+        # earliest deadline (newest + floor), ties in registry order.
+        order = sorted(
+            range(len(names)),
+            key=lambda i: (newest.get(names[i], -(10 ** 9)) + floor, i),
+        )
+        head = [names[i] for i in order[:50]]
+        top50 = set(head)
+        print("mode: --assume-reorder (policy evaluated against the "
+              "EDF-obligatory head, not the current registry order)")
+    else:
+        top50 = set(names[:50])
     never = [q for q in names if q not in newest]
     print(f"registered: {n}   freshness floor: {floor} rounds   "
           f"policy cap: {CAPACITY_CAP}   planning round: r{this_round}")
