@@ -122,6 +122,9 @@ class SnapshotStore:
         # land in the shared data dir without collisions.
         self.cdir = self.mdir
         self._branch_meta: dict | None = None  # set on branch stores
+        # delete-set byte sizes are immutable once written; cache the
+        # per-directory walk so hot reads never repeat filesystem I/O
+        self._dbytes_cache: dict[str, int] = {}
         os.makedirs(self.mdir, exist_ok=True)
 
     # ---------------------------------------------------- manifests
@@ -305,7 +308,10 @@ class SnapshotStore:
         for e in prev_doc.get("deletes", []):
             live = [p for p in e["partitions"] if p not in rewritten]
             if live:
-                out.append({"id": e["id"], "partitions": live})
+                carried = {"id": e["id"], "partitions": live}
+                if "bytes" in e:  # keep the recorded on-disk size
+                    carried["bytes"] = e["bytes"]
+                out.append(carried)
         return out or None
 
     def _partition_stats(
@@ -585,7 +591,13 @@ class SnapshotStore:
             dict(e) for e in prev_doc.get("deletes", [])
         ]
         if touched:
-            deletes.append({"id": v, "partitions": touched})
+            deletes.append({
+                "id": v,
+                "partitions": touched,
+                # recorded once at write time: readers use it for the
+                # broadcast-threshold decision with zero per-read I/O
+                "bytes": self._delete_bytes([ddir]),
+            })
         else:
             import shutil
 
@@ -669,6 +681,21 @@ class SnapshotStore:
         )
         return v
 
+    def _deletes_total_bytes(self, dels: list[dict]) -> int:
+        """Total on-disk bytes of a version's delete entries: the
+        manifest-recorded size when present (written by delete_where),
+        else a cached directory walk (delete files are immutable)."""
+        total = 0
+        for e in dels:
+            if "bytes" in e:
+                total += e["bytes"]
+                continue
+            d = self._ddir(e["id"])
+            if d not in self._dbytes_cache:
+                self._dbytes_cache[d] = self._delete_bytes([d])
+            total += self._dbytes_cache[d]
+        return total
+
     @staticmethod
     def _delete_bytes(ddirs: list[str]) -> int:
         total = 0
@@ -692,7 +719,7 @@ class SnapshotStore:
         entries."""
         v = self.latest_version() if version is None else version
         dels = self._manifest_doc(v).get("deletes", [])
-        b = self._delete_bytes([self._ddir(e["id"]) for e in dels])
+        b = self._deletes_total_bytes(dels)
         return {
             "n_entries": len(dels),
             "bytes": b,
@@ -993,14 +1020,13 @@ class SnapshotStore:
         # fork), so they are probed, repointed, and republished in the
         # same pass — otherwise a redacted dir's removal would leave a
         # branch manifest dangling (and the erased rows readable).
-        cm_red = self._manifest_doc(self.latest_version()).get("colmap")
-        if cm_red:
-            keys = keys.select(
-                *[F.col(c).alias(cm_red.get(c, c)) for c in keys.columns]
-            )
-            key_cols = [cm_red.get(c, c) for c in key_cols]
         stores: list[SnapshotStore] = [self] + [
             self.branch(n) for n in self.branches()
+        ]
+        docs_all = [
+            st._manifest_doc(v)
+            for st in stores
+            for v in st._published_versions()
         ]
         manifests = {
             (si, v): st._manifest(v)
@@ -1011,12 +1037,34 @@ class SnapshotStore:
         dirs = {(val, pv) for m in manifests.values() for val, pv in m.items()}
         if not dirs:
             return 0
-        kdf = keys.select(*key_cols).distinct()
+        # PHYSICAL key-column variants across ALL manifests (S28): a
+        # logical key column may live under different physical names in
+        # different epochs (renamed at some version, reset by a later
+        # full commit), so the probe matches on a COALESCE of every
+        # physical name that ever mapped to it — translating through
+        # only the latest colmap would silently skip pre-rename files,
+        # a right-to-be-forgotten violation.
+        variants: dict[str, list[str]] = {}
+        for k in key_cols:
+            seen = []
+            for doc in docs_all:
+                cm_d = doc.get("colmap") or {}
+                phys = cm_d.get(k, k)
+                if phys not in seen:
+                    seen.append(phys)
+            if k not in seen:
+                seen.append(k)
+            variants[k] = seen
         # ONE probe job: union-read every referenced dir with basePath
         # so the partition column (valid in key_cols — r7 ADVICE) and
         # the physical version come back from directory parsing, then
         # a broadcast semi-join marks the (partition, version) dirs
-        # that actually hold a matching row.
+        # that actually hold a matching row. mergeSchema: an evolved
+        # table's files are schema-heterogeneous (post-add files carry
+        # physical columns pre-add files lack); without it the union
+        # schema comes from one footer and the REWRITE below would
+        # silently drop every column that footer misses — destroying
+        # added-column data for unrelated rows (r10 review).
         #
         # Partition-type inference OFF (same hazard as delete_where,
         # r9 ADVICE): inference can re-render a string partition value
@@ -1024,32 +1072,64 @@ class SnapshotStore:
         # mismatch the raw manifest keys and the rewrite would write
         # differently-named directories. With inference off the
         # directory string round-trips exactly through probe, filter,
-        # partitionBy rewrite, and manifest repoint; typed keys still
-        # match because kcast below casts them to the parsed (string)
-        # type, which is the same rendering partitionBy produced.
+        # partitionBy rewrite, and manifest repoint. try/finally: a
+        # scan error must not leak the disabled conf session-wide.
         infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         infer_old = spark.conf.get(infer_key, None)
         spark.conf.set(infer_key, "false")
-        union = (
-            spark.read.option("basePath", self.data)
-            .parquet(*(self._pdir(val, pv) for val, pv in sorted(dirs)))
-        )
-        if infer_old is None:
-            spark.conf.unset(infer_key)
-        else:
-            spark.conf.set(infer_key, infer_old)
+        try:
+            union = (
+                spark.read.option("basePath", self.data)
+                .option("mergeSchema", "true")
+                .parquet(*(self._pdir(val, pv) for val, pv in sorted(dirs)))
+            )
+        finally:
+            if infer_old is None:
+                spark.conf.unset(infer_key)
+            else:
+                spark.conf.set(infer_key, infer_old)
+        # Per-key match expression: coalesce of the present physical
+        # variants. A key column none of whose variants exist in any
+        # file can never match — nothing to redact on it.
+        scan_cols = set(union.columns)
+        kexpr: dict[str, "F.Column"] = {}
+        for k in key_cols:
+            present = [p for p in variants[k] if p in scan_cols]
+            if not present:
+                return 0
+            kexpr[k] = (
+                F.col(present[0])
+                if len(present) == 1
+                else F.coalesce(*[F.col(p) for p in present])
+            )
+        ktypes = {
+            f.name: f.dataType
+            for f in union.select(
+                *[kexpr[k].alias(k) for k in key_cols]
+            ).schema.fields
+        }
         # Align key types: directory-parsed partition values may infer
-        # a narrower type than the caller's keys frame.
+        # a narrower type than the caller's keys frame. Internal
+        # aliases are namespaced so they can't collide with physical
+        # column names.
+        kdf = keys.select(*key_cols).distinct()
         kcast = kdf.select(
             *[
-                F.col(c).cast(union.schema[c].dataType).alias(c)
-                for c in key_cols
+                F.col(c).cast(ktypes[c]).alias(f"__karna_key_{i}")
+                for i, c in enumerate(key_cols)
             ]
         )
+
+        def _key_cond(frame_keys):
+            cond = None
+            for i, k in enumerate(key_cols):
+                c = kexpr[k] == frame_keys[f"__karna_key_{i}"]
+                cond = c if cond is None else (cond & c)
+            return cond
         hits = {
             (str(r["_pval"]), int(r["_pv"]))
             for r in (
-                union.join(F.broadcast(kcast), key_cols, "left_semi")
+                union.join(F.broadcast(kcast), _key_cond(kcast), "left_semi")
                 .select(
                     F.col(self.pc).cast("string").alias("_pval"),
                     F.col("v").cast("bigint").alias("_pv"),
@@ -1084,7 +1164,7 @@ class SnapshotStore:
             kept = (
                 union.filter(hit_cond)
                 .withColumn("v", nv_expr)
-                .join(F.broadcast(kcast), key_cols, "left_anti")
+                .join(F.broadcast(kcast), _key_cond(kcast), "left_anti")
             )
             kept.write.mode("append").partitionBy(self.pc, "v").parquet(self.data)
             for (val, pv), nv in claimed.items():
@@ -1197,6 +1277,11 @@ class SnapshotStore:
             schema_json=doc.get("schema"),
             stats=doc.get("stats"),
             deletes=doc.get("deletes"),
+            # the fork carries the logical→physical mapping (S28): a
+            # branch of an evolved table must read/write through the
+            # same mapping, or the evolution is silently lost on the
+            # branch AND un-done on the parent at merge (r10 review)
+            colmap=doc.get("colmap"),
         )
         return br
 
@@ -1472,7 +1557,7 @@ class SnapshotStore:
                 # multi-GB delete set would OOM every executor at
                 # 100 TB. compact() is the real fix for a set that
                 # large; this keeps reads correct in the meantime.
-                dbytes = self._delete_bytes(ddirs)
+                dbytes = self._deletes_total_bytes(dels)
                 if dbytes <= self.BROADCAST_DELETES_MAX_BYTES:
                     ddf = F.broadcast(ddf)
                 out = out.join(ddf, ["_rv", "_rid"], "left_anti")

@@ -92,7 +92,28 @@ def apply_feed(
         .otherwise(F.lit(None))
         .cast("bigint")
     )
-    types = {c: _sum_type(feed, c) for c in sum_cols}
+    # Accumulator types come from the STORED view's sum columns (the
+    # contract grouped_mv established) — deriving them from the feed
+    # would let a feed whose column arrives at a narrower scale (e.g.
+    # DECIMAL(18,0) after an upstream cast) silently round the stored
+    # cents on the final cast (r10 review). The feed column is still
+    # validated exact (float feeds refused), and a feed scale WIDER
+    # than the stored scale is refused rather than rounded.
+    types = {}
+    for c in sum_cols:
+        feed_t = _sum_type(feed, c)  # validates exactness, raises on float
+        stored = mv.schema[f"{c}_sum"].dataType
+        feed_scale = feed_t.scale if isinstance(feed_t, DecimalType) else 0
+        stored_scale = (
+            stored.scale if isinstance(stored, DecimalType) else 0
+        )
+        if feed_scale > stored_scale:
+            raise TypeError(
+                f"feed column {c!r} has scale {feed_scale} but the "
+                f"view stores {c}_sum at scale {stored_scale}; widen "
+                "the view (re-materialize) instead of rounding the feed"
+            )
+        types[c] = stored
     delta = (
         feed.withColumn("_sign", sign)
         .groupBy(*group_cols)

@@ -106,6 +106,16 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # Ambient load BEFORE the session spins up its worker threads —
+    # the end-of-run sample mostly measures the run itself (r10
+    # protocol, same as bench.py). Bounded wait for a quiet box.
+    gate_deadline = time.time() + float(
+        os.environ.get("KARNA_BENCH_GATE_WAIT_SEC", "300")
+    )
+    while os.getloadavg()[0] >= 1.0 and time.time() < gate_deadline:
+        time.sleep(5)
+    load_ambient = os.getloadavg()[0]
+
     from karna_spark.operators.dedup import (
         minhash_lsh_incremental_pairs,
         minhash_lsh_pairs,
@@ -266,7 +276,8 @@ def main() -> None:
                 "ingest_scaling": rows,
                 "reps": args.reps,
                 "nlist_rule": args.nlist_rule if "ivf" in args.ops else None,
-                "load_1m": os.getloadavg()[0],
+                "load_ambient_1m": round(load_ambient, 2),
+                "load_after_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -1046,9 +1046,9 @@ def test_mor_delete_rewrites_no_data_files(spark, tmp_path):
     files_v2 = sorted(glob.glob(f"{store.data}/p=*/**/*.parquet", recursive=True))
     assert files_v2 == files_v1, "MOR delete must not touch data files"
     assert store._manifest(2) == store._manifest(1)
-    assert store._manifest_doc(2)["deletes"] == [
-        {"id": 2, "partitions": ["a", "b"]}
-    ]
+    (entry,) = store._manifest_doc(2)["deletes"]
+    assert entry["id"] == 2 and entry["partitions"] == ["a", "b"]
+    assert entry["bytes"] > 0  # recorded once for the broadcast gate
     assert _rows(store.read(spark)) == [(1, "a", 10)]
     assert _rows(store.read(spark, version=1)) == [
         (1, "a", 10), (2, "a", 20), (3, "b", 30)
@@ -1076,9 +1076,9 @@ def test_mor_carry_forward_prunes_to_inherited_partitions(spark, tmp_path):
     store.delete_where(spark, "val IN (10, 30)")  # touches a AND b
     # v3: upsert rewrites partition a -> entry pruned to b only.
     store.upsert(spark, _mk(spark, [(5, "a", 50)]), ["k"])
-    assert store._manifest_doc(3)["deletes"] == [
-        {"id": 2, "partitions": ["b"]}
-    ]
+    (entry,) = store._manifest_doc(3)["deletes"]
+    assert entry["id"] == 2 and entry["partitions"] == ["b"]
+    assert entry["bytes"] > 0  # size survives the COW carry
     assert _rows(store.read(spark)) == [(2, "a", 20), (4, "b", 40), (5, "a", 50)]
     # v4: full compact reads through the deletes and clears entries.
     v4 = store.compact(spark)
@@ -1613,3 +1613,108 @@ def test_mor_delete_set_exceeding_broadcast_threshold(spark, tmp_path):
         hinted._jdf.queryExecution().optimizedPlan().toString().lower()
     )
     assert {r["k"] for r in hinted.collect()} == rows
+
+
+def test_redact_preserves_added_column_data(spark, tmp_path):
+    """r10 review (confirmed repro): redact on a schema-evolved table
+    must NOT destroy added-column values in unrelated rows — the probe
+    union scan must merge heterogeneous footers so the rewrite carries
+    every physical column."""
+    from pyspark.sql.types import IntegerType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20)]))
+    store.add_column("score", IntegerType())
+    store.upsert(
+        spark,
+        spark.createDataFrame([Row(k=3, p="a", val=30, score=7)]),
+        key_cols=["k"],
+    )
+    store.redact(spark, ["k"], spark.createDataFrame([Row(k=1)]))
+    got = {r["k"]: r["score"] for r in store.read(spark).collect()}
+    assert got == {2: None, 3: 7}  # k=1 gone, k=3 keeps its score
+    # time travel to the pre-redact head also keeps it
+    assert {
+        r["k"]: r["score"] for r in store.read(spark, version=3).collect()
+    } == {2: None, 3: 7}
+
+
+def test_branch_carries_schema_evolution(spark, tmp_path):
+    """r10 review (confirmed repro): a branch forked from an evolved
+    table must read/write through the same logical→physical mapping,
+    and merging it must not un-do the evolution on the parent."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    store.rename_column("val", "value_usd")
+    br = store.create_branch("dev")
+    assert set(br.read(spark).columns) == {"k", "p", "value_usd"}
+    br.upsert(
+        spark,
+        spark.createDataFrame([Row(k=2, p="b", value_usd=20)]),
+        key_cols=["k"],
+    )
+    v = store.merge_branch("dev")
+    got = {
+        r["k"]: r["value_usd"]
+        for r in store.read(spark, version=v).collect()
+    }
+    assert got == {1: 10, 2: 20}
+    assert "val" not in store.read(spark).columns
+
+
+def test_redact_reaches_pre_rename_epochs(spark, tmp_path):
+    """r10 review: redact keys must match EVERY physical epoch of a
+    logical key column — files written before a rename (old physical
+    name) and after a full commit (mapping reset, new physical name)
+    are all probed via the coalesced variant expression; the forgotten
+    key disappears from every retained version."""
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))           # v1: 'val'
+    store.rename_column("val", "uid")                                 # v2
+    # full commit RESETS the mapping: files now physically named 'uid'
+    full = spark.createDataFrame(
+        [Row(k=1, p="a", uid=11), Row(k=3, p="b", uid=30)]
+    )
+    store.commit(full)                                                # v3
+    n = store.redact(spark, ["uid"], spark.createDataFrame([Row(uid=10)]))
+    assert n >= 1
+    # v1 physically stores the key under 'val'; the redact must still
+    # have erased uid=10 there (read v1 under its own logical schema)
+    assert _rows(store.read(spark, version=1)) == [(2, "b", 20)]
+    # v2 (post-rename, same files) serves it as uid — gone as well
+    assert [
+        (r["k"], r["uid"]) for r in store.read(spark, version=2).collect()
+    ] == [(2, 20)]
+    # v3's files (new physical epoch) never held uid=10 — intact
+    assert sorted(
+        (r["k"], r["uid"]) for r in store.read(spark, version=3).collect()
+    ) == [(1, 11), (3, 30)]
+
+
+def test_mv_feed_scale_mismatch_refused(spark):
+    """r10 review: apply_feed accumulates in the STORED view's sum
+    type; a feed at a narrower scale integrates exactly, a feed WIDER
+    than the stored scale is refused instead of silently rounded."""
+    from decimal import Decimal
+
+    import pytest
+
+    from karna_spark.operators.mv import apply_feed, grouped_mv
+
+    base = spark.createDataFrame(
+        [("a", Decimal("1.25"))], "g string, amt decimal(18,2)"
+    )
+    mv = grouped_mv(base, ["g"], ["amt"])
+    # narrower feed (scale 0) is exact in a scale-2 accumulator
+    feed0 = spark.createDataFrame(
+        [("a", Decimal("2"), "I")], "g string, amt decimal(18,0), op string"
+    )
+    out = {r["g"]: r["amt_sum"] for r in apply_feed(mv, feed0, ["g"], ["amt"]).collect()}
+    assert out == {"a": Decimal("3.25")}
+    # wider feed (scale 4) would be rounded — refused
+    feed4 = spark.createDataFrame(
+        [("a", Decimal("0.1234"), "I")],
+        "g string, amt decimal(18,4), op string",
+    )
+    with pytest.raises(TypeError, match="scale"):
+        apply_feed(mv, feed4, ["g"], ["amt"])
