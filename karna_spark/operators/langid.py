@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 E6 = 1_000_000
 
@@ -59,7 +60,13 @@ def train_bigram_model(
     and the language's OOV value for unseen ones —
     |bigrams| × |langs| rows, broadcastable metadata. ``floors`` is
     (lang, floor_e6) for bigrams outside the training vocabulary
-    entirely. Both derive from ONE shared (lang, bigram) count pass.
+    entirely. Both derive from ONE shared (lang, bigram) count pass:
+    the count frame is PERSISTED (metadata-scale) so the corpus
+    explode runs exactly once no matter how many consumers (tot /
+    vocab / V / model / floors) hang off it — unpersisted, Catalyst
+    re-executes the corpus pass per consumer, a 4× scan at 100 TB.
+    The handle rides on the returned frames (``_karna_persisted``,
+    the repo's release contract).
     """
     cnt = (
         train.select(
@@ -68,6 +75,7 @@ def train_bigram_model(
         )
         .groupBy("lang", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
     vocab = cnt.select("bg").distinct()
@@ -97,6 +105,8 @@ def train_bigram_model(
             .alias("lp_e6"),
         )
     )
+    model._karna_persisted = [cnt]  # type: ignore[attr-defined]
+    floors._karna_persisted = [cnt]  # type: ignore[attr-defined]
     return model, floors
 
 

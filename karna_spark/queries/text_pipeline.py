@@ -2565,7 +2565,7 @@ def text_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = d.filter(F.col("doc_id") % 2 == 1)
     model, floors = train_bigram_model(train, "text", "lang")
     pred = classify(test, model, floors, "doc_id", "text")
-    return (
+    out = (
         pred.join(test.select("doc_id", F.col("lang").alias("lang_true")), "doc_id")
         .groupBy("lang_true", "lang_pred")
         .agg(
@@ -2573,6 +2573,8 @@ def text_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_e6").cast("bigint").alias("sum_score_e6"),
         )
     )
+    out._karna_persisted = getattr(model, "_karna_persisted", [])  # type: ignore[attr-defined]
+    return out
 
 
 # ---------------------------------------------------------------- J20
