@@ -726,6 +726,60 @@ class SnapshotStore:
             "exceeds_broadcast": b > self.BROADCAST_DELETES_MAX_BYTES,
         }
 
+    @staticmethod
+    def _widest(a, b):
+        """Widest of two lossless-promotable types (S29 lattice)."""
+        if a == b:
+            return a
+        from pyspark.sql.types import DecimalType, DoubleType
+
+        rank = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+        sa, sb = a.simpleString(), b.simpleString()
+        if sa in rank and sb in rank:
+            return a if rank[sa] >= rank[sb] else b
+        if {sa, sb} == {"float", "double"}:
+            return DoubleType()
+        if (
+            isinstance(a, DecimalType)
+            and isinstance(b, DecimalType)
+            and a.scale == b.scale
+        ):
+            return a if a.precision >= b.precision else b
+        raise ValueError(
+            f"cannot reconcile physical types {sa} and {sb}"
+        )
+
+    def _physical_read_schema(self, docs: list[dict]) -> "StructType":
+        """Explicit parquet read schema for files spanning manifest
+        epochs: every PHYSICAL data column any epoch's schema maps to,
+        at the WIDEST type any epoch declares (S29 widening reads the
+        narrow files through promotion; files lacking a column read
+        NULL). Partition columns (pc, v) are excluded — they come
+        from directory parsing. Passing this instead of mergeSchema
+        avoids per-file footer reads AND the footer-merge failure on
+        int/bigint mixes."""
+        out: dict[str, object] = {}
+        for doc in docs:
+            sj = doc.get("schema")
+            if sj is None:
+                continue
+            cm_d = doc.get("colmap") or {}
+            for f in StructType.fromJson(json.loads(sj)).fields:
+                if f.name == self.pc:
+                    continue
+                phys = cm_d.get(f.name, f.name)
+                out[phys] = (
+                    f.dataType
+                    if phys not in out
+                    else self._widest(out[phys], f.dataType)
+                )
+        fields = [StructField(n, t, True) for n, t in out.items()]
+        fields += [
+            StructField("_rv", LongType(), True),
+            StructField("_rid", LongType(), True),
+        ]
+        return StructType(fields)
+
     # --------------------------------------- schema evolution (S28)
     def _evolved_doc(self) -> tuple[int, dict, "StructType", dict]:
         prev_v = self.latest_version()
@@ -814,6 +868,64 @@ class SnapshotStore:
             raise ValueError(f"no such column: {name!r}")
         cm.pop(name, None)
         schema = StructType([f for f in schema.fields if f.name != name])
+        return self._publish_evolution(
+            self._claim_version(), prev_v, doc, schema, cm
+        )
+
+    # widening lattice: every edge is lossless (Iceberg's permitted
+    # type promotions), so old files up-cast at read with no rewrite
+    _WIDEN_OK = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def widen_column(self, name: str, dtype) -> int:
+        """S29: widen a column's type — METADATA-ONLY (Iceberg's
+        ``ALTER COLUMN TYPE`` promotion rules: int→long, float→double,
+        decimal precision growth at fixed scale). Existing files keep
+        the narrow physical type and up-cast losslessly at read; new
+        writes land at the wide type. Narrowing (or any lossy change —
+        e.g. decimal scale change) is refused: a down-cast could
+        silently truncate values already on disk."""
+        from pyspark.sql.types import DecimalType
+
+        prev_v, doc, schema, cm = self._evolved_doc()
+        field = next((f for f in schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"no such column: {name!r}")
+        old_t, new_t = field.dataType, dtype
+        ok = (old_t.simpleString(), new_t.simpleString()) in self._WIDEN_OK
+        if (
+            not ok
+            and isinstance(old_t, DecimalType)
+            and isinstance(new_t, DecimalType)
+        ):
+            ok = (
+                new_t.scale == old_t.scale
+                and new_t.precision >= old_t.precision
+            )
+        if not ok and old_t.simpleString() in (
+            "tinyint", "smallint", "int", "bigint"
+        ) and isinstance(new_t, DecimalType):
+            digits = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+            ok = new_t.scale == 0 and new_t.precision >= digits[
+                old_t.simpleString()
+            ]
+        if not ok:
+            raise ValueError(
+                f"not a lossless widening: {old_t.simpleString()} -> "
+                f"{new_t.simpleString()}"
+            )
+        schema = StructType(
+            [
+                StructField(name, new_t, f.nullable)
+                if f.name == name
+                else f
+                for f in schema.fields
+            ]
+        )
         return self._publish_evolution(
             self._claim_version(), prev_v, doc, schema, cm
         )
@@ -1059,12 +1171,15 @@ class SnapshotStore:
         # so the partition column (valid in key_cols — r7 ADVICE) and
         # the physical version come back from directory parsing, then
         # a broadcast semi-join marks the (partition, version) dirs
-        # that actually hold a matching row. mergeSchema: an evolved
-        # table's files are schema-heterogeneous (post-add files carry
-        # physical columns pre-add files lack); without it the union
-        # schema comes from one footer and the REWRITE below would
-        # silently drop every column that footer misses — destroying
-        # added-column data for unrelated rows (r10 review).
+        # that actually hold a matching row. EXPLICIT physical schema
+        # (union of every manifest epoch's physical columns at their
+        # widest types): an evolved table's files are schema-
+        # heterogeneous (post-add files carry physical columns pre-add
+        # files lack; pre-widen files carry narrower types); reading
+        # with one footer's schema would make the REWRITE below
+        # silently drop columns that footer misses — destroying
+        # added-column data for unrelated rows (r10 review) — and
+        # mergeSchema refuses int/bigint mixes after a widen.
         #
         # Partition-type inference OFF (same hazard as delete_where,
         # r9 ADVICE): inference can re-render a string partition value
@@ -1080,7 +1195,7 @@ class SnapshotStore:
         try:
             union = (
                 spark.read.option("basePath", self.data)
-                .option("mergeSchema", "true")
+                .schema(self._physical_read_schema(docs_all))
                 .parquet(*(self._pdir(val, pv) for val, pv in sorted(dirs)))
             )
         finally:
@@ -1539,11 +1654,13 @@ class SnapshotStore:
         else:
             reader = spark.read.option("basePath", self.data)
             if cm is not None:
-                # evolved table: files written before an add_column
-                # lack the new physical column — merge footer schemas
-                # so the scan exposes the union (footer-scale cost,
-                # only paid once the table has actually evolved)
-                reader = reader.option("mergeSchema", "true")
+                # evolved table: files span schema epochs (pre-add
+                # files lack new physical columns; pre-widen files
+                # carry narrower types). An EXPLICIT physical schema
+                # reads them all — absent columns fill NULL, narrow
+                # types promote losslessly (S29) — with zero footer
+                # reads and none of mergeSchema's int/bigint refusal.
+                reader = reader.schema(self._physical_read_schema([doc]))
             out = reader.parquet(*dirs).drop("v")
             dels = doc.get("deletes", [])
             if dels:
@@ -1572,7 +1689,13 @@ class SnapshotStore:
                 for f in schema.fields:
                     phys = cm.get(f.name, f.name)
                     if phys in scan_cols:
-                        proj.append(F.col(phys).alias(f.name))
+                        # cast to the manifest type: files written
+                        # before a widen_column carry the narrower
+                        # physical type (S29 — widening is metadata-
+                        # only, a lossless up-cast at read)
+                        proj.append(
+                            F.col(phys).cast(f.dataType).alias(f.name)
+                        )
                     else:
                         proj.append(F.lit(None).cast(f.dataType).alias(f.name))
                 out = out.select(*proj, "_rv", "_rid")

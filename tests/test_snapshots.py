@@ -1718,3 +1718,48 @@ def test_mv_feed_scale_mismatch_refused(spark):
     )
     with pytest.raises(TypeError, match="scale"):
         apply_feed(mv, feed4, ["g"], ["amt"])
+
+
+def test_widen_column_type_promotion(spark, tmp_path):
+    """S29: widening a column's type is metadata-only — old files keep
+    the narrow physical type and up-cast losslessly at read; new
+    writes land wide (values beyond the narrow range round-trip);
+    narrowing and lossy changes are refused."""
+    import pytest
+    from pyspark.sql.types import DecimalType, IntegerType, LongType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    base = spark.createDataFrame(
+        [Row(k=1, p="a", val=7)],
+        "k bigint, p string, val int",
+    )
+    store.commit(base)                                   # v1: val int
+    v2 = store.widen_column("val", LongType())           # v2: val bigint
+    df = store.read(spark)
+    assert dict(df.dtypes)["val"] == "bigint"
+    assert _rows(df) == [(1, "a", 7)]
+    big = 5_000_000_000  # beyond int range
+    store.upsert(
+        spark,
+        spark.createDataFrame([Row(k=2, p="b", val=big)],
+                              "k bigint, p string, val bigint"),
+        key_cols=["k"],
+    )                                                    # v3
+    assert _rows(store.read(spark)) == [(1, "a", 7), (2, "b", big)]
+    # time travel: v1 serves the ORIGINAL narrow schema
+    assert dict(store.read(spark, version=1).dtypes)["val"] == "int"
+    assert dict(store.read(spark, version=v2).dtypes)["val"] == "bigint"
+    # narrowing / lossy changes refused
+    with pytest.raises(ValueError, match="lossless"):
+        store.widen_column("val", IntegerType())
+    with pytest.raises(ValueError, match="lossless"):
+        store.widen_column("val", DecimalType(10, 2))  # scale change
+    # int -> decimal(20,0) is lossless
+    store.widen_column("k", DecimalType(20, 0))
+    assert dict(store.read(spark).dtypes)["k"] == "decimal(20,0)"
+    assert sorted(int(r["k"]) for r in store.read(spark).collect()) == [1, 2]
+    # compose with rename: the mapping still serves the wide type
+    store.rename_column("val", "value_wide")
+    got = {r["k"] for r in store.read(spark).collect()}
+    assert dict(store.read(spark).dtypes)["value_wide"] == "bigint"
+    assert len(got) == 2
