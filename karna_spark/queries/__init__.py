@@ -60,52 +60,27 @@ from karna_spark.queries import (  # noqa: F401,E402
 #      added (precedent: the r8 retirement of the four rows-only
 #      dedup/similarity twins).
 #
-# Round 10 executes the r9 verdict's post-round reorder plus the first
-# rule-4 consolidation: 13 strictly-dominated queries retired (each
-# builder keeps a RETIRED docstring naming its dominating certified
-# superset — agg rollup/cube/having/distinct, NL count/topn/
-# docs_profile, join_cross, limit_offset_page, tumbling_window_agg,
-# sessionization, multimodal_frame_sampling, text_fingerprint), and
-# the rows-only BPE pair is replaced by one hash-certified query, so
-# N lands ~210 where floor stays 5 and steady-state demand is
-# ~42/50 per round. Head = (a) the r10-born rows, (b) the five
-# queries whose operators materially changed with the r9 ADVICE
-# fixes, (c) the 19 surviving r5-stale rows, then the oldest r6 rows
-# to fill 50. rotation_check.py verifies floor + EDF feasibility.
+# Round 11 executes the r10 verdict's post-round reorder. Head =
+# (a) the r11-born rows (HTML main-content extraction, partition-spec
+# evolution), (b) the queries whose operators materially changed with
+# the r10 ADVICE fixes (snapshots _widest/redact type lattice → the
+# evolution read path; the memory-derived MinHash chunk budget), then
+# (c) the EDF-obligatory stale cohorts: all 24 r6 rows (deadline r11)
+# followed by the first 22 r7 rows in registry order; the remaining
+# 25 r7 rows lead r12's (c) head. rotation_check.py verifies floor +
+# EDF feasibility against this order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet — the r10-born rows (registered as they
+    # (a) no driver row yet — the r11-born rows (registered as they
     # land this round; names listed ahead of implementation so the
-    # head stays stable): hash-certified BPE merge learning (F22
-    # upgrade), trained language-ID classifier (F31), image
-    # perceptual-hash dedup (J20), snapshot schema evolution (S28).
-    "text_bpe_merges_exact", "text_lang_id_classifier",
-    "dedup_image_phash", "snapshot_schema_evolution",
-    # (b) materially changed this round — the r9 ADVICE fixes touched
-    # their operators (urls tail-by-position, expectations NULL-FK
-    # semantics, mv decimal accumulators, delete_where raw partition
-    # keys, MOR broadcast threshold):
-    "text_url_domain_stats", "dq_expectations_wap",
-    "snapshot_incremental_mv", "snapshot_mor_delete_read",
-    "snapshot_changelog_read",
-    # (c) the 19 surviving r5-stale rows (deadline r10), registry
-    # order:
-    "join_left_outer", "join_full_outer", "sessionization_salted",
-    "window_rolling_median", "session_window_agg", "asof_join_nearest",
-    "events_incremental_rollup", "text_pii_redaction",
-    "timeseries_gap_fill", "window_range_trailing",
-    "text_contamination_ngram", "text_vocab_topk", "dedup_clusters",
-    "sink_partition_upsert", "source_schema_evolution",
-    "sink_compaction", "streaming_stream_stream_join",
-    "streaming_dedup_exact", "streaming_session_window",
-    # (c) the oldest r6 rows fill the remaining slots; whatever
-    # spills past 50 leads r11's (c) head:
-    "join_semi", "join_anti", "join_theta_range", "sort_multi_key",
-    "union_all_vs_distinct", "intersect_except", "join_fuzzy_entity",
-    "agg_statistical", "agg_percentiles", "agg_collect", "agg_pivot",
-    "window_ranking", "window_offsets", "window_running_aggs",
-    "window_topk_per_group", "asof_join_events", "datetime_functions",
-    "events_anomaly_mad", "events_funnel_conversion",
-    "string_functions", "array_functions", "json_functions",
+    # head stays stable): HTML→text main-content extraction (F32),
+    # partition-spec evolution mixed-spec read (S30).
+    "text_html_extract", "snapshot_partition_evolution",
+    # (b) materially changed this round — the r10 ADVICE fixes touch
+    # the evolved-read type lattice (_widest int/decimal) and redact's
+    # manifest repoint (io/snapshots.py), and the MinHash kernel's
+    # chunk cap became memory-budget-derived (operators/dedup.py):
+    "snapshot_schema_evolution", "dedup_incremental_minhash",
+    # (c) the 24 r6-stale rows (deadline r11), registry order:
     "text_lang_id", "text_repetition_filter",
     "sample_temperature_by_lang", "text_unigram_logprob",
     "text_chunk_documents", "text_sequence_packing",
@@ -118,6 +93,19 @@ _PRIORITY: tuple[str, ...] = (
     "frontend_nl_dynamic_view", "frontend_graphql_dynamic_rel",
     "source_time_travel", "streaming_foreachbatch_upsert",
     "join_interval_overlap",
+    # (c) the first 22 r7 rows fill the remaining slots; the other
+    # 25 r7 rows lead r12's (c) head:
+    "join_null_safe_eq", "agg_hll_mergeable_rollup",
+    "agg_theta_set_algebra", "agg_kll_quantile_rollup",
+    "agg_topk_sketch_merge", "events_session_length_histogram",
+    "window_distribution_ranks", "multimodal_metadata",
+    "multimodal_decode_pipeline", "sample_weighted_pps",
+    "sample_top_p_by_lang", "text_train_val_test_split",
+    "dedup_containment", "dedup_cluster_keep_best",
+    "text_ngram_novelty", "source_csv_roundtrip",
+    "source_tsv_roundtrip", "source_multifile_glob",
+    "source_partitioned_layout", "sink_result_page",
+    "source_bucketed_join", "source_cdc_apply",
 )
 
 
