@@ -226,7 +226,11 @@ def main() -> None:
     # worker threads — this is the external-contention signal; the
     # post-run sample mostly reflects the bench itself.
     load_ambient = os.getloadavg()
-    load_gated = load_ambient[0] >= 1.0
+    # True when the gate TIMED OUT with the box still busy, i.e. the
+    # numbers below carry external contention. (r10 ADVICE: the old
+    # key name 'gated' read as the opposite — "this run was
+    # load-gated" — inviting inverted adjudication.)
+    load_contended = load_ambient[0] >= 1.0
 
     from karna_spark.queries import REGISTRY
     from karna_spark.session import get_spark
@@ -289,7 +293,7 @@ def main() -> None:
         "ambient_1m": round(load_ambient[0], 2),
         "after_1m": round(load_after[0], 2),
         "cpus": ncpu,
-        "gated": load_gated,
+        "load_contended": load_contended,
         "warm_protocol": "median_of_3",
     }
     if load_ambient[0] > ncpu * 0.5:

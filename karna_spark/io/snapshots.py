@@ -111,9 +111,14 @@ class SnapshotStore:
     # ~16B/row, so 64 MB ≈ 4M deleted rows still broadcast.
     BROADCAST_DELETES_MAX_BYTES = 64 << 20
 
-    def __init__(self, root: str, partition_col: str):
+    def __init__(self, root: str, partition_col: str, clock=None):
         self.root = root
         self.pc = partition_col
+        # Injectable commit clock (tests pass a deterministic fake):
+        # every published manifest is stamped ``committed_at`` so
+        # ``read(as_of=<ts>)`` — the time-travel form humans actually
+        # use — can resolve "the table as of 3pm" to a version.
+        self._clock = clock if clock is not None else time.time
         self.data = os.path.join(root, "data")
         self.mdir = os.path.join(root, "_manifests")
         # Version claims are store-GLOBAL (shared with branches): a
@@ -170,6 +175,7 @@ class SnapshotStore:
         stats: dict[str, dict[str, list]] | None = None,
         deletes: list[dict] | None = None,
         colmap: dict[str, str] | None = None,
+        defaults: dict[str, dict] | None = None,
     ) -> None:
         """Publish manifest ``v``. When ``base_version`` is given the
         publish is CAS-style (Iceberg's commit validation): the
@@ -189,7 +195,18 @@ class SnapshotStore:
                 f"v{self.latest_version()}); retry the write"
             )
         tmp = self._mpath(v) + ".tmp"
-        doc = {"version": v, "partitions": partitions}
+        doc = {
+            "version": v,
+            "partitions": partitions,
+            # wall-clock commit stamp (injectable via __init__ clock)
+            # — the resolution key for read(as_of=<ts>)
+            "committed_at": float(self._clock()),
+        }
+        if defaults:
+            # S28 add-column defaults (Iceberg v3 initial-default):
+            # {logical: {"value": .., "since": <add version>}} — reads
+            # substitute value for rows written BEFORE the add
+            doc["defaults"] = defaults
         if colmap is not None:
             # presence (even {}) marks an evolved table: reads project
             # the manifest's LOGICAL schema through this mapping
@@ -353,11 +370,19 @@ class SnapshotStore:
                             continue  # nested leaves don't prune
                         if name in ("_rv", "_rid"):
                             continue  # hidden row identity — never queried
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
+                        try:
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                tainted.add(name)
+                                continue
+                            lo, hi = st.min, st.max
+                        except Exception:
+                            # pyarrow can't CAST stats for some
+                            # physical types (decimal as fixed-len
+                            # bytes raises from .statistics/.min
+                            # itself); skip = never prune
                             tainted.add(name)
                             continue
-                        lo, hi = st.min, st.max
                         if (
                             type(lo) not in (int, float)
                             or type(hi) not in (int, float)
@@ -472,6 +497,7 @@ class SnapshotStore:
                 self._manifest_doc(prev_v), set(affected)
             ),
             colmap=cm,
+            defaults=self._manifest_doc(prev_v).get("defaults"),
         )
         return v
 
@@ -521,6 +547,7 @@ class SnapshotStore:
                 self._manifest_doc(prev_v), set(affected)
             ),
             colmap=cm,
+            defaults=self._manifest_doc(prev_v).get("defaults"),
         )
         return v
 
@@ -610,6 +637,7 @@ class SnapshotStore:
             stats=prev_doc.get("stats"),
             deletes=deletes or None,
             colmap=prev_doc.get("colmap"),
+            defaults=prev_doc.get("defaults"),
         )
         return v
 
@@ -678,6 +706,7 @@ class SnapshotStore:
             stats=self._inherit_stats(prev_v, manifest, written, v),
             deletes=self._carry_deletes(self._manifest_doc(prev_v), set(vals)),
             colmap=cm,
+            defaults=self._manifest_doc(prev_v).get("defaults"),
         )
         return v
 
@@ -726,9 +755,17 @@ class SnapshotStore:
             "exceeds_broadcast": b > self.BROADCAST_DELETES_MAX_BYTES,
         }
 
+    # decimal digits needed to hold each integral type losslessly
+    _INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
     @staticmethod
     def _widest(a, b):
-        """Widest of two lossless-promotable types (S29 lattice)."""
+        """Widest of two lossless-promotable types — the FULL S29
+        lattice, mirroring every promotion :meth:`widen_column`
+        accepts (r10 ADVICE: an int→decimal(p,0) widen left epochs
+        whose physical types this function refused to reconcile, which
+        made ``redact`` — and any other cross-epoch read — crash on a
+        legally-widened table)."""
         if a == b:
             return a
         from pyspark.sql.types import DecimalType, DoubleType
@@ -745,6 +782,20 @@ class SnapshotStore:
             and a.scale == b.scale
         ):
             return a if a.precision >= b.precision else b
+        # integral vs decimal(p,0): resolves to a scale-0 decimal wide
+        # enough for both (widen_column admits int→decimal(p,0) with
+        # p ≥ the integral's digit count, so these mixes are legal
+        # on-disk states).
+        for x, y in ((a, b), (b, a)):
+            sx = x.simpleString()
+            if (
+                sx in SnapshotStore._INT_DIGITS
+                and isinstance(y, DecimalType)
+                and y.scale == 0
+            ):
+                return DecimalType(
+                    max(y.precision, SnapshotStore._INT_DIGITS[sx]), 0
+                )
         raise ValueError(
             f"cannot reconcile physical types {sa} and {sb}"
         )
@@ -803,6 +854,7 @@ class SnapshotStore:
             stats=doc.get("stats"),
             deletes=doc.get("deletes"),
             colmap=cm,
+            defaults=doc.get("defaults"),
         )
         return v
 
@@ -906,11 +958,10 @@ class SnapshotStore:
                 new_t.scale == old_t.scale
                 and new_t.precision >= old_t.precision
             )
-        if not ok and old_t.simpleString() in (
-            "tinyint", "smallint", "int", "bigint"
-        ) and isinstance(new_t, DecimalType):
-            digits = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
-            ok = new_t.scale == 0 and new_t.precision >= digits[
+        if not ok and old_t.simpleString() in self._INT_DIGITS and isinstance(
+            new_t, DecimalType
+        ):
+            ok = new_t.scale == 0 and new_t.precision >= self._INT_DIGITS[
                 old_t.simpleString()
             ]
         if not ok:
@@ -1289,15 +1340,49 @@ class SnapshotStore:
                 removed_dirs.append(self._pdir(val, pv))
         # Republish every manifest with repointed (or dropped, if the
         # rewrite emptied the directory) partitions, then drop originals.
+        # Rewritten files carry the WIDEST physical types (the probe
+        # union read them through _physical_read_schema across ALL
+        # epochs), so a manifest repointed at them must also upgrade
+        # its declared types: a pre-widen epoch's explicit NARROW
+        # schema applied to the rewritten wide parquet is a narrowing
+        # read, which Spark refuses — breaking time travel to that
+        # version (r10 ADVICE). Widening is lossless, so upgrading the
+        # repointed manifest's types preserves the logical contract.
+        wide_types = (
+            {f.name: f.dataType for f in union.schema.fields}
+            if remap
+            else {}
+        )
         for (si, v), m in manifests.items():
             st = stores[si]
             new_m: dict[str, int] = {}
+            repointed = False
             for val, pv in m.items():
                 nv = remap.get((val, pv), pv)
+                repointed = repointed or nv != pv
                 if nv != -1:  # -1 == rewrite emptied the directory
                     new_m[val] = nv
             doc = st._manifest_doc(v)
             doc["partitions"] = new_m
+            if repointed and doc.get("schema") is not None:
+                cm_d = doc.get("colmap") or {}
+                schema = StructType.fromJson(json.loads(doc["schema"]))
+                doc["schema"] = StructType(
+                    [
+                        StructField(
+                            f.name,
+                            f.dataType
+                            # pc parses as string with inference off —
+                            # never a declared-type upgrade source
+                            if f.name == self.pc
+                            else wide_types.get(
+                                cm_d.get(f.name, f.name), f.dataType
+                            ),
+                            f.nullable,
+                        )
+                        for f in schema.fields
+                    ]
+                ).json()
             tmp = st._mpath(v) + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
@@ -1397,6 +1482,7 @@ class SnapshotStore:
             # same mapping, or the evolution is silently lost on the
             # branch AND un-done on the parent at merge (r10 review)
             colmap=doc.get("colmap"),
+            defaults=doc.get("defaults"),
         )
         return br
 

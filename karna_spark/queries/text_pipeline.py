@@ -2648,3 +2648,114 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_patterned_image_df(items, "item_id")
     hashes = image_ahash64(media)
     return ahash_near_dup_pairs(hashes, max_hamming=6, band_bits=10)
+
+
+@register_query(
+    "text_html_extract",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 7 AS VARCHAR) AS m7,
+             doc_id % 3 AS m3, doc_id % 4 AS m4,
+             CAST(doc_id % 5 AS VARCHAR) AS m5
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id || '</title>'
+          || '<style>.nav{color:red}</style>'
+          || '<script>var trap="DO NOT EXTRACT";</script></head><body>'
+          || '<!-- crawl id ' || doc_id || ' -->'
+          || '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+          || '<header><h1>Doc ' || doc_id || '</h1></header>'
+          || '<p>' || text || '</p>'
+          || '<p>Tags &amp; entities: x' || m7 || ' &lt;ok&gt;</p>'
+          || CASE WHEN m3 = 0
+               THEN '<p>Appendix section ' || m5 || '.</p>' ELSE '' END
+          || '<div class="links"><a href="/l1">more</a> '
+          || '<a href="/l2">links</a> <a href="/l3">here</a></div>'
+          || CASE WHEN m4 = 0
+               THEN '<div class="spacer">   </div>' ELSE '' END
+          || '<aside><a href="/r1">Rel 1</a> <a href="/r2">Rel 2</a></aside>'
+          || '<footer>&copy; 2026 Web Corpus</footer></body></html>'
+          AS html,
+        text || chr(10) || 'Tags & entities: x' || m7 || ' <ok>'
+          || CASE WHEN m3 = 0
+               THEN chr(10) || 'Appendix section ' || m5 || '.'
+               ELSE '' END AS main_text,
+        CAST(2 + CASE WHEN m3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS blocks_kept,
+        CAST(1 + CASE WHEN m4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS blocks_dropped
+      FROM d
+    )
+    SELECT doc_id, main_text, blocks_kept, blocks_dropped,
+           CAST(length(html) AS BIGINT) AS html_chars,
+           CAST(length(main_text) AS BIGINT) AS text_chars,
+           round(1.0 - length(main_text)::DOUBLE / length(html), 4)
+             AS chrome_ratio
+    FROM g
+    """,
+    tags="F32",
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F32: HTML → text main-content extraction (operators/html.py) —
+    the first stage of every crawl pipeline (C4/RefinedWeb run
+    trafilatura-shaped extraction before URL filtering, language ID,
+    or any dedup), closing SURVEY §2's last missing standard stage.
+
+    Each document is wrapped in a deterministic crawl-page template
+    (the WAV/PPM/RVID synthesis precedent): script/style payloads with
+    trap text that must NOT leak, an HTML comment, nav/header/aside/
+    footer chrome, the document text as a prose paragraph, an
+    entity-escaped paragraph (&amp;/&lt;/&gt;), a link-list div whose
+    link density is 1.0 (the boilerpipe drop signal), and — varying by
+    doc_id — an appendix paragraph and a whitespace-only spacer div.
+    The engine extracts main text with JVM regex/array/higher-order
+    expressions only (no UDF, no shuffle — row-local, so the operator
+    scales exactly like the scan feeding it) and emits the kept text,
+    block accounting, and the chrome-ratio quality signal.
+
+    The oracle builds the SAME html string from the generation
+    parameters but derives every output CLOSED-FORM (expected text =
+    the known content paragraphs; expected counts = the known template
+    arithmetic) — it never runs the extractor, so the hash certifies
+    payload stripping, chrome removal, block segmentation, link-density
+    boilerplate rejection, entity decoding, and the ratio math against
+    ground truth, not a replay."""
+    from karna_spark.operators.html import extract_main_content
+
+    doc = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    m3, m4 = doc % 3, doc % 4
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), s(doc), F.lit("</title>"),
+        F.lit("<style>.nav{color:red}</style>"),
+        F.lit('<script>var trap="DO NOT EXTRACT";</script></head><body>'),
+        F.lit("<!-- crawl id "), s(doc), F.lit(" -->"),
+        F.lit('<nav><a href="/">Home</a> <a href="/about">About</a></nav>'),
+        F.lit("<header><h1>Doc "), s(doc), F.lit("</h1></header>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<p>Tags &amp; entities: x"), s(doc % 7),
+        F.lit(" &lt;ok&gt;</p>"),
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("<p>Appendix section "), s(doc % 5), F.lit(".</p>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<div class="links"><a href="/l1">more</a> '),
+        F.lit('<a href="/l2">links</a> <a href="/l3">here</a></div>'),
+        F.when(m4 == 0, F.lit('<div class="spacer">   </div>')).otherwise(
+            F.lit("")
+        ),
+        F.lit('<aside><a href="/r1">Rel 1</a> <a href="/r2">Rel 2</a></aside>'),
+        F.lit("<footer>&copy; 2026 Web Corpus</footer></body></html>"),
+    )
+    pages = table(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("html")
+    )
+    return extract_main_content(pages, "html").select(
+        "doc_id", "main_text", "blocks_kept", "blocks_dropped",
+        "html_chars", "text_chars", "chrome_ratio",
+    )

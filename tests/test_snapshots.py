@@ -1763,3 +1763,80 @@ def test_widen_column_type_promotion(spark, tmp_path):
     got = {r["k"] for r in store.read(spark).collect()}
     assert dict(store.read(spark).dtypes)["value_wide"] == "bigint"
     assert len(got) == 2
+
+
+def test_redact_after_int_to_decimal_widen(spark, tmp_path):
+    """r10 ADVICE: widen_column legally admits int→decimal(p,0), so a
+    cross-epoch read (redact's probe union) must reconcile an
+    integral/decimal physical mix instead of crashing — otherwise
+    right-to-be-forgotten becomes impossible on a legally-widened
+    table until a full rewrite."""
+    from pyspark.sql.types import DecimalType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    base = spark.createDataFrame(
+        [Row(k=1, p="a", val=10), Row(k=2, p="b", val=20)],
+        "k bigint, p string, val int",
+    )
+    store.commit(base)                                # v1: val int
+    store.widen_column("val", DecimalType(12, 0))     # v2: val decimal
+    from decimal import Decimal
+
+    store.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=3, p="a", val=Decimal(30))],
+            "k bigint, p string, val decimal(12,0)",
+        ),
+        key_cols=["k"],
+    )                                                 # v3: decimal files
+    # the probe union now spans int files (v1 epoch) and decimal files
+    n = store.redact(spark, ["k"], spark.createDataFrame([Row(k=1)]))
+    assert n >= 1
+    got = {int(r["k"]): int(r["val"]) for r in store.read(spark).collect()}
+    assert got == {2: 20, 3: 30}
+    # every retained version forgot k=1
+    for v in (1, 2):
+        assert 1 not in {
+            int(r["k"]) for r in store.read(spark, version=v).collect()
+        }
+
+
+def test_redact_repointed_epochs_read_after_widen(spark, tmp_path):
+    """r10 ADVICE: redact rewrites hit dirs at the WIDEST physical type
+    and repoints pre-widen manifests at the new files; those manifests
+    must be republished with upgraded declared types, or time travel to
+    a pre-widen version applies its narrow explicit schema to wide
+    parquet — a narrowing read Spark refuses. Widening is lossless, so
+    the logical contract ('every non-redacted row of every version')
+    still holds."""
+    from pyspark.sql.types import LongType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    base = spark.createDataFrame(
+        [Row(k=1, p="a", val=10), Row(k=2, p="a", val=20)],
+        "k bigint, p string, val int",
+    )
+    store.commit(base)                                # v1: val int files
+    store.widen_column("val", LongType())             # v2: val bigint
+    store.upsert(
+        spark,
+        spark.createDataFrame(
+            [Row(k=3, p="a", val=5_000_000_000)],
+            "k bigint, p string, val bigint",
+        ),
+        key_cols=["k"],
+    )                                                 # v3: bigint files
+    # k=1 lives in the v1 int-file epoch → that dir is rewritten at
+    # the widest type (bigint) and v1's manifest repointed at it
+    n = store.redact(spark, ["k"], spark.createDataFrame([Row(k=1)]))
+    assert n >= 1
+    # time travel to the pre-widen version must still read (upgraded
+    # declared type), serving every non-redacted row
+    v1 = store.read(spark, version=1)
+    assert [(r["k"], r["val"]) for r in v1.collect()] == [(2, 20)]
+    assert dict(v1.dtypes)["val"] == "bigint"  # lossless upgrade
+    # the widened head is intact
+    assert sorted(
+        (r["k"], r["val"]) for r in store.read(spark).collect()
+    ) == [(2, 20), (3, 5_000_000_000)]
