@@ -137,23 +137,77 @@ def _perm_constants(num_perm: int, seed: int = 0x9E3779B97F4A7C15):
     return a, b
 
 
+MATRIX_BYTES_CEILING = 512 * 2**20
+_matrix_budget_cache: int | None = None
+
+
+def _matrix_budget_bytes() -> int:
+    """Per-task byte budget for the (num_perm × grams) permutation
+    matrix, resolved IN the Python worker process so it reflects the
+    executor actually running the task, not the driver.
+
+    r10 ran a fixed 512 MB cap; at 32 concurrent workers the matrices
+    plus the multiply-add temporary OOM-killed workers on the 800k-doc
+    naive leg (SCALING_r10.json) — a constant that provokes
+    retry-absorbed OOM on the reference box is a footgun on any
+    smaller cluster. Derivation: available memory / (4 × host tasks) —
+    every concurrent task holds the matrix plus one equal-size
+    temporary (see the in-place add below), and only half of available
+    memory is budgeted to this kernel (the JVM, Arrow buffers, and the
+    batch's gram lists share the box). Clamped to [64 MB, 512 MB]: the
+    ceiling is the micro-benchmarked knee (a 10k-doc Arrow batch
+    sweeps at one-shot speed with ≤2 chunks; a 200 MB cap pays ~1.6×),
+    the floor keeps chunking from degenerating on tiny containers.
+    ``KARNA_MINHASH_MATRIX_MB`` overrides (propagates to executors via
+    spark.executorEnv / cluster submit conf)."""
+    global _matrix_budget_cache
+    if _matrix_budget_cache is not None:
+        return _matrix_budget_cache
+    import os
+
+    env = os.environ.get("KARNA_MINHASH_MATRIX_MB")
+    if env:
+        _matrix_budget_cache = max(1, int(env)) * 2**20
+        return _matrix_budget_cache
+    avail = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    if avail is None:
+        try:
+            avail = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_AVPHYS_PAGES")
+        except (OSError, ValueError):
+            avail = MATRIX_BYTES_CEILING * 4  # unknown box: floor-ish
+    tasks = os.cpu_count() or 8
+    _matrix_budget_cache = int(
+        min(MATRIX_BYTES_CEILING, max(64 * 2**20, avail // (4 * tasks)))
+    )
+    return _matrix_budget_cache
+
+
 def _chunked_perm_minima(
     h_all: "np.ndarray", off: "np.ndarray", a: "np.ndarray", b: "np.ndarray",
-    max_matrix_bytes: int = 512 * 2**20,
+    max_matrix_bytes: int | None = None,
 ) -> "np.ndarray":
     """Per-doc minima of all permutations over a flat gram-hash array,
     swept in doc-aligned chunks so the (num_perm × grams) intermediate
-    never exceeds ``max_matrix_bytes`` — the unchunked matrix OOM-killed
+    never exceeds the matrix budget — the unchunked matrix OOM-killed
     Python workers at 800k-doc corpora. Bit-identical to the one-shot
-    ``np.minimum.reduceat`` over the full matrix (unit-tested). The cap
-    is 512 MB, not smaller: micro-benchmarked, a 10k-doc Arrow batch
-    sweeps at one-shot speed with ≤2 chunks (0.75 s) but pays ~1.6×
-    at a 200 MB cap, while 512 MB × 32 workers stays ~16 GB peak."""
+    ``np.minimum.reduceat`` over the full matrix (unit-tested). The
+    budget defaults to :func:`_matrix_budget_bytes` — derived from the
+    worker's available memory and task concurrency, ceiling 512 MB."""
+    if max_matrix_bytes is None:
+        max_matrix_bytes = _matrix_budget_bytes()
     max_grams = max(1, max_matrix_bytes // (8 * len(a)))
     if len(h_all) <= max_grams:  # common case: batch fits — zero overhead
-        return np.minimum.reduceat(
-            a[:, None] * h_all[None, :] + b[:, None], off, axis=1
-        )
+        t = a[:, None] * h_all[None, :]
+        t += b[:, None]  # in-place: one temporary, not two
+        return np.minimum.reduceat(t, off, axis=1)
     chunks = []
     lo_doc = 0
     while lo_doc < len(off):
@@ -165,7 +219,8 @@ def _chunked_perm_minima(
         hi_doc = max(hi_doc, lo_doc + 1)  # a single huge doc still goes
         lo_g = off[lo_doc]
         hi_g = len(h_all) if hi_doc == len(off) else off[hi_doc]
-        t = a[:, None] * h_all[None, lo_g:hi_g] + b[:, None]
+        t = a[:, None] * h_all[None, lo_g:hi_g]
+        t += b[:, None]
         chunks.append(np.minimum.reduceat(t, off[lo_doc:hi_doc] - lo_g, axis=1))
         lo_doc = hi_doc
     return np.concatenate(chunks, axis=1)

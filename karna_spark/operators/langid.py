@@ -116,6 +116,7 @@ def classify(
     floors: DataFrame,
     id_col: str,
     text_col: str,
+    sparse: bool = False,
 ) -> DataFrame:
     """Predict a language per document: per-doc bigram bag →
     broadcast equi-join against the dense model (bigrams absent from
@@ -123,7 +124,26 @@ def classify(
     metadata-scale floors cross join) → exact BIGINT score sum →
     deterministic argmax (score desc, then lexicographic lang).
     Returns (id_col, lang_pred, score_e6). Documents shorter than two
-    characters have no bigrams and drop out (nothing to score)."""
+    characters have no bigrams and drop out (nothing to score).
+
+    SCALE NOTE — the |langs| multiplier: the floors cross join fans
+    the per-doc bigram bag by |langs| BEFORE the (doc, lang)
+    aggregate, so the shuffled intermediate is |langs| × the bag. At
+    this model's 5 languages that is the dense-scoring plan fastText
+    itself runs; at a 200-language production model the fan-out
+    dominates. The aggregate is map-combinable (partial sums reduce
+    the fan-out executor-side before the shuffle), so the plan
+    survives — but the sparse-scoring escape is cheaper there: join
+    the bag against the model FIRST (only (bigram, lang) pairs the
+    model has SEEN — sparse, not dense), aggregate per (doc, lang)
+    over seen bigrams only, then add each language's floor × (bag
+    total − seen count) arithmetically. Same exact BIGINT result,
+    intermediate ∝ model hits instead of |langs| × bag.
+    ``sparse=True`` runs that plan (differential-tested against dense
+    — bit-identical scores by construction: a trained (bg, lang) pair
+    scores strictly above the floor, ln(c+1) ≥ ln 2 ≈ 693147
+    micro-nats, so the lp≠floor filter recovers the true sparse
+    model exactly)."""
     bag = (
         docs.select(
             F.col(id_col), F.explode(char_bigrams(F.col(text_col))).alias("bg")
@@ -131,17 +151,45 @@ def classify(
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    # candidate langs ride the floors frame (|langs| rows)
-    scored = (
-        bag.crossJoin(F.broadcast(floors))
-        .join(F.broadcast(model), ["bg", "lang"], "left")
-        .groupBy(id_col, "lang")
-        .agg(
-            F.sum(
-                F.col("n") * F.coalesce(F.col("lp_e6"), F.col("floor_e6"))
-            ).alias("score_e6")
+    if sparse:
+        # true-sparse model: only pairs trained above the floor
+        sparse_model = model.join(F.broadcast(floors), "lang").filter(
+            F.col("lp_e6") != F.col("floor_e6")
         )
-    )
+        seen = (
+            bag.join(F.broadcast(sparse_model), "bg")
+            .groupBy(id_col, "lang")
+            .agg(
+                F.sum(F.col("n") * F.col("lp_e6")).alias("seen_e6"),
+                F.sum("n").alias("n_seen"),
+            )
+        )
+        totals = bag.groupBy(id_col).agg(F.sum("n").alias("n_tot"))
+        scored = (
+            totals.crossJoin(F.broadcast(floors))
+            .join(seen, [id_col, "lang"], "left")
+            .select(
+                id_col,
+                "lang",
+                (
+                    F.coalesce(F.col("seen_e6"), F.lit(0))
+                    + F.col("floor_e6")
+                    * (F.col("n_tot") - F.coalesce(F.col("n_seen"), F.lit(0)))
+                ).alias("score_e6"),
+            )
+        )
+    else:
+        # candidate langs ride the floors frame (|langs| rows)
+        scored = (
+            bag.crossJoin(F.broadcast(floors))
+            .join(F.broadcast(model), ["bg", "lang"], "left")
+            .groupBy(id_col, "lang")
+            .agg(
+                F.sum(
+                    F.col("n") * F.coalesce(F.col("lp_e6"), F.col("floor_e6"))
+                ).alias("score_e6")
+            )
+        )
     best = scored.groupBy(id_col).agg(
         F.min(F.struct((-F.col("score_e6")).alias("ns"), F.col("lang"))).alias("b")
     )

@@ -517,8 +517,36 @@ def ahash_near_dup_pairs(
 
     n_bands = (64 + band_bits - 1) // band_bits
     assert (n_bands - 1) >= max_hamming, "bands must exceed max_hamming"
+    banded = _ahash_bands(hashes, band_bits)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .select(
+            F.col("a.item_id").alias("id_a"),
+            F.col("b.item_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("ha"), F.col("hb")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def _ahash_bands(hashes: DataFrame, band_bits: int) -> DataFrame:
+    """Explode each 64-bit hash into its (band, val) keys."""
+    n_bands = (64 + band_bits - 1) // band_bits
     mask = (1 << band_bits) - 1
-    banded = hashes.select(
+    return hashes.select(
         F.col("item_id"),
         F.col("ahash"),
         F.explode(
@@ -535,20 +563,52 @@ def ahash_near_dup_pairs(
             )
         ).alias("bv"),
     ).select("item_id", "ahash", "bv.band", "bv.val")
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+
+def ahash_incremental_pairs(
+    batch_media: DataFrame,
+    base_hashes: DataFrame,
+    max_hamming: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """J20 steady-state ingest: near-dup pairs INVOLVING a new batch,
+    probing a PERSISTED hash table instead of re-hashing the corpus —
+    the image twin of J18's stored-signature MinHash ingest. Hash only
+    the batch (``image_ahash64`` over its media bytes), then band-join
+    the batch's (band, val) keys against (stored ∪ batch) bands: every
+    emitted pair has a batch item on at least one side, candidates ∝
+    band-bucket occupancy of the BATCH (never |corpus|²), and the
+    stored table grows by |batch| rows per ingest. Exact popcount
+    verifies candidates, pairs are normalized (id_a < id_b) and
+    deduplicated across bands. Per-ingest cost is O(|batch| bands +
+    bucket collisions): flat in corpus size — the claim the J20
+    scaling leg in ``scripts/ingest_scaling.py`` measures
+    (SCALING_r11.json)."""
+    from karna_spark.operators.dedup import hamming64
+
+    n_bands = (64 + band_bits - 1) // band_bits
+    assert (n_bands - 1) >= max_hamming, "bands must exceed max_hamming"
+    batch_hashes = image_ahash64(batch_media)
+    all_bands = _ahash_bands(
+        base_hashes.unionByName(batch_hashes), band_bits
+    )
+    probe = _ahash_bands(batch_hashes, band_bits).alias("a")
     cand = (
-        a.join(
-            b,
+        probe.join(
+            all_bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.item_id") < F.col("b.item_id")),
+            & (F.col("a.item_id") != F.col("b.item_id")),
         )
         .select(
-            F.col("a.item_id").alias("id_a"),
-            F.col("b.item_id").alias("id_b"),
-            F.col("a.ahash").alias("ha"),
-            F.col("b.ahash").alias("hb"),
+            F.least("a.item_id", "b.item_id").alias("id_a"),
+            F.greatest("a.item_id", "b.item_id").alias("id_b"),
+            F.when(F.col("a.item_id") < F.col("b.item_id"), F.col("a.ahash"))
+            .otherwise(F.col("b.ahash"))
+            .alias("ha"),
+            F.when(F.col("a.item_id") < F.col("b.item_id"), F.col("b.ahash"))
+            .otherwise(F.col("a.ahash"))
+            .alias("hb"),
         )
         .distinct()
     )

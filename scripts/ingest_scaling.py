@@ -74,7 +74,45 @@ def synth_vecs(spark: SparkSession, n: int, salt: int, start: int = 0) -> DataFr
     )
 
 
-def timed(fn, reps: int = 2) -> float:
+_SPARK: SparkSession | None = None
+_GROUPS: list[str] = []
+
+
+def _next_group(label: str) -> None:
+    """Stamp subsequent jobs with a fresh job group so their task
+    failures are attributable afterward. r10's 800k naive MinHash leg
+    silently absorbed Python-worker OOM-kill retries
+    (SCALING_r10.json note); a scaling claim backed by retry-absorbing
+    runs is not a scaling claim, so the script now records the total
+    retry count across every leg and build and FAILS if any task ever
+    retried."""
+    if _SPARK is None:
+        return
+    group = f"g{len(_GROUPS)}-{label}"
+    _GROUPS.append(group)
+    _SPARK.sparkContext.setJobGroup(group, group)
+
+
+def _total_failed_tasks() -> int:
+    """Sum numFailedTasks over every stage of every grouped job."""
+    if _SPARK is None:
+        return 0
+    tracker = _SPARK.sparkContext.statusTracker()
+    failed = 0
+    for group in _GROUPS:
+        for jid in tracker.getJobIdsForGroup(group):
+            ji = tracker.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is not None:
+                    failed += si.numFailedTasks
+    return failed
+
+
+def timed(fn, reps: int = 2, label: str = "leg") -> float:
+    _next_group(label)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -92,7 +130,10 @@ def main() -> None:
     ap.add_argument("--sizes", type=int, nargs="+", default=CORPUS_SIZES)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument(
-        "--ops", nargs="+", choices=["minhash", "ivf"], default=["minhash", "ivf"]
+        "--ops",
+        nargs="+",
+        choices=["minhash", "ivf", "image"],
+        default=["minhash", "ivf", "image"],
     )
     ap.add_argument(
         "--nlist-rule",
@@ -130,6 +171,9 @@ def main() -> None:
 
     spark = get_spark(app_name="ingest_scaling")
     spark.sparkContext.setLogLevel("ERROR")
+    global _SPARK
+    _SPARK = spark
+    _next_group("setup")
     work = tempfile.mkdtemp(prefix="ingest_scaling_")
     rows = []
     try:
@@ -174,6 +218,60 @@ def main() -> None:
                     minhash_naive_s=naive_s,
                     minhash_speedup=round(naive_s / stored_s, 1),
                     sig_build_once_s=sig_build,
+                )
+
+            if "image" in args.ops:
+                # ---- J20: stored-hash image ingest ------------------
+                from karna_spark.operators.multimodal import (
+                    ahash_incremental_pairs,
+                    ahash_near_dup_pairs,
+                    image_ahash64,
+                    synthesize_patterned_image_df,
+                )
+
+                img_ids = spark.range(0, n).select(
+                    F.col("id").alias("item_id")
+                )
+                batch_ids = spark.range(n, n + BATCH).select(
+                    F.col("id").alias("item_id")
+                )
+                # one-time hash-table build (reported, not per-ingest)
+                hash_path = os.path.join(work, f"ahash_{n}.parquet")
+                _next_group("image-build")
+                t0 = time.perf_counter()
+                image_ahash64(
+                    synthesize_patterned_image_df(img_ids, "item_id")
+                ).write.mode("overwrite").parquet(hash_path)
+                hash_build = round(time.perf_counter() - t0, 3)
+                stored_hashes = spark.read.parquet(hash_path)
+                batch_media = synthesize_patterned_image_df(
+                    batch_ids, "item_id"
+                ).localCheckpoint()
+
+                def img_stored():
+                    noop(
+                        ahash_incremental_pairs(batch_media, stored_hashes)
+                    )
+
+                def img_naive():
+                    noop(
+                        ahash_near_dup_pairs(
+                            image_ahash64(
+                                synthesize_patterned_image_df(
+                                    img_ids.unionByName(batch_ids),
+                                    "item_id",
+                                )
+                            )
+                        )
+                    )
+
+                img_stored_s = timed(img_stored, args.reps, label="img-stored")
+                img_naive_s = timed(img_naive, args.reps, label="img-naive")
+                row.update(
+                    image_stored_s=img_stored_s,
+                    image_naive_s=img_naive_s,
+                    image_speedup=round(img_naive_s / img_stored_s, 1),
+                    hash_build_once_s=hash_build,
                 )
 
             if "ivf" not in args.ops:
@@ -263,6 +361,9 @@ def main() -> None:
     if "minhash" in args.ops:
         cols += ["minhash_stored_s", "minhash_naive_s", "minhash_speedup",
                  "sig_build_once_s"]
+    if "image" in args.ops:
+        cols += ["image_stored_s", "image_naive_s", "image_speedup",
+                 "hash_build_once_s"]
     if "ivf" in args.ops:
         cols += ["ivf_nlist", "ivf_stored_s", "ivf_naive_s", "ivf_speedup",
                  "ivf_build_once_s"]
@@ -270,6 +371,7 @@ def main() -> None:
     print("|" + "---|" * len(cols))
     for r in rows:
         print("| " + " | ".join(str(r.get(c, "")) for c in cols) + " |")
+    task_failures = _total_failed_tasks()
     print(
         json.dumps(
             {
@@ -278,10 +380,22 @@ def main() -> None:
                 "nlist_rule": args.nlist_rule if "ivf" in args.ops else None,
                 "load_ambient_1m": round(load_ambient, 2),
                 "load_after_1m": round(os.getloadavg()[0], 2),
+                # zero-retry gate: numbers above are only claims if no
+                # task silently retried past a worker OOM-kill
+                "task_failures": task_failures,
             }
         )
     )
     spark.stop()
+    if task_failures:
+        print(
+            f"FAIL: {task_failures} task failure(s) were retried during "
+            "the run — timings above absorbed them and are not scaling "
+            "evidence; lower KARNA_MINHASH_MATRIX_MB or rerun on a "
+            "quieter box",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,34 @@ def test_chunked_perm_minima_matches_one_shot():
         assert np.array_equal(got, one_shot), f"budget={budget}"
 
 
+def test_matrix_budget_resolution(monkeypatch):
+    """The MinHash matrix budget derives from worker memory at task
+    concurrency, clamps to [64 MB, 512 MB], and honors the env
+    override (r10 verdict: a fixed 512 MB default provoked
+    retry-absorbed worker OOM at full concurrency on the 800k leg)."""
+    import karna_spark.operators.dedup as d
+
+    monkeypatch.setattr(d, "_matrix_budget_cache", None)
+    monkeypatch.setenv("KARNA_MINHASH_MATRIX_MB", "96")
+    assert d._matrix_budget_bytes() == 96 * 2**20
+
+    monkeypatch.setattr(d, "_matrix_budget_cache", None)
+    monkeypatch.delenv("KARNA_MINHASH_MATRIX_MB")
+    got = d._matrix_budget_bytes()
+    assert 64 * 2**20 <= got <= d.MATRIX_BYTES_CEILING
+    # derivation sanity: never more than avail/(4*cpus) unless floored
+    import os
+
+    with open("/proc/meminfo") as fh:
+        avail = next(
+            int(ln.split()[1]) * 1024
+            for ln in fh
+            if ln.startswith("MemAvailable:")
+        )
+    derived = avail // (4 * (os.cpu_count() or 8))
+    assert got <= max(64 * 2**20, min(d.MATRIX_BYTES_CEILING, derived * 2))
+
+
 def test_simhash_near_dups(spark):
     from karna_spark.operators.dedup import simhash_near_dup_pairs
 
@@ -1205,3 +1233,42 @@ def test_langid_classifier_edges(spark):
     got = {r["doc_id"]: r["lang_pred"]
            for r in classify(test, model, floors, "doc_id", "text").collect()}
     assert got == {10: "aa", 12: "aa"}
+
+
+def test_langid_sparse_matches_dense(spark):
+    """The sparse-scoring escape (score = seen-pair sum + floor ×
+    unseen mass — the 200-language plan that avoids the |langs| × bag
+    fan-out) must be BIT-identical to the dense broadcast-join plan:
+    same predictions AND same exact micro-nat scores, including
+    all-OOV docs and mixed-language text."""
+    from pyspark.sql import Row
+
+    from karna_spark.operators.langid import classify, train_bigram_model
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat", lang="en"),
+            Row(doc_id=2, text="le chat est sur le tapis", lang="fr"),
+            Row(doc_id=3, text="der hund lief im park", lang="de"),
+        ]
+    )
+    model, floors = train_bigram_model(train, "text", "lang")
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the cat on the mat sat"),
+            Row(doc_id=11, text="le tapis est sur le chat"),
+            Row(doc_id=12, text="qqqq zzzz"),          # heavy OOV
+            Row(doc_id=13, text="the chat im park"),   # mixed
+        ]
+    )
+    dense = {
+        r["doc_id"]: (r["lang_pred"], r["score_e6"])
+        for r in classify(test, model, floors, "doc_id", "text").collect()
+    }
+    sparse = {
+        r["doc_id"]: (r["lang_pred"], r["score_e6"])
+        for r in classify(
+            test, model, floors, "doc_id", "text", sparse=True
+        ).collect()
+    }
+    assert sparse == dense
