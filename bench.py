@@ -95,6 +95,12 @@ HEADLINE = [
     # (Arrow kernel + 7-band self-join) — the two new data-scale ops
     "text_lang_id_classifier",
     "dedup_image_phash",
+    # r11: HTML main-content extraction (the first stage of a crawl
+    # pipeline — synthesized markup → JVM-regex block extraction) and
+    # the partition-spec evolution lifecycle (commit → metadata respec
+    # → mixed-spec MOR upsert → full migration compact + pruned read)
+    "text_html_extract",
+    "snapshot_partition_evolution",
 ]
 
 

@@ -176,6 +176,7 @@ class SnapshotStore:
         deletes: list[dict] | None = None,
         colmap: dict[str, str] | None = None,
         defaults: dict[str, dict] | None = None,
+        specs: list[dict] | None = None,
     ) -> None:
         """Publish manifest ``v``. When ``base_version`` is given the
         publish is CAS-style (Iceberg's commit validation): the
@@ -207,6 +208,17 @@ class SnapshotStore:
             # {logical: {"value": .., "since": <add version>}} — reads
             # substitute value for rows written BEFORE the add
             doc["defaults"] = defaults
+        if specs:
+            # S30 partition-spec evolution (Iceberg partition specs):
+            # ordered [{"col": <physical col>, "since": <version>}] —
+            # the spec history, newest last (= the column new writes
+            # partition by; ``since`` records when each took effect).
+            # Presence marks a spec-evolved table: ALL partition keys
+            # (partitions, stats, delete-entry partitions) are then
+            # QUALIFIED ``"<col>=<raw value>"`` — each pointer's key
+            # embeds the spec it was written under, so values from
+            # different specs can never collide in one manifest.
+            doc["specs"] = specs
         if colmap is not None:
             # presence (even {}) marks an evolved table: reads project
             # the manifest's LOGICAL schema through this mapping
@@ -246,9 +258,124 @@ class SnapshotStore:
             if f.startswith("v") and f.endswith(".json")
         )
 
+    # ------------------------------- partition-spec helpers (S30)
+    def _doc_specs(self, doc: dict) -> list[dict]:
+        """Spec history of a manifest (oldest→newest). Un-evolved
+        tables have the implicit single spec: the ``__init__``
+        partition column since v0."""
+        return doc.get("specs") or [{"col": self.pc, "since": 0}]
+
+    def _cur_spec(self, doc: dict) -> str:
+        """PHYSICAL column new writes partition by under this doc."""
+        return self._doc_specs(doc)[-1]["col"]
+
+    def _split_key(self, doc: dict, key: str) -> tuple[str, str]:
+        """Manifest partition key → (physical spec col, raw value).
+        Spec-evolved manifests hold qualified ``col=val`` keys;
+        un-evolved manifests hold the raw value (full back-compat
+        with every manifest already on disk)."""
+        if "specs" in doc:
+            col, _, val = key.partition("=")
+            return col, val
+        return self.pc, key
+
+    @staticmethod
+    def _mk_key(doc: dict, col: str, val: str) -> str:
+        """(spec col, raw value) → manifest key in ``doc``'s format."""
+        return f"{col}={val}" if "specs" in doc else val
+
+    def _logical_of(self, doc: dict, phys: str) -> str:
+        """LOGICAL name a physical column currently maps to (S28
+        rename is metadata-only, so a spec column's physical name is
+        stable while its logical name may drift)."""
+        for lg, ph in (doc.get("colmap") or {}).items():
+            if ph == phys:
+                return lg
+        return phys
+
+    def repartition_spec(self, new_col: str) -> int:
+        """S30: change the partition spec — METADATA-ONLY (Iceberg
+        partition-spec evolution): publishes a new version whose
+        pointers are a copy of the base, re-keyed to qualified
+        ``col=val`` form, with ``new_col`` appended to the spec
+        history. No data file is touched: files written before this
+        version stay under (and are read under) their own spec;
+        writes from this version on partition by ``new_col``.
+
+        Composition on a mixed-spec table (all model-checked):
+        reads union the per-spec scans; :meth:`upsert` /
+        :meth:`apply_changes` retire matching rows in old-spec
+        partitions through a merge-on-read delete entry (no old-spec
+        directory is ever rewritten in place — its rows would
+        redistribute into new-spec directories and collide with
+        inherited pointers); :meth:`compact` with no partition list
+        rewrites the whole table under the current spec — the
+        migration op (Iceberg's ``rewrite_data_files`` to latest
+        spec). ``new_col`` is resolved through the colmap (pass the
+        LOGICAL name); it must exist and not already be the current
+        spec."""
+        prev_v = self.latest_version()
+        if prev_v == 0:
+            raise ValueError("spec evolution needs a published version")
+        doc = self._manifest_doc(prev_v)
+        if doc.get("schema") is None:
+            raise ValueError("manifest carries no schema to evolve")
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        names = [f.name for f in schema.fields]
+        if new_col not in names:
+            raise ValueError(f"no such column: {new_col!r}")
+        cm = dict(
+            doc.get("colmap") or {f.name: f.name for f in schema.fields}
+        )
+        phys = cm.get(new_col, new_col)
+        if phys == self._cur_spec(doc):
+            raise ValueError(
+                f"{new_col!r} is already the partition column"
+            )
+        v = self._claim_version()
+        specs = [dict(s) for s in self._doc_specs(doc)]
+        specs.append({"col": phys, "since": v})
+
+        # re-key every partition-value reference to qualified form:
+        # a pointer keeps the spec col it was written under (for an
+        # un-evolved base that is the single implicit spec; for an
+        # already-evolved base the key carries its col already)
+        def rq(key: str) -> str:
+            col, val = self._split_key(doc, key)
+            return f"{col}={val}"
+
+        new_parts = {rq(k): pv for k, pv in doc["partitions"].items()}
+        new_stats = {
+            rq(k): st
+            for k, st in (doc.get("stats") or {}).items()
+            if k in doc["partitions"]
+        }
+        new_dels = None
+        if doc.get("deletes"):
+            new_dels = [
+                {**e, "partitions": [rq(p) for p in e["partitions"]]}
+                for e in doc["deletes"]
+            ]
+        self._publish(
+            v,
+            new_parts,
+            schema_json=doc["schema"],
+            base_version=prev_v,
+            stats=new_stats or None,
+            deletes=new_dels,
+            colmap=cm,
+            defaults=doc.get("defaults"),
+            specs=specs,
+        )
+        return v
+
     # ------------------------------------------------------- writes
     def _write(
-        self, df: DataFrame, v: int, order_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        v: int,
+        order_by: list[str] | None = None,
+        spec_col: str | None = None,
     ) -> list[str]:
         """Write ``df`` under v=<v> subdirs; return the partition
         values actually WRITTEN (computed from the materialized result
@@ -262,6 +389,7 @@ class SnapshotStore:
         (r7 ADVICE: returning the escaped name verbatim made upsert
         retain the old pointer AND add the escaped-name key, serving
         that partition's rows twice)."""
+        pc = spec_col if spec_col is not None else self.pc
         if "_rv" in df.columns or "_rid" in df.columns:
             raise ValueError(
                 "column names _rv/_rid are reserved for the store's "
@@ -287,9 +415,9 @@ class SnapshotStore:
             # Sorting (pc, v, *order_by) here satisfies that
             # requirement as a prefix, so the writer keeps this exact
             # order and the files come out clustered on order_by.
-            out = out.sortWithinPartitions(self.pc, "v", *order_by)
-        out.write.mode("append").partitionBy(self.pc, "v").parquet(self.data)
-        prefix = f"{self.pc}="
+            out = out.sortWithinPartitions(pc, "v", *order_by)
+        out.write.mode("append").partitionBy(pc, "v").parquet(self.data)
+        prefix = f"{pc}="
         return [
             _unescape_partition(d[len(prefix):])
             for d in os.listdir(self.data)
@@ -297,11 +425,18 @@ class SnapshotStore:
             and os.path.isdir(os.path.join(self.data, d, f"v={v}"))
         ]
 
-    def _pdir(self, val: str, pv: int) -> str:
-        """Physical leaf dir for (raw partition value, version)."""
+    def _pdir(self, val: str, pv: int, spec_col: str | None = None) -> str:
+        """Physical leaf dir for (raw partition value, version) under
+        ``spec_col`` (default: the store's ``__init__`` column)."""
+        pc = spec_col if spec_col is not None else self.pc
         return os.path.join(
-            self.data, f"{self.pc}={_escape_partition(val)}", f"v={pv}"
+            self.data, f"{pc}={_escape_partition(val)}", f"v={pv}"
         )
+
+    def _kdir(self, doc: dict, key: str, pv: int) -> str:
+        """Physical leaf dir for a MANIFEST key in ``doc``'s format."""
+        col, val = self._split_key(doc, key)
+        return self._pdir(val, pv, spec_col=col)
 
     def _ddir(self, dv: int) -> str:
         """Physical dir of merge-on-read delete set ``dv`` (named by
@@ -332,7 +467,7 @@ class SnapshotStore:
         return out or None
 
     def _partition_stats(
-        self, vals: list[str], v: int
+        self, vals: list[str], v: int, spec_col: str | None = None
     ) -> dict[str, dict[str, list]]:
         """Per-partition min/max column bounds for the freshly written
         ``v=<v>`` dirs (Iceberg-style manifest stats, the data-skipping
@@ -353,7 +488,7 @@ class SnapshotStore:
 
         stats: dict[str, dict[str, list]] = {}
         for val in vals:
-            d = self._pdir(val, v)
+            d = self._pdir(val, v, spec_col=spec_col)
             mins: dict[str, float] = {}
             maxs: dict[str, float] = {}
             tainted: set[str] = set()
@@ -425,8 +560,35 @@ class SnapshotStore:
         """Full-snapshot commit (initial load or full rewrite). Not
         CAS-validated: a full commit replaces every pointer by intent,
         so concurrent full commits are last-writer-wins (incremental
-        writers racing a full commit DO fail their CAS check)."""
+        writers racing a full commit DO fail their CAS check). On an
+        evolved table the SCHEMA epoch resets (``df``'s own schema is
+        the new truth — colmap/defaults dropped by intent) but the
+        PARTITION SPEC is table metadata, not row data: the write
+        lands under the current spec, whose history collapses to a
+        single entry because no old-spec pointer survives a full
+        rewrite."""
+        prev_v = self.latest_version()
+        prev_doc = self._manifest_doc(prev_v) if prev_v else {}
         v = self._claim_version()
+        if "specs" in prev_doc:
+            # epoch reset: physical names become df's logical names,
+            # so the spec entry is re-keyed to the CURRENT logical
+            # name of the spec column
+            pc = self._logical_of(prev_doc, self._cur_spec(prev_doc))
+            written = self._write(df, v, spec_col=pc)
+            self._publish(
+                v,
+                {f"{pc}={a}": v for a in written},
+                schema_json=df.schema.json(),
+                stats={
+                    f"{pc}={a}": st
+                    for a, st in self._partition_stats(
+                        written, v, spec_col=pc
+                    ).items()
+                },
+                specs=[{"col": pc, "since": 0}],
+            )
+            return v
         written = self._write(df, v)
         self._publish(
             v,
@@ -456,18 +618,32 @@ class SnapshotStore:
         two partitions (the same contract Hive-style partitioned
         MERGE has). Pass ``validate_keys=True`` to detect moves with a
         full-snapshot key join and raise instead — O(|table|) per
-        upsert, so it is opt-in."""
+        upsert, so it is opt-in.
+
+        SPEC-EVOLVED tables (S30): partitions still under an OLD spec
+        cannot be partition-pruned by the delta's current-spec values,
+        and rewriting one in place would redistribute its rows into
+        current-spec directories that collide with inherited pointers.
+        Matching rows there are retired through a MERGE-ON-READ delete
+        entry instead (one scan of the un-migrated partitions, a
+        KB-scale delete file, no rewrite) — the Iceberg merge-on-read
+        MERGE shape. The scan cost shrinks to zero as :meth:`compact`
+        migrates the table to the current spec."""
         v = self._claim_version()
         prev_v = self.latest_version()
-        prev = self._manifest(prev_v)
-        affected = self._affected_values(delta, self.pc)
+        prev_doc = self._manifest_doc(prev_v)
+        prev = prev_doc["partitions"]
+        cur = self._cur_spec(prev_doc)
+        pc_l = self._logical_of(prev_doc, cur)
+        affected = self._affected_values(delta, pc_l)
+        affected_keys = {self._mk_key(prev_doc, cur, a) for a in affected}
         if validate_keys and prev:
             moved = (
                 self.read(spark, version=prev_v)
-                .withColumnRenamed(self.pc, "_prev_pc")
+                .withColumnRenamed(pc_l, "_prev_pc")
                 .select(*key_cols, "_prev_pc")
-                .join(delta.select(*key_cols, self.pc).distinct(), key_cols)
-                .filter(F.col("_prev_pc").cast("string") != F.col(self.pc).cast("string"))
+                .join(delta.select(*key_cols, pc_l).distinct(), key_cols)
+                .filter(F.col("_prev_pc").cast("string") != F.col(pc_l).cast("string"))
                 .limit(1)
                 .collect()
             )
@@ -475,31 +651,105 @@ class SnapshotStore:
                 raise ValueError(
                     f"upsert moves key {[moved[0][k] for k in key_cols]} "
                     f"across partitions ({moved[0]['_prev_pc']!r} -> "
-                    f"{moved[0][self.pc]!r}); partition values are "
+                    f"{moved[0][pc_l]!r}); partition values are "
                     "immutable per key"
                 )
         existing = self.read(
-            spark, version=prev_v, partition_values=[a for a in affected if a in prev]
+            spark,
+            version=prev_v,
+            partition_values=[k for k in sorted(affected_keys) if k in prev],
         )
         keep = existing.join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(delta)
-        cm = self._manifest_doc(prev_v).get("colmap")
-        written = self._write(self._to_physical(merged, cm), v)
-        manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
-        manifest.update({a: v for a in written})
+        cm = prev_doc.get("colmap")
+        written = self._write(self._to_physical(merged, cm), v, spec_col=cur)
+        manifest = {k: pv for k, pv in prev.items() if k not in affected_keys}
+        manifest.update({self._mk_key(prev_doc, cur, a): v for a in written})
+        deletes = self._carry_deletes(prev_doc, affected_keys) or []
+        mor = self._retire_old_spec_rows(
+            spark, prev_v, prev_doc, delta.select(*key_cols).distinct(),
+            key_cols, v,
+        )
+        if mor:
+            deletes.append(mor)
         self._publish(
             v,
             manifest,
             schema_json=merged.schema.json(),
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
-            deletes=self._carry_deletes(
-                self._manifest_doc(prev_v), set(affected)
-            ),
+            deletes=deletes or None,
             colmap=cm,
-            defaults=self._manifest_doc(prev_v).get("defaults"),
+            defaults=prev_doc.get("defaults"),
+            specs=prev_doc.get("specs"),
         )
         return v
+
+    def _retire_old_spec_rows(
+        self,
+        spark: SparkSession,
+        prev_v: int,
+        prev_doc: dict,
+        keys: DataFrame,
+        key_cols: list[str],
+        v: int,
+    ) -> dict | None:
+        """S30 merge-on-read retirement for :meth:`upsert` /
+        :meth:`apply_changes` on a spec-evolved table: rows in
+        OLD-spec partitions whose ``key_cols`` match the incoming
+        delta are recorded in a delete file (same mechanism as
+        :meth:`delete_where`) — they cannot be rewritten in place
+        because their rows would redistribute into current-spec
+        directories and collide with pointers this write inherits.
+        Returns the delete entry to append, or None (no old-spec
+        partitions, or no matches)."""
+        cur = self._cur_spec(prev_doc)
+        old_keys = [
+            k
+            for k in prev_doc["partitions"]
+            if self._split_key(prev_doc, k)[0] != cur
+        ]
+        if not old_keys:
+            return None
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        infer_old = spark.conf.get(infer_key, None)
+        spark.conf.set(infer_key, "false")
+        try:
+            matched = (
+                self.read(
+                    spark,
+                    version=prev_v,
+                    partition_values=old_keys,
+                    _keep_hidden=True,
+                    _with_pkey=True,
+                )
+                .join(F.broadcast(keys), key_cols, "left_semi")
+                .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
+            )
+            ddir = self._ddir(v)
+            matched.coalesce(1).write.mode("overwrite").parquet(ddir)
+        finally:
+            if infer_old is None:
+                spark.conf.unset(infer_key)
+            else:
+                spark.conf.set(infer_key, infer_old)
+        touched = sorted(
+            r["_pval"]
+            for r in spark.read.parquet(ddir)
+            .select("_pval")
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            import shutil
+
+            shutil.rmtree(ddir, ignore_errors=True)
+            return None
+        return {
+            "id": v,
+            "partitions": touched,
+            "bytes": self._delete_bytes([ddir]),
+        }
 
     def apply_changes(
         self,
@@ -522,32 +772,47 @@ class SnapshotStore:
         the write produces no ``v=<N>`` directory for it, and the new
         manifest simply drops the partition (it reads as zero rows
         from this version on — no dangling pointer). Partition values
-        are immutable per key, as in :meth:`upsert`."""
+        are immutable per key, as in :meth:`upsert` — and on a
+        spec-evolved table, change rows whose keys live in OLD-spec
+        partitions (including 'D' rows) are retired through a
+        merge-on-read delete entry exactly as :meth:`upsert` does."""
         v = self._claim_version()
         prev_v = self.latest_version()
-        prev = self._manifest(prev_v)
-        affected = self._affected_values(changes, self.pc)
+        prev_doc = self._manifest_doc(prev_v)
+        prev = prev_doc["partitions"]
+        cur = self._cur_spec(prev_doc)
+        pc_l = self._logical_of(prev_doc, cur)
+        affected = self._affected_values(changes, pc_l)
+        affected_keys = {self._mk_key(prev_doc, cur, a) for a in affected}
         existing = self.read(
-            spark, version=prev_v, partition_values=[a for a in affected if a in prev]
+            spark,
+            version=prev_v,
+            partition_values=[k for k in sorted(affected_keys) if k in prev],
         )
         keep = existing.join(changes.select(*key_cols).distinct(), key_cols, "left_anti")
         upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
         merged = keep.unionByName(upserts)
-        cm = self._manifest_doc(prev_v).get("colmap")
-        written = self._write(self._to_physical(merged, cm), v)
-        manifest = {k: pv for k, pv in prev.items() if k not in set(affected)}
-        manifest.update({a: v for a in written})
+        cm = prev_doc.get("colmap")
+        written = self._write(self._to_physical(merged, cm), v, spec_col=cur)
+        manifest = {k: pv for k, pv in prev.items() if k not in affected_keys}
+        manifest.update({self._mk_key(prev_doc, cur, a): v for a in written})
+        deletes = self._carry_deletes(prev_doc, affected_keys) or []
+        mor = self._retire_old_spec_rows(
+            spark, prev_v, prev_doc,
+            changes.select(*key_cols).distinct(), key_cols, v,
+        )
+        if mor:
+            deletes.append(mor)
         self._publish(
             v,
             manifest,
             schema_json=merged.schema.json(),
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
-            deletes=self._carry_deletes(
-                self._manifest_doc(prev_v), set(affected)
-            ),
+            deletes=deletes or None,
             colmap=cm,
-            defaults=self._manifest_doc(prev_v).get("defaults"),
+            defaults=prev_doc.get("defaults"),
+            specs=prev_doc.get("specs"),
         )
         return v
 
@@ -595,13 +860,14 @@ class SnapshotStore:
         spark.conf.set(infer_key, "false")
         try:
             matched = (
-                self.read(spark, version=prev_v, _keep_hidden=True)
-                .filter(condition)
-                .select(
-                    F.col(self.pc).cast("string").alias("_pval"),
-                    "_rv",
-                    "_rid",
+                self.read(
+                    spark,
+                    version=prev_v,
+                    _keep_hidden=True,
+                    _with_pkey=True,
                 )
+                .filter(condition)
+                .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
             )
             ddir = self._ddir(v)
             matched.coalesce(1).write.mode("overwrite").parquet(ddir)
@@ -638,6 +904,7 @@ class SnapshotStore:
             deletes=deletes or None,
             colmap=prev_doc.get("colmap"),
             defaults=prev_doc.get("defaults"),
+            specs=prev_doc.get("specs"),
         )
         return v
 
@@ -679,7 +946,10 @@ class SnapshotStore:
         prev_v = self.latest_version()
         if prev_v == 0:
             raise ValueError("nothing to compact: no published version")
-        prev = self._manifest(prev_v)
+        prev_doc = self._manifest_doc(prev_v)
+        prev = prev_doc["partitions"]
+        cur = self._cur_spec(prev_doc)
+        pc_l = self._logical_of(prev_doc, cur)
         if partition_values is None:
             vals = sorted(prev)
         else:
@@ -688,25 +958,51 @@ class SnapshotStore:
             raise ValueError(
                 "no named partition exists in the latest version"
             )
+        # S30: compacting an OLD-spec partition redistributes its rows
+        # into current-spec directories — the MIGRATION op (Iceberg's
+        # rewrite_data_files to latest spec). That is only
+        # collision-free when no current-spec pointer survives
+        # outside the rewrite set, so a migrating compaction must be
+        # full-table; current-spec-only subsets stay per-partition.
+        old_targets = [
+            k for k in vals if self._split_key(prev_doc, k)[0] != cur
+        ]
+        if old_targets and set(vals) != set(prev):
+            raise ValueError(
+                "compacting old-spec partitions migrates their rows "
+                "to the current spec; run a FULL-table compact "
+                "(omit partition_values) so rewritten rows cannot "
+                "collide with inherited pointers"
+            )
         v = self._claim_version()
         df = self.read(spark, version=prev_v, partition_values=vals)
-        cm = self._manifest_doc(prev_v).get("colmap")
+        cm = prev_doc.get("colmap")
         packed = self._to_physical(
-            df.repartition(len(vals), F.col(self.pc)), cm
+            df.repartition(len(vals), F.col(pc_l)), cm
         )
-        written = self._write(packed, v, order_by=order_by)
+        written = self._write(packed, v, order_by=order_by, spec_col=cur)
         manifest = {k: pv for k, pv in prev.items() if k not in set(vals)}
-        manifest.update({a: v for a in written})
+        manifest.update({self._mk_key(prev_doc, cur, a): v for a in written})
+        specs = prev_doc.get("specs")
+        if specs:
+            # prune spec-history entries this manifest no longer
+            # points through (a full migration compact leaves only
+            # the current spec; the freed old column becomes
+            # droppable again)
+            used = {self._split_key(prev_doc, k)[0] for k in manifest}
+            specs = [
+                s for s in specs[:-1] if s["col"] in used
+            ] + [specs[-1]]
         self._publish(
             v,
             manifest,
-            schema_json=self._manifest_doc(prev_v).get("schema")
-            or df.schema.json(),
+            schema_json=prev_doc.get("schema") or df.schema.json(),
             base_version=prev_v,
             stats=self._inherit_stats(prev_v, manifest, written, v),
-            deletes=self._carry_deletes(self._manifest_doc(prev_v), set(vals)),
+            deletes=self._carry_deletes(prev_doc, set(vals)),
             colmap=cm,
-            defaults=self._manifest_doc(prev_v).get("defaults"),
+            defaults=prev_doc.get("defaults"),
+            specs=specs,
         )
         return v
 
@@ -800,15 +1096,22 @@ class SnapshotStore:
             f"cannot reconcile physical types {sa} and {sb}"
         )
 
-    def _physical_read_schema(self, docs: list[dict]) -> "StructType":
+    def _physical_read_schema(
+        self, docs: list[dict], exclude: "frozenset | set | None" = None
+    ) -> "StructType":
         """Explicit parquet read schema for files spanning manifest
         epochs: every PHYSICAL data column any epoch's schema maps to,
         at the WIDEST type any epoch declares (S29 widening reads the
         narrow files through promotion; files lacking a column read
-        NULL). Partition columns (pc, v) are excluded — they come
-        from directory parsing. Passing this instead of mergeSchema
-        avoids per-file footer reads AND the footer-merge failure on
-        int/bigint mixes."""
+        NULL). Partition columns (``exclude`` — default the store's
+        partition column — plus v) are left out: they come from
+        directory parsing. On a spec-evolved table the caller passes
+        the SCANNED GROUP's spec column instead: every other spec's
+        column is an ordinary data column in that group's files (S30).
+        Passing this instead of mergeSchema avoids per-file footer
+        reads AND the footer-merge failure on int/bigint mixes."""
+        if exclude is None:
+            exclude = {self.pc}
         out: dict[str, object] = {}
         for doc in docs:
             sj = doc.get("schema")
@@ -816,9 +1119,9 @@ class SnapshotStore:
                 continue
             cm_d = doc.get("colmap") or {}
             for f in StructType.fromJson(json.loads(sj)).fields:
-                if f.name == self.pc:
-                    continue
                 phys = cm_d.get(f.name, f.name)
+                if phys in exclude:
+                    continue
                 out[phys] = (
                     f.dataType
                     if phys not in out
@@ -855,14 +1158,24 @@ class SnapshotStore:
             deletes=doc.get("deletes"),
             colmap=cm,
             defaults=doc.get("defaults"),
+            specs=doc.get("specs"),
         )
         return v
 
-    def add_column(self, name: str, dtype) -> int:
+    def add_column(self, name: str, dtype, default=None) -> int:
         """S28: add a nullable column — METADATA-ONLY (Iceberg
         ``ALTER TABLE ADD COLUMN``): publishes a new version whose
         pointers are a copy of the base; no data file is touched.
-        Files written before this version read NULL for the column.
+        Files written before this version read NULL for the column —
+        or ``default`` when given (Iceberg v3 / Delta
+        ``initial-default``): the value is stored in the manifest and
+        substituted AT READ for exactly the rows whose write version
+        predates the add (the row identity ``_rv`` is the exact
+        discriminator, so a post-add row explicitly written NULL
+        stays NULL). Rewrites (compact/upsert) read through the
+        projection, so they bake the default into the files they
+        produce. ``default`` must be JSON-storable (int/float/str/
+        bool); it is cast to ``dtype`` at read.
         The PHYSICAL name is version-suffixed (``name__v<N>``), the
         field-ID-lite trick: a column dropped and later re-added under
         the same logical name can never resurrect stale bytes from old
@@ -871,12 +1184,23 @@ class SnapshotStore:
         prev_v, doc, schema, cm = self._evolved_doc()
         if name in {f.name for f in schema.fields}:
             raise ValueError(f"column {name!r} already exists")
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                "add_column default must be a JSON scalar "
+                "(int/float/str/bool)"
+            )
         v = self._claim_version()  # claimed first: the suffix is unique
         phys = f"{name}__v{v}"
         schema = StructType(
             schema.fields + [StructField(name, dtype, True)]
         )
         cm[name] = phys
+        if default is not None:
+            d = dict(doc.get("defaults") or {})
+            d[name] = {"value": default, "since": v}
+            doc["defaults"] = d
         return self._publish_evolution(v, prev_v, doc, schema, cm)
 
     def rename_column(self, old: str, new: str) -> int:
@@ -886,7 +1210,11 @@ class SnapshotStore:
         manifest write on a 100 TB table and time travel still serves
         each version under the schema it was published with."""
         prev_v, doc, schema, cm = self._evolved_doc()
-        if old == self.pc:
+        # spec cols (current or historical) are rename-protected while
+        # manifests may point at dirs keyed by them; an un-evolved
+        # table's implicit spec is the __init__ partition column, and
+        # a migrated table (compact pruned the history) frees old ones
+        if cm.get(old, old) in {s["col"] for s in self._doc_specs(doc)}:
             raise ValueError("cannot rename the partition column")
         names = [f.name for f in schema.fields]
         if old not in names:
@@ -894,6 +1222,11 @@ class SnapshotStore:
         if new in names:
             raise ValueError(f"column {new!r} already exists")
         cm[new] = cm.pop(old)
+        if old in (doc.get("defaults") or {}):
+            # defaults are keyed by LOGICAL name — follow the rename
+            d = dict(doc["defaults"])
+            d[new] = d.pop(old)
+            doc["defaults"] = d
         schema = StructType(
             [
                 StructField(new, f.dataType, f.nullable)
@@ -913,12 +1246,20 @@ class SnapshotStore:
         The physical name is retired forever: add_column never reuses
         one, so a later re-add cannot resurrect the dropped values."""
         prev_v, doc, schema, cm = self._evolved_doc()
-        if name == self.pc:
+        if cm.get(name, name) in {s["col"] for s in self._doc_specs(doc)}:
+            # any spec column (current or historical) stays undroppable
+            # while this manifest may point at dirs keyed by it (S30);
+            # a full commit/compact collapses the history and frees
+            # retired ones
             raise ValueError("cannot drop the partition column")
         names = [f.name for f in schema.fields]
         if name not in names:
             raise ValueError(f"no such column: {name!r}")
         cm.pop(name, None)
+        if name in (doc.get("defaults") or {}):
+            d = dict(doc["defaults"])
+            d.pop(name)
+            doc["defaults"] = d or None
         schema = StructType([f for f in schema.fields if f.name != name])
         return self._publish_evolution(
             self._claim_version(), prev_v, doc, schema, cm
@@ -1131,13 +1472,22 @@ class SnapshotStore:
         bounds for the partitions this write produced, inherited
         bounds for every pointer carried over from ``prev_v``."""
         prev_stats = self._manifest_doc(prev_v).get("stats", {})
-        wset = set(written)
+        doc = self._manifest_doc(prev_v)
+        spec_col = self._cur_spec(doc)
+        wkeys = {self._mk_key(doc, spec_col, a) for a in written}
         out = {
-            val: prev_stats[val]
-            for val in manifest
-            if val not in wset and val in prev_stats
+            key: prev_stats[key]
+            for key in manifest
+            if key not in wkeys and key in prev_stats
         }
-        out.update(self._partition_stats(written, v))
+        out.update(
+            {
+                self._mk_key(doc, spec_col, a): st
+                for a, st in self._partition_stats(
+                    written, v, spec_col=spec_col
+                ).items()
+            }
+        )
         return out
 
     # ------------------------------------------------------ redact
@@ -1186,18 +1536,22 @@ class SnapshotStore:
         stores: list[SnapshotStore] = [self] + [
             self.branch(n) for n in self.branches()
         ]
-        docs_all = [
-            st._manifest_doc(v)
-            for st in stores
-            for v in st._published_versions()
-        ]
-        manifests = {
-            (si, v): st._manifest(v)
+        mdocs = {
+            (si, v): st._manifest_doc(v)
             for si, st in enumerate(stores)
             for v in st._published_versions()
         }
-        # Physical dirs any manifest references: (partition value, ver).
-        dirs = {(val, pv) for m in manifests.values() for val, pv in m.items()}
+        docs_all = list(mdocs.values())
+        # Physical dirs any manifest references, keyed by the spec
+        # col each pointer was written under (S30 — a spec-evolved
+        # chain references dirs under several partition columns;
+        # each doc's own key format resolves its pointers).
+        dirs: set[tuple[str, str, int]] = set()
+        for (si, _), doc in mdocs.items():
+            st = stores[si]
+            for k, pv in doc["partitions"].items():
+                col, val = st._split_key(doc, k)
+                dirs.add((col, val, pv))
         if not dirs:
             return 0
         # PHYSICAL key-column variants across ALL manifests (S28): a
@@ -1241,103 +1595,141 @@ class SnapshotStore:
         # partitionBy rewrite, and manifest repoint. try/finally: a
         # scan error must not leak the disabled conf session-wide.
         infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        infer_old = spark.conf.get(infer_key, None)
-        spark.conf.set(infer_key, "false")
-        try:
-            union = (
-                spark.read.option("basePath", self.data)
-                .schema(self._physical_read_schema(docs_all))
-                .parquet(*(self._pdir(val, pv) for val, pv in sorted(dirs)))
-            )
-        finally:
-            if infer_old is None:
-                spark.conf.unset(infer_key)
-            else:
-                spark.conf.set(infer_key, infer_old)
-        # Per-key match expression: coalesce of the present physical
-        # variants. A key column none of whose variants exist in any
-        # file can never match — nothing to redact on it.
-        scan_cols = set(union.columns)
-        kexpr: dict[str, "F.Column"] = {}
-        for k in key_cols:
-            present = [p for p in variants[k] if p in scan_cols]
-            if not present:
-                return 0
-            kexpr[k] = (
-                F.col(present[0])
-                if len(present) == 1
-                else F.coalesce(*[F.col(p) for p in present])
-            )
-        ktypes = {
-            f.name: f.dataType
-            for f in union.select(
-                *[kexpr[k].alias(k) for k in key_cols]
-            ).schema.fields
-        }
-        # Align key types: directory-parsed partition values may infer
-        # a narrower type than the caller's keys frame. Internal
-        # aliases are namespaced so they can't collide with physical
-        # column names.
         kdf = keys.select(*key_cols).distinct()
-        kcast = kdf.select(
-            *[
-                F.col(c).cast(ktypes[c]).alias(f"__karna_key_{i}")
-                for i, c in enumerate(key_cols)
-            ]
-        )
-
-        def _key_cond(frame_keys):
-            cond = None
-            for i, k in enumerate(key_cols):
-                c = kexpr[k] == frame_keys[f"__karna_key_{i}"]
-                cond = c if cond is None else (cond & c)
-            return cond
-        hits = {
-            (str(r["_pval"]), int(r["_pv"]))
-            for r in (
-                union.join(F.broadcast(kcast), _key_cond(kcast), "left_semi")
-                .select(
-                    F.col(self.pc).cast("string").alias("_pval"),
-                    F.col("v").cast("bigint").alias("_pv"),
-                )
-                .distinct()
-                .collect()
-            )
-        }
-        # Claim one fresh version per hit dir, then rewrite ALL hit
-        # dirs in a single partitioned write: the probe's union frame
-        # is filtered to the hit (partition, version) pairs (partition
-        # pruning — only hit dirs are re-read), the erased keys
-        # anti-joined away map-side, and the physical version column
-        # remapped old->new by expression so ``partitionBy`` fans the
-        # one job out into every target directory at once.
-        remap: dict[tuple[str, int], int] = {}
+        # One probe + one rewrite PER SPEC GROUP (S30): dirs written
+        # under the same partition column share a layout, so each
+        # group gets the single-scan treatment the docstring
+        # describes; a never-evolved table has exactly one group and
+        # the per-group pass is byte-identical to the classic one.
+        groups: dict[str, list[tuple[str, int]]] = {}
+        for col, val, pv in sorted(dirs):
+            groups.setdefault(col, []).append((val, pv))
+        remap: dict[tuple[str, str, int], int] = {}
         removed_dirs: list[str] = []
-        if hits:
-            claimed = {hd: self._claim_version() for hd in sorted(hits)}
-            ptype = union.schema[self.pc].dataType
-            hit_cond = None
-            nv_expr = F.col("v")
-            for (val, pv), nv in claimed.items():
-                # Literals cast to the partition column's parsed type:
-                # the comparison stays a plain partition-filter, so
-                # only the hit directories are re-read.
-                cond = (F.col(self.pc) == F.lit(val).cast(ptype)) & (
-                    F.col("v") == F.lit(pv)
+        wide_types: dict[str, object] = {}
+        for gcol, gdirs_vals in sorted(groups.items()):
+            infer_old = spark.conf.get(infer_key, None)
+            spark.conf.set(infer_key, "false")
+            try:
+                union = (
+                    spark.read.option("basePath", self.data)
+                    .schema(
+                        self._physical_read_schema(
+                            docs_all, exclude={gcol}
+                        )
+                    )
+                    .parquet(
+                        *(
+                            self._pdir(val, pv, spec_col=gcol)
+                            for val, pv in gdirs_vals
+                        )
+                    )
                 )
-                hit_cond = cond if hit_cond is None else (hit_cond | cond)
-                nv_expr = F.when(cond, F.lit(nv)).otherwise(nv_expr)
-            kept = (
-                union.filter(hit_cond)
-                .withColumn("v", nv_expr)
-                .join(F.broadcast(kcast), _key_cond(kcast), "left_anti")
+            finally:
+                if infer_old is None:
+                    spark.conf.unset(infer_key)
+                else:
+                    spark.conf.set(infer_key, infer_old)
+            # Per-key match expression: coalesce of the present
+            # physical variants. A key column none of whose variants
+            # exist in any of this group's files can never match here
+            # — nothing to redact in this group.
+            scan_cols = set(union.columns)
+            kexpr: dict[str, "F.Column"] = {}
+            skip_group = False
+            for k in key_cols:
+                present = [p for p in variants[k] if p in scan_cols]
+                if not present:
+                    skip_group = True
+                    break
+                kexpr[k] = (
+                    F.col(present[0])
+                    if len(present) == 1
+                    else F.coalesce(*[F.col(p) for p in present])
+                )
+            if skip_group:
+                continue
+            ktypes = {
+                f.name: f.dataType
+                for f in union.select(
+                    *[kexpr[k].alias(k) for k in key_cols]
+                ).schema.fields
+            }
+            # Align key types: directory-parsed partition values may
+            # parse narrower than the caller's keys frame. Internal
+            # aliases are namespaced so they can't collide with
+            # physical column names.
+            kcast = kdf.select(
+                *[
+                    F.col(c).cast(ktypes[c]).alias(f"__karna_key_{i}")
+                    for i, c in enumerate(key_cols)
+                ]
             )
-            kept.write.mode("append").partitionBy(self.pc, "v").parquet(self.data)
-            for (val, pv), nv in claimed.items():
-                remap[(val, pv)] = (
-                    nv if os.path.isdir(self._pdir(val, nv)) else -1
+
+            def _key_cond(frame_keys, kexpr=kexpr):
+                cond = None
+                for i, k in enumerate(key_cols):
+                    c = kexpr[k] == frame_keys[f"__karna_key_{i}"]
+                    cond = c if cond is None else (cond & c)
+                return cond
+            hits = {
+                (str(r["_pval"]), int(r["_pv"]))
+                for r in (
+                    union.join(
+                        F.broadcast(kcast), _key_cond(kcast), "left_semi"
+                    )
+                    .select(
+                        F.col(gcol).cast("string").alias("_pval"),
+                        F.col("v").cast("bigint").alias("_pv"),
+                    )
+                    .distinct()
+                    .collect()
                 )
-                removed_dirs.append(self._pdir(val, pv))
+            }
+            # Claim one fresh version per hit dir, then rewrite ALL of
+            # this group's hit dirs in a single partitioned write: the
+            # probe's union frame is filtered to the hit (partition,
+            # version) pairs (partition pruning — only hit dirs are
+            # re-read), the erased keys anti-joined away map-side, and
+            # the physical version column remapped old->new by
+            # expression so ``partitionBy`` fans the one job out into
+            # every target directory at once.
+            if hits:
+                claimed = {hd: self._claim_version() for hd in sorted(hits)}
+                ptype = union.schema[gcol].dataType
+                hit_cond = None
+                nv_expr = F.col("v")
+                for (val, pv), nv in claimed.items():
+                    # Literals cast to the partition column's parsed
+                    # type: the comparison stays a plain partition-
+                    # filter, so only the hit directories are re-read.
+                    cond = (F.col(gcol) == F.lit(val).cast(ptype)) & (
+                        F.col("v") == F.lit(pv)
+                    )
+                    hit_cond = cond if hit_cond is None else (hit_cond | cond)
+                    nv_expr = F.when(cond, F.lit(nv)).otherwise(nv_expr)
+                kept = (
+                    union.filter(hit_cond)
+                    .withColumn("v", nv_expr)
+                    .join(F.broadcast(kcast), _key_cond(kcast), "left_anti")
+                )
+                kept.write.mode("append").partitionBy(gcol, "v").parquet(
+                    self.data
+                )
+                for (val, pv), nv in claimed.items():
+                    remap[(gcol, val, pv)] = (
+                        nv
+                        if os.path.isdir(self._pdir(val, nv, spec_col=gcol))
+                        else -1
+                    )
+                    removed_dirs.append(self._pdir(val, pv, spec_col=gcol))
+                # declared-type upgrades for repointed manifests: only
+                # DATA columns of this group's scan (the dir-parsed
+                # group col is a string parse, never an upgrade
+                # source — other groups carry its real type)
+                for f in union.schema.fields:
+                    if f.name != gcol and f.name != "v":
+                        wide_types[f.name] = f.dataType
         # Republish every manifest with repointed (or dropped, if the
         # rewrite emptied the directory) partitions, then drop originals.
         # Rewritten files carry the WIDEST physical types (the probe
@@ -1348,33 +1740,34 @@ class SnapshotStore:
         # read, which Spark refuses — breaking time travel to that
         # version (r10 ADVICE). Widening is lossless, so upgrading the
         # repointed manifest's types preserves the logical contract.
-        wide_types = (
-            {f.name: f.dataType for f in union.schema.fields}
-            if remap
-            else {}
-        )
-        for (si, v), m in manifests.items():
+        for (si, v), cached in mdocs.items():
             st = stores[si]
+            m = cached["partitions"]
             new_m: dict[str, int] = {}
             repointed = False
-            for val, pv in m.items():
-                nv = remap.get((val, pv), pv)
+            for key, pv in m.items():
+                col, val = st._split_key(cached, key)
+                nv = remap.get((col, val, pv), pv)
                 repointed = repointed or nv != pv
                 if nv != -1:  # -1 == rewrite emptied the directory
-                    new_m[val] = nv
+                    new_m[key] = nv
             doc = st._manifest_doc(v)
             doc["partitions"] = new_m
             if repointed and doc.get("schema") is not None:
                 cm_d = doc.get("colmap") or {}
+                # spec columns parse as strings with inference off —
+                # never a declared-type upgrade source (wide_types
+                # already excludes each group's own dir-parsed col,
+                # but a doc's spec col can be another group's data
+                # col, so guard per-doc too)
+                spec_cols = {s["col"] for s in st._doc_specs(doc)}
                 schema = StructType.fromJson(json.loads(doc["schema"]))
                 doc["schema"] = StructType(
                     [
                         StructField(
                             f.name,
                             f.dataType
-                            # pc parses as string with inference off —
-                            # never a declared-type upgrade source
-                            if f.name == self.pc
+                            if cm_d.get(f.name, f.name) in spec_cols
                             else wide_types.get(
                                 cm_d.get(f.name, f.name), f.dataType
                             ),
@@ -1480,9 +1873,11 @@ class SnapshotStore:
             # the fork carries the logical→physical mapping (S28): a
             # branch of an evolved table must read/write through the
             # same mapping, or the evolution is silently lost on the
-            # branch AND un-done on the parent at merge (r10 review)
+            # branch AND un-done on the parent at merge (r10 review).
+            # Same for the partition-spec history (S30).
             colmap=doc.get("colmap"),
             defaults=doc.get("defaults"),
+            specs=doc.get("specs"),
         )
         return br
 
@@ -1528,6 +1923,13 @@ class SnapshotStore:
             stats=doc.get("stats"),
             deletes=doc.get("deletes"),
             colmap=doc.get("colmap"),
+            # add-column defaults and the partition-spec history are
+            # table metadata like the colmap: dropping either at merge
+            # silently changes what pre-evolution rows read as (a
+            # defaulted column falls back to NULL; spec-evolved
+            # pointers become unreadable)
+            defaults=doc.get("defaults"),
+            specs=doc.get("specs"),
         )
         meta_path = os.path.join(self._bdir(name), "meta.json")
         with open(meta_path) as fh:
@@ -1586,11 +1988,17 @@ class SnapshotStore:
         # Tagged snapshots are pinned (Iceberg tag semantics): their
         # manifests and data stay until the tag is deleted.
         retained = sorted(set(retained) | set(self.tags().values()))
-        live: set[tuple[str, int]] = set()
+        # live keys are (spec col, raw value, version): a spec-evolved
+        # table's manifests reference dirs under MULTIPLE partition
+        # columns (S30) — each doc's own key format resolves them
+        live: set[tuple[str, str, int]] = set()
         live_dels: set[int] = set()
         for v in retained:
             doc = self._manifest_doc(v)
-            live.update((val, pv) for val, pv in doc["partitions"].items())
+            live.update(
+                (*self._split_key(doc, k), pv)
+                for k, pv in doc["partitions"].items()
+            )
             live_dels.update(e["id"] for e in doc.get("deletes", []))
         # Branch refs pin: every published version of every live branch
         # keeps its pointers (a branch is a short-lived WAP workspace;
@@ -1600,7 +2008,8 @@ class SnapshotStore:
             for v in br._published_versions():
                 bdoc = br._manifest_doc(v)
                 live.update(
-                    (val, pv) for val, pv in bdoc["partitions"].items()
+                    (*br._split_key(bdoc, k), pv)
+                    for k, pv in bdoc["partitions"].items()
                 )
                 live_dels.update(e["id"] for e in bdoc.get("deletes", []))
         now = time.time()
@@ -1615,17 +2024,20 @@ class SnapshotStore:
             if age < orphan_grace_sec:
                 in_flight.add(ver)
         deleted = []
-        prefix = f"{self.pc}="
         for d in sorted(os.listdir(self.data)):
-            if not d.startswith(prefix):
+            # any <col>=<val> partition dir (the data dir holds only
+            # partition dirs plus the _deletes area; spec evolution
+            # means the col prefix varies per write epoch)
+            if d.startswith("_") or "=" not in d:
                 continue
-            val = _unescape_partition(d[len(prefix):])
+            col, _, enc = d.partition("=")
+            val = _unescape_partition(enc)
             pdir = os.path.join(self.data, d)
             for vd in sorted(os.listdir(pdir)):
                 if not vd.startswith("v="):
                     continue
                 ver = int(vd[2:])
-                if (val, ver) not in live and ver not in in_flight:
+                if (col, val, ver) not in live and ver not in in_flight:
                     shutil.rmtree(os.path.join(pdir, vd))
                     deleted.append(os.path.join(d, vd))
         # Merge-on-read delete sets: GC those no retained manifest
@@ -1658,7 +2070,9 @@ class SnapshotStore:
         partition_values: list[str] | None = None,
         where: tuple[str, object, object] | None = None,
         tag: str | None = None,
+        as_of: float | None = None,
         _keep_hidden: bool = False,
+        _with_pkey: bool = False,
     ) -> DataFrame:
         """Read snapshot ``version`` (default: latest). Resolves the
         manifest to leaf dirs so Spark scans exactly the committed
@@ -1697,6 +2111,26 @@ class SnapshotStore:
                 raise ValueError("pass either version or tag, not both")
             with open(self._tag_path(tag)) as fh:
                 version = json.load(fh)["version"]
+        if as_of is not None:
+            # timestamp time travel: newest version committed at or
+            # before ``as_of`` (every manifest is stamped
+            # ``committed_at`` at publish; resolution is a driver-side
+            # scan of the manifest list — O(#versions) JSON reads,
+            # like Iceberg's metadata-log lookup)
+            if version is not None:
+                raise ValueError(
+                    "pass either version/tag or as_of, not both"
+                )
+            cands = [
+                w
+                for w in self._published_versions()
+                if self._manifest_doc(w).get("committed_at", 0.0) <= as_of
+            ]
+            if not cands:
+                raise ValueError(
+                    f"no version committed at or before {as_of}"
+                )
+            version = max(cands)
         v = self.latest_version() if version is None else version
         doc = self._manifest_doc(v)
         manifest = doc["partitions"]
@@ -1718,10 +2152,7 @@ class SnapshotStore:
                     and (st[val][wphys][0] > hi or st[val][wphys][1] < lo)
                 )
             }
-        dirs = [
-            self._pdir(val, pv) for val, pv in sorted(manifest.items())
-        ]
-        if not dirs:
+        if not manifest:
             schema_json = doc.get("schema")
             if schema_json is None:
                 raise ValueError(
@@ -1737,7 +2168,12 @@ class SnapshotStore:
                     ]
                 )
             out = spark.createDataFrame([], schema)
-        else:
+            if _with_pkey:
+                out = out.withColumn("_pkey", F.lit(None).cast("string"))
+        elif "specs" not in doc:
+            dirs = [
+                self._pdir(val, pv) for val, pv in sorted(manifest.items())
+            ]
             reader = spark.read.option("basePath", self.data)
             if cm is not None:
                 # evolved table: files span schema epochs (pre-add
@@ -1748,6 +2184,57 @@ class SnapshotStore:
                 # reads and none of mergeSchema's int/bigint refusal.
                 reader = reader.schema(self._physical_read_schema([doc]))
             out = reader.parquet(*dirs).drop("v")
+            if _with_pkey:
+                out = out.withColumn(
+                    "_pkey", F.col(self.pc).cast("string")
+                )
+        else:
+            # S30 spec-evolved table: pointers span partition specs,
+            # so the dirs do NOT share one layout. Scan each spec
+            # group separately (same basePath — that group's spec col
+            # and v come back from directory parsing; every OTHER
+            # spec's column is an ordinary data column in these
+            # files) and union the groups by name. The group's
+            # dir-parsed column is cast to its declared physical
+            # type, so both sides of the union agree exactly.
+            groups: dict[str, list[tuple[str, int]]] = {}
+            for key, pv in sorted(manifest.items()):
+                col, val = self._split_key(doc, key)
+                groups.setdefault(col, []).append((val, pv))
+            ptypes = {
+                f.name: f.dataType
+                for f in self._physical_read_schema(
+                    [doc], exclude=frozenset()
+                ).fields
+            }
+            frames = []
+            for col, items in sorted(groups.items()):
+                gdirs = [
+                    self._pdir(val, pv, spec_col=col) for val, pv in items
+                ]
+                g = (
+                    spark.read.option("basePath", self.data)
+                    .schema(
+                        self._physical_read_schema([doc], exclude={col})
+                    )
+                    .parquet(*gdirs)
+                )
+                if _with_pkey:
+                    # qualified manifest key of the physical partition
+                    # this row lives in (raw directory string — the
+                    # caller disables partition-type inference)
+                    g = g.withColumn(
+                        "_pkey",
+                        F.concat(
+                            F.lit(f"{col}="), F.col(col).cast("string")
+                        ),
+                    )
+                g = g.withColumn(col, F.col(col).cast(ptypes[col])).drop("v")
+                frames.append(g)
+            out = frames[0]
+            for g in frames[1:]:
+                out = out.unionByName(g)
+        if manifest:
             dels = doc.get("deletes", [])
             if dels:
                 ddirs = [self._ddir(e["id"]) for e in dels]
@@ -1771,6 +2258,7 @@ class SnapshotStore:
                 # from files that predate them, dropped columns vanish
                 schema = StructType.fromJson(json.loads(doc["schema"]))
                 scan_cols = set(out.columns)
+                dflts = doc.get("defaults") or {}
                 proj = []
                 for f in schema.fields:
                     phys = cm.get(f.name, f.name)
@@ -1779,11 +2267,24 @@ class SnapshotStore:
                         # before a widen_column carry the narrower
                         # physical type (S29 — widening is metadata-
                         # only, a lossless up-cast at read)
-                        proj.append(
-                            F.col(phys).cast(f.dataType).alias(f.name)
-                        )
+                        expr = F.col(phys).cast(f.dataType)
+                        if f.name in dflts:
+                            # add-column initial default (Iceberg v3):
+                            # substituted for exactly the rows whose
+                            # write version predates the add — a
+                            # post-add row explicitly written NULL
+                            # stays NULL (``_rv`` is the write
+                            # version, stored in the files)
+                            d = dflts[f.name]
+                            expr = F.when(
+                                F.col("_rv") < F.lit(int(d["since"])),
+                                F.lit(d["value"]).cast(f.dataType),
+                            ).otherwise(expr)
+                        proj.append(expr.alias(f.name))
                     else:
                         proj.append(F.lit(None).cast(f.dataType).alias(f.name))
+                if _with_pkey:
+                    proj.append(F.col("_pkey"))
                 out = out.select(*proj, "_rv", "_rid")
             if not _keep_hidden:
                 out = out.drop("_rv", "_rid")

@@ -1180,3 +1180,145 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register_query(
+    "snapshot_partition_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             substr(o_orderpriority, 1, 1) AS prio,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    repl AS (
+      SELECT k, o_year, prio, val + 1000 AS val FROM base WHERE k % 10 = 0
+    ),
+    ins AS (
+      SELECT k + 10000000 AS k, o_year, prio, (k + 10000000) % 97 AS val
+      FROM base WHERE k % 10 = 0 AND o_year = 1995
+    ),
+    final AS (
+      SELECT * FROM base WHERE k % 10 <> 0
+      UNION ALL SELECT * FROM repl
+      UNION ALL SELECT * FROM ins
+    ),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv,
+                 CAST(COUNT(DISTINCT o_year) AS BIGINT) AS ny
+          FROM base),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv,
+                 CAST(COUNT(DISTINCT prio) AS BIGINT) AS np
+          FROM final),
+    d AS (SELECT CAST(COUNT(DISTINCT prio) AS BIGINT) AS np FROM
+          (SELECT prio FROM repl UNION ALL SELECT prio FROM ins)),
+    p1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(k) AS BIGINT) AS sk,
+                  CAST(SUM(val) AS BIGINT) AS sv
+           FROM final WHERE prio = '1')
+    SELECT 'v1' AS snapshot, b.n AS n_rows, b.sk AS sum_keys,
+           b.sv AS sum_val, b.ny AS old_spec_ptrs,
+           CAST(0 AS BIGINT) AS new_spec_ptrs
+    FROM b
+    UNION ALL
+    SELECT 'v2', b.n, b.sk, b.sv, b.ny, CAST(0 AS BIGINT) FROM b
+    UNION ALL
+    SELECT 'v3', f.n, f.sk, f.sv, b.ny, d.np FROM b, f, d
+    UNION ALL
+    SELECT 'v4', f.n, f.sk, f.sv, CAST(0 AS BIGINT), f.np FROM f
+    UNION ALL
+    SELECT 'v4_pruned_prio_1', p1.n, p1.sk, p1.sv,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM p1
+    """,
+    tags="S30",
+)
+def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30: partition-spec evolution — Iceberg's OTHER evolution axis
+    (io/snapshots.py:repartition_spec), run through its full lifecycle
+    and fingerprinted per version. v1 commits orders partitioned by
+    ORDER YEAR; v2 flips the spec to PRIORITY as a metadata-only
+    commit (pointers re-keyed to qualified col=val form, zero data
+    files touched); v3 upserts against the MIXED table — the delta
+    lands under the new spec while replaced keys living in old-spec
+    year partitions are retired through a merge-on-read delete entry
+    (an in-place rewrite would redistribute their neighbours into
+    new-spec directories and collide with inherited pointers); v4 is
+    the migration: a full-table compact rewrites every row under the
+    current spec, folds the MOR entries in, and prunes the spec
+    history. The final row reads ONE new-spec partition by manifest
+    pointer (partition pruning under the evolved spec). Each
+    fingerprint carries row count, exact key/value sums, and the
+    manifest's old-spec/new-spec pointer counts; the oracle derives
+    all five from the orders table alone, so the hash certifies
+    metadata-only evolution, mixed-spec union reads, MOR retirement,
+    migration, and post-migration pruning end to end. At 100 TB the
+    spec flip is one manifest write; reads stay ∝ referenced files
+    (one scan per spec group, no footer reads)."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_pspec_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    v1 = store.commit(base)                              # v1: by year
+    v2 = store.repartition_spec("prio")                  # v2: by priority
+    repl = base.filter(F.col("k") % 10 == 0).withColumn(
+        "val", F.col("val") + 1000
+    )
+    ins = base.filter(
+        (F.col("k") % 10 == 0) & (F.col("o_year") == 1995)
+    ).select(
+        (F.col("k") + 10000000).alias("k"),
+        "o_year",
+        "prio",
+        ((F.col("k") + 10000000) % 97).alias("val"),
+    )
+    v3 = store.upsert(spark, repl.unionByName(ins), key_cols=["k"])
+    v4 = store.compact(spark)                            # migration
+
+    out = None
+    for tag_, v in (("v1", v1), ("v2", v2), ("v3", v3), ("v4", v4)):
+        doc = store._manifest_doc(v)
+        new_ptrs = sum(
+            1 for key in doc["partitions"] if key.startswith("prio=")
+        )
+        old_ptrs = len(doc["partitions"]) - new_ptrs
+        row = store.read(spark, version=v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(tag_).alias("snapshot"),
+            "n_rows",
+            "sum_keys",
+            "sum_val",
+            F.lit(old_ptrs).cast("bigint").alias("old_spec_ptrs"),
+            F.lit(new_ptrs).cast("bigint").alias("new_spec_ptrs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    pruned = store.read(
+        spark, version=v4, partition_values=["prio=1"]
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_keys"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+    ).select(
+        F.lit("v4_pruned_prio_1").alias("snapshot"),
+        "n_rows",
+        "sum_keys",
+        "sum_val",
+        F.lit(None).cast("bigint").alias("old_spec_ptrs"),
+        F.lit(None).cast("bigint").alias("new_spec_ptrs"),
+    )
+    return out.unionByName(pruned)

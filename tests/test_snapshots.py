@@ -769,8 +769,8 @@ def test_compact_cas_detects_racing_commit(spark, tmp_path):
 
     real_write = store._write
 
-    def write_then_race(df, v, order_by=None):
-        written = real_write(df, v, order_by=order_by)
+    def write_then_race(df, v, order_by=None, spec_col=None):
+        written = real_write(df, v, order_by=order_by, spec_col=spec_col)
         # interleave a commit AFTER compact derived its manifest
         SnapshotStore(store.root, "p").upsert(
             spark, _mk(spark, [(9, "a", 90)]), ["k"]
@@ -1373,14 +1373,17 @@ def test_schema_evolution_add_rename_drop(spark, tmp_path):
 
 
 def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
-    """S28 composition gate (r9 verdict item 7): a seeded random
-    program of commit / upsert / CDC / MOR-delete / compact / vacuum
-    INTERLEAVED with add_column / rename_column / drop_column, checked
-    after every op against a pure-Python model that tracks each
-    version's LOGICAL schema alongside its rows — time travel must
-    serve every retained version under the column names and values it
-    was published with, adds must read NULL from pre-add data, drops
-    must hide (and re-adds must never resurrect) the column."""
+    """S28/S30 composition gate (r9 verdict item 7, extended r11): a
+    seeded random program of commit / upsert / CDC / MOR-delete /
+    compact / vacuum INTERLEAVED with add_column / rename_column /
+    drop_column AND repartition_spec (toggling the partition column
+    between two per-key-stable attributes), checked after every op
+    against a pure-Python model that tracks each version's LOGICAL
+    schema alongside its rows — time travel must serve every retained
+    version under the column names and values it was published with,
+    adds must read NULL from pre-add data, drops must hide (and
+    re-adds must never resurrect) the column, and a spec change must
+    be invisible to every read while rerouting writes."""
     import random
 
     import pytest
@@ -1390,17 +1393,20 @@ def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
         random.seed(seed)
         store = SnapshotStore(str(tmp_path / f"e{seed}"), "p")
         key_part = {k: "abc"[k % 3] for k in range(1, 9)}
+        key_part2 = {k: "xy"[k % 2] for k in range(1, 9)}
 
         # mutable current-schema state
         val_name = "val"
         aux_live = False
         renames = 0
+        cur_spec = "p"  # toggled by the respec op
 
         def frame(rows, aux_vals=None):
             # rows: {k: val}; aux_vals: {k: int|None} when aux is live
             data = []
             for k, v in rows.items():
-                d = {"k": k, "p": key_part[k], val_name: v}
+                d = {"k": k, "p": key_part[k], "p2": key_part2[k],
+                     val_name: v}
                 if aux_live:
                     d["aux"] = (aux_vals or {}).get(k)
                 data.append(Row(**d))
@@ -1420,22 +1426,29 @@ def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
                     continue
                 vn, vals, aux = hist[v]
                 df = store.read(spark, v)
-                want_cols = {"k", "p", vn} | ({"aux"} if aux is not None else set())
+                want_cols = {"k", "p", "p2", vn} | (
+                    {"aux"} if aux is not None else set()
+                )
                 assert set(df.columns) == want_cols, f"seed={seed} v={v}"
                 rows = df.collect()
-                got = sorted((r["k"], r["p"], r[vn]) for r in rows)
+                got = sorted((r["k"], r["p"], r["p2"], r[vn]) for r in rows)
                 assert got == sorted(
-                    (k, key_part[k], val) for k, val in vals.items()
+                    (k, key_part[k], key_part2[k], val)
+                    for k, val in vals.items()
                 ), f"seed={seed} v={v}"
                 if aux is not None:
                     got_aux = {r["k"]: r["aux"] for r in rows}
                     assert got_aux == aux, f"seed={seed} v={v} aux"
 
-        for _ in range(14):
+        for i_op in range(14):
             op = random.choice(
                 ["commit", "upsert", "cdc", "addcol", "dropcol",
-                 "rename", "mordelete", "compact", "vacuum"]
+                 "rename", "mordelete", "compact", "vacuum", "respec"]
             )
+            if i_op == 2:
+                # force at least one spec change per seed so every
+                # later random op composes with a mixed-spec table
+                op = "respec"
             latest = max(v for v in hist if v in retained)
             _, prev_vals, prev_aux = hist[latest]
             if op == "commit":
@@ -1472,7 +1485,8 @@ def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
                 ks = random.sample(range(1, 9), random.randint(1, 3))
                 ch = [(k, random.choice("IUD"), random.randrange(100)) for k in ks]
                 rows = [
-                    {"k": k, "p": key_part[k], val_name: v, "op": o}
+                    {"k": k, "p": key_part[k], "p2": key_part2[k],
+                     val_name: v, "op": o}
                     for k, o, v in ch
                 ]
                 if aux_live:
@@ -1525,6 +1539,16 @@ def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
                     {k: prev_aux[k] for k in nv} if aux_live else None
                 )
                 hist[v] = (val_name, nv, na)
+                retained.add(v)
+            elif op == "respec":
+                other = "p2" if cur_spec == "p" else "p"
+                v = store.repartition_spec(other)
+                cur_spec = other
+                hist[v] = (
+                    val_name,
+                    dict(prev_vals),
+                    dict(prev_aux) if aux_live else None,
+                )
                 retained.add(v)
             elif op == "compact":
                 v = store.compact(spark)
@@ -1840,3 +1864,293 @@ def test_redact_repointed_epochs_read_after_widen(spark, tmp_path):
     assert sorted(
         (r["k"], r["val"]) for r in store.read(spark).collect()
     ) == [(2, 20), (3, 5_000_000_000)]
+
+
+# ---------------------------------------------------------------------------
+# S30 partition-spec evolution
+# ---------------------------------------------------------------------------
+
+
+def _mk4(spark, data):
+    """rows of (k, region, lang, val)"""
+    return spark.createDataFrame(
+        [Row(k=k, region=r, lang=lg, val=v) for k, r, lg, v in data]
+    )
+
+
+_BASE4 = [
+    (1, "us", "en", 10),
+    (2, "us", "de", 20),
+    (3, "eu", "en", 30),
+    (4, "eu", "fr", 40),
+]
+
+
+def test_partition_spec_evolution_metadata_only(spark, tmp_path):
+    """repartition_spec is a one-manifest-write commit: pointers are a
+    re-keyed copy (qualified ``col=val`` form, each under the spec it
+    was written at), no data file is touched, stats survive re-keyed,
+    and both the evolved and every prior version read byte-identically."""
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    v1 = store.commit(_mk4(spark, _BASE4))
+    files_before = sorted(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    v2 = store.repartition_spec("lang")
+    files_after = sorted(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    assert files_before == files_after  # metadata-only
+    doc = store._manifest_doc(v2)
+    assert set(doc["partitions"]) == {"region=us", "region=eu"}
+    assert doc["specs"] == [
+        {"col": "region", "since": 0},
+        {"col": "lang", "since": v2},
+    ]
+    # stats re-keyed, not lost
+    assert doc["stats"]["region=us"]["val"] == [10, 20]
+    got = sorted(
+        (r["k"], r["region"], r["lang"], r["val"])
+        for r in store.read(spark).collect()
+    )
+    assert got == sorted(_BASE4)
+    assert sorted(
+        (r["k"], r["region"], r["lang"], r["val"])
+        for r in store.read(spark, version=v1).collect()
+    ) == sorted(_BASE4)
+
+
+def test_spec_evolution_upsert_mixed_specs(spark, tmp_path):
+    """After the spec change, an upsert (a) writes its delta under the
+    NEW spec, (b) replaces a key living in an old-spec partition via a
+    merge-on-read delete entry (the old directory is never rewritten in
+    place — its rows would redistribute into new-spec dirs and collide
+    with inherited pointers), and (c) leaves prior versions intact."""
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    v1 = store.commit(_mk4(spark, _BASE4))
+    store.repartition_spec("lang")
+    v3 = store.upsert(
+        spark,
+        _mk4(spark, [(2, "us", "de", 21), (5, "ap", "en", 50)]),
+        key_cols=["k"],
+    )
+    doc = store._manifest_doc(v3)
+    # delta landed under lang=; old region= pointers inherited untouched
+    assert {"lang=de", "lang=en", "region=us", "region=eu"} <= set(
+        doc["partitions"]
+    )
+    assert doc["partitions"]["region=us"] == v1
+    # the k=2 replacement in region=us retired through a MOR entry
+    dels = doc.get("deletes") or []
+    assert len(dels) == 1 and dels[0]["partitions"] == ["region=us"]
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == [(1, 10), (2, 21), (3, 30), (4, 40), (5, 50)]
+    # snapshot isolation: v1 unchanged
+    assert sorted(
+        (r["k"], r["val"]) for r in store.read(spark, version=v1).collect()
+    ) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    # changelog across the spec boundary round-trips the diff
+    ops = sorted(
+        (r["op"], r["k"])
+        for r in store.read_changes(spark, v1, v3, key_cols=["k"]).collect()
+    )
+    assert ops == [("I", 5), ("U", 2)]
+
+
+def test_spec_evolution_cdc_deletes_old_spec_row(spark, tmp_path):
+    """A CDC 'D' row whose key lives in an old-spec partition is a
+    merge-on-read retirement, same as upsert replacement."""
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    store.repartition_spec("lang")
+    ch = spark.createDataFrame(
+        [
+            Row(k=4, region="eu", lang="fr", val=0, op="D"),
+            Row(k=1, region="us", lang="en", val=11, op="U"),
+        ]
+    )
+    store.apply_changes(spark, ch, key_cols=["k"])
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == [(1, 11), (2, 20), (3, 30)]
+
+
+def test_spec_evolution_compact_migrates_full_table(spark, tmp_path):
+    """compact() with no partition list is the migration op: every row
+    lands under the current spec, MOR entries fold in, and the spec
+    history prunes to the current entry — after which the OLD spec
+    column is droppable again. A PARTIAL compact naming an old-spec
+    partition is refused (its rows would redistribute and collide);
+    a current-spec-only partial compact stays legal."""
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    store.repartition_spec("lang")
+    store.upsert(
+        spark,
+        _mk4(spark, [(2, "us", "de", 21), (5, "ap", "en", 50)]),
+        key_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="FULL-table"):
+        store.compact(spark, partition_values=["region=us"])
+    with pytest.raises(ValueError):
+        store.drop_column("region")  # old spec col still referenced
+    vc = store.compact(spark)
+    doc = store._manifest_doc(vc)
+    assert set(doc["partitions"]) == {"lang=en", "lang=de", "lang=fr"}
+    assert doc["specs"] == [{"col": "lang", "since": 2}]
+    assert not doc.get("deletes")
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == [(1, 10), (2, 21), (3, 30), (4, 40), (5, 50)]
+    # migrated: the old spec column is a plain column again
+    store.drop_column("region")
+    assert "region" not in store.read(spark).columns
+    # partial compacts legal again on the single-spec table
+    store.compact(spark, partition_values=["lang=en"])
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == [(1, 10), (2, 21), (3, 30), (4, 40), (5, 50)]
+
+
+def test_spec_evolution_guards(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    with pytest.raises(ValueError, match="no such column"):
+        store.repartition_spec("nope")
+    with pytest.raises(ValueError, match="already the partition column"):
+        store.repartition_spec("region")
+    store.repartition_spec("lang")
+    with pytest.raises(ValueError, match="already the partition column"):
+        store.repartition_spec("lang")
+    # both historical and current spec cols are rename/drop-protected
+    for col in ("region", "lang"):
+        with pytest.raises(ValueError):
+            store.rename_column(col, "x")
+        with pytest.raises(ValueError):
+            store.drop_column(col)
+
+
+def test_spec_evolution_vacuum_mixed_dirs(spark, tmp_path):
+    """vacuum on a spec-evolved table parses dirs under EVERY spec col:
+    live mixed-spec pointers stay, expired versions' dirs go."""
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    store.repartition_spec("lang")
+    store.upsert(spark, _mk4(spark, [(5, "ap", "en", 50)]), key_cols=["k"])
+    want = sorted(
+        (r["k"], r["val"]) for r in store.read(spark).collect()
+    )
+    deleted = store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == want == [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+    # nothing live was deleted: the latest manifest still resolves all
+    # its dirs; expired manifests are gone
+    assert store._published_versions() == [store.latest_version()]
+    # v1's dirs were all inherited by the latest manifest -> no data
+    # dir could be collected, only expired manifests
+    assert deleted == []
+    # now rewrite everything under the new spec and vacuum again: the
+    # old-spec dirs become unreferenced and ARE collected
+    store.compact(spark)
+    deleted = store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    assert any(d.startswith("region=") for d in deleted)
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == want
+
+
+def test_spec_evolution_redact_mixed_history(spark, tmp_path):
+    """redact reaches rows in EVERY version across the spec boundary:
+    per-spec-group probe + rewrite, manifests of both epochs repointed."""
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    store.repartition_spec("lang")
+    store.upsert(
+        spark,
+        _mk4(spark, [(2, "us", "de", 21), (5, "ap", "en", 50)]),
+        key_cols=["k"],
+    )
+    n = store.redact(spark, ["k"], spark.createDataFrame([Row(k=2)]))
+    assert n >= 1
+    for v in store._published_versions():
+        ks = sorted(r["k"] for r in store.read(spark, version=v).collect())
+        assert 2 not in ks, f"v{v} still serves the redacted key"
+    # non-redacted rows of every version intact
+    assert sorted(
+        r["k"] for r in store.read(spark, version=1).collect()
+    ) == [1, 3, 4]
+    assert sorted(
+        r["k"] for r in store.read(spark).collect()
+    ) == [1, 3, 4, 5]
+
+
+def test_spec_evolution_branch_wap(spark, tmp_path):
+    """A branch forked from a spec-evolved table carries the spec
+    history: branch writes land under the current spec, and the merge
+    fast-forward preserves specs (and defaults) on the parent."""
+    from pyspark.sql.types import IntegerType
+
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    store.repartition_spec("lang")
+    store.add_column("score", IntegerType(), default=9)
+    br = store.create_branch("wap")
+    br.upsert(spark, spark.createDataFrame(
+        [(5, "ap", "en", 50, 3)],
+        "k long, region string, lang string, val long, score int",
+    ), key_cols=["k"])
+    # parent unaffected pre-merge
+    assert sorted(r["k"] for r in store.read(spark).collect()) == [1, 2, 3, 4]
+    store.merge_branch("wap")
+    doc = store._manifest_doc(store.latest_version())
+    assert doc.get("specs") and doc.get("defaults")
+    got = {r["k"]: (r["score"], r["lang"]) for r in store.read(spark).collect()}
+    assert got == {1: (9, "en"), 2: (9, "de"), 3: (9, "en"), 4: (9, "fr"),
+                   5: (3, "en")}
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel: read(as_of=ts) resolves to the newest
+    version committed at or before ts (injectable clock)."""
+    import pytest
+
+    t = iter(range(1000, 1100))
+    store = SnapshotStore(str(tmp_path / "t"), "p", clock=lambda: next(t))
+    store.commit(_mk(spark, [(1, "a", 10)]))            # committed_at 1000
+    store.upsert(spark, _mk(spark, [(2, "a", 20)]), ["k"])  # 1001
+    store.upsert(spark, _mk(spark, [(3, "b", 30)]), ["k"])  # 1002
+    assert _rows(store.read(spark, as_of=1000.5)) == [(1, "a", 10)]
+    assert _rows(store.read(spark, as_of=1001)) == [(1, "a", 10), (2, "a", 20)]
+    assert len(_rows(store.read(spark, as_of=5000))) == 3
+    with pytest.raises(ValueError, match="no version committed"):
+        store.read(spark, as_of=10)
+    with pytest.raises(ValueError, match="not both"):
+        store.read(spark, version=1, as_of=1001)
+
+
+def test_add_column_default_initial_value(spark, tmp_path):
+    """Iceberg-v3 initial defaults: rows written BEFORE the add read
+    the default; rows written after — including explicit NULLs — read
+    what was written. Rewrites bake the default in; renames carry it;
+    time travel to pre-add versions is unaffected."""
+    from pyspark.sql.types import IntegerType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    v1 = store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    store.add_column("score", IntegerType(), default=7)
+    store.upsert(spark, spark.createDataFrame(
+        [(3, "a", 30, None), (4, "b", 40, 5)],
+        "k long, p string, val long, score int",
+    ), key_cols=["k"])
+    got = {r["k"]: r["score"] for r in store.read(spark).collect()}
+    assert got == {1: 7, 2: 7, 3: None, 4: 5}
+    assert "score" not in store.read(spark, version=v1).columns
+    # rename follows the default
+    store.rename_column("score", "quality")
+    got = {r["k"]: r["quality"] for r in store.read(spark).collect()}
+    assert got == {1: 7, 2: 7, 3: None, 4: 5}
+    # compaction bakes the default into the files; reads unchanged
+    store.compact(spark)
+    got = {r["k"]: r["quality"] for r in store.read(spark).collect()}
+    assert got == {1: 7, 2: 7, 3: None, 4: 5}
+    # drop removes the default with the column; a re-add starts clean
+    store.drop_column("quality")
+    store.add_column("quality", IntegerType())
+    got = {r["k"]: r["quality"] for r in store.read(spark).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None}
