@@ -711,6 +711,21 @@ class SnapshotStore:
         ]
         if not old_keys:
             return None
+        # Range-prune the un-migrated scan with the manifest stats
+        # (S20): for a single numeric key column, old-spec partitions
+        # whose stored [min,max] bounds cannot contain any delta key
+        # are skipped before Spark lists a file — the per-upsert cost
+        # on a mostly-migrated table drops toward zero. Multi-column
+        # keys / non-numeric bounds just scan (prune-or-scan is always
+        # exact: bounds are conservative supersets).
+        where = None
+        if len(key_cols) == 1:
+            b = keys.agg(
+                F.min(key_cols[0]).alias("lo"),
+                F.max(key_cols[0]).alias("hi"),
+            ).first()
+            if b["lo"] is not None:
+                where = (key_cols[0], b["lo"], b["hi"])
         infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         infer_old = spark.conf.get(infer_key, None)
         spark.conf.set(infer_key, "false")
@@ -720,6 +735,7 @@ class SnapshotStore:
                     spark,
                     version=prev_v,
                     partition_values=old_keys,
+                    where=where,
                     _keep_hidden=True,
                     _with_pkey=True,
                 )
@@ -1049,6 +1065,33 @@ class SnapshotStore:
             "n_entries": len(dels),
             "bytes": b,
             "exceeds_broadcast": b > self.BROADCAST_DELETES_MAX_BYTES,
+        }
+
+    def pending_spec_migration(self, version: int | None = None) -> dict:
+        """Migration-pressure report for a spec-evolved table (S30 —
+        the :meth:`pending_deletes` twin): how many of a version's
+        partition pointers still live under a retired spec. Un-migrated
+        pointers cost every read an extra per-spec scan group and every
+        upsert/CDC a retirement probe of those partitions; a truthy
+        ``pending`` is the operational signal to run the full-table
+        :meth:`compact`, which rewrites them under the current spec
+        and prunes the history."""
+        v = self.latest_version() if version is None else version
+        doc = self._manifest_doc(v)
+        cur = self._cur_spec(doc)
+        old = [
+            k
+            for k in doc["partitions"]
+            if self._split_key(doc, k)[0] != cur
+        ]
+        return {
+            "current_spec": cur,
+            "n_ptrs": len(doc["partitions"]),
+            "n_old_spec_ptrs": len(old),
+            "old_spec_cols": sorted(
+                {self._split_key(doc, k)[0] for k in old}
+            ),
+            "pending": bool(old),
         }
 
     # decimal digits needed to hold each integral type losslessly

@@ -70,10 +70,10 @@ from karna_spark.queries import (  # noqa: F401,E402
 # 25 r7 rows lead r12's (c) head. rotation_check.py verifies floor +
 # EDF feasibility against this order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) no driver row yet — the r11-born rows (registered as they
-    # land this round; names listed ahead of implementation so the
-    # head stays stable): HTML→text main-content extraction (F32),
-    # partition-spec evolution mixed-spec read (S30).
+    # (a) the r11-born rows, both landed this round: HTML→text
+    # main-content extraction (F32, operators/html.py) and the
+    # partition-spec evolution lifecycle (S30, io/snapshots.py:
+    # repartition_spec).
     "text_html_extract", "snapshot_partition_evolution",
     # (b) materially changed this round — the r10 ADVICE fixes touch
     # the evolved-read type lattice (_widest int/decimal) and redact's

@@ -1951,6 +1951,14 @@ def test_spec_evolution_upsert_mixed_specs(spark, tmp_path):
         for r in store.read_changes(spark, v1, v3, key_cols=["k"]).collect()
     )
     assert ops == [("I", 5), ("U", 2)]
+    # and WITHIN the evolved epoch the MOR prune stays exact: v2→v3
+    # differs only by the retirement entry (same region pointers) and
+    # the new lang pointers
+    ops = sorted(
+        (r["op"], r["k"])
+        for r in store.read_changes(spark, 2, v3, key_cols=["k"]).collect()
+    )
+    assert ops == [("I", 5), ("U", 2)]
 
 
 def test_spec_evolution_cdc_deletes_old_spec_row(spark, tmp_path):
@@ -2154,3 +2162,49 @@ def test_add_column_default_initial_value(spark, tmp_path):
     store.add_column("quality", IntegerType())
     got = {r["k"]: r["quality"] for r in store.read(spark).collect()}
     assert got == {1: None, 2: None, 3: None, 4: None}
+
+
+def test_spec_evolution_retirement_scan_prunes_by_key_stats(spark, tmp_path):
+    """The old-spec retirement probe range-prunes with manifest stats:
+    an upsert whose (single numeric) key range cannot intersect an
+    un-migrated partition's stored key bounds skips that partition's
+    files entirely — and the result is still exact."""
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))  # k in 1..4 per region
+    store.repartition_spec("lang")
+    # delta key far outside every stored k bound: probe must match
+    # nothing, no delete entry appears, content is delta-append only
+    v = store.upsert(
+        spark, _mk4(spark, [(100, "ap", "en", 1)]), key_cols=["k"]
+    )
+    doc = store._manifest_doc(v)
+    assert not doc.get("deletes")
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40), (100, 1)]
+    # delta key INSIDE the bounds still retires correctly
+    v2 = store.upsert(
+        spark, _mk4(spark, [(3, "eu", "en", 31)]), key_cols=["k"]
+    )
+    assert store._manifest_doc(v2).get("deletes")
+    got = sorted((r["k"], r["val"]) for r in store.read(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 31), (4, 40), (100, 1)]
+
+
+def test_pending_spec_migration_report(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "region")
+    store.commit(_mk4(spark, _BASE4))
+    rep = store.pending_spec_migration()
+    assert rep["pending"] is False and rep["n_old_spec_ptrs"] == 0
+    store.repartition_spec("lang")
+    rep = store.pending_spec_migration()
+    assert rep == {
+        "current_spec": "lang",
+        "n_ptrs": 2,
+        "n_old_spec_ptrs": 2,
+        "old_spec_cols": ["region"],
+        "pending": True,
+    }
+    store.compact(spark)
+    rep = store.pending_spec_migration()
+    assert rep["pending"] is False and rep["n_old_spec_ptrs"] == 0
+    assert rep["current_spec"] == "lang"
