@@ -13,6 +13,10 @@ Layout (all immutable once written)::
     <root>/data/<pc>=<val>/v=<N>/part-*.parquet   data files
     <root>/_manifests/v<N>.json                   {partition val -> version}
 
+(after a ``repartition_spec`` the data dir holds partition dirs under
+more than one column — each file stays under the spec it was written
+with, and manifest keys become qualified ``col=val``; see S30 below)
+
 - A **commit** writes its rows under ``v=<N>`` partition subdirs via
   ``partitionBy(pc, "v")`` — a brand-new version number, so it can
   never collide with files any existing manifest references.
