@@ -62,19 +62,23 @@ from karna_spark.queries import (  # noqa: F401,E402
 #
 # Round 11 executes the r10 verdict's post-round reorder. Head =
 # (a) the r11-born rows (HTML main-content extraction, partition-spec
-# evolution), (b) the queries whose operators materially changed with
+# evolution, sequence pattern detection, boolean retrieval, global
+# shuffle), (b) the queries whose operators materially changed with
 # the r10 ADVICE fixes (snapshots _widest/redact type lattice → the
 # evolution read path; the memory-derived MinHash chunk budget), then
 # (c) the EDF-obligatory stale cohorts: all 24 r6 rows (deadline r11)
-# followed by the first 22 r7 rows in registry order; the remaining
-# 25 r7 rows lead r12's (c) head. rotation_check.py verifies floor +
-# EDF feasibility against this order.
+# followed by the first r7 rows in registry order up to slot 50; the
+# r7 remainder leads r12's (c) head. rotation_check.py verifies floor
+# + EDF feasibility against this order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the r11-born rows, both landed this round: HTML→text
-    # main-content extraction (F32, operators/html.py) and the
-    # partition-spec evolution lifecycle (S30, io/snapshots.py:
-    # repartition_spec).
+    # (a) the r11-born rows: HTML→text main-content extraction (F32,
+    # operators/html.py), the partition-spec evolution lifecycle (S30,
+    # io/snapshots.py:repartition_spec), sequence pattern detection
+    # (T19), inverted-index boolean retrieval (F33), and the
+    # deterministic global corpus shuffle (O13).
     "text_html_extract", "snapshot_partition_evolution",
+    "events_pattern_match", "text_boolean_search",
+    "sample_global_shuffle",
     # (b) materially changed this round — the r10 ADVICE fixes touch
     # the evolved-read type lattice (_widest int/decimal) and redact's
     # manifest repoint (io/snapshots.py), and the MinHash kernel's

@@ -1658,3 +1658,71 @@ def dq_expectations_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
              "dim_col": "c_custkey"},
         ],
     )
+
+
+# ---------------------------------------------------------------- T19
+@register_query(
+    "events_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS sym
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(sym) AS BIGINT) AS n_events,
+           CAST(length(regexp_replace(sym, 'vc*p', '!', 'g'))
+                - length(replace(regexp_replace(sym, 'vc*p', '!', 'g'),
+                                 '!', ''))
+                AS BIGINT) AS n_funnels,
+           CAST(regexp_matches(sym, 's[^e]*p') AS INTEGER) AS clean_convert
+    FROM seqs
+    ORDER BY user_id
+    """,
+    tags="T19 W5 A9",
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: sequence pattern detection (MATCH_RECOGNIZE-lite) — per
+    user, compress the chronological event stream to a symbol string
+    (one char per event: the five fixture types have distinct first
+    letters) and run regex patterns over it, the row-pattern
+    recognition primitive SQL:2016 spells MATCH_RECOGNIZE and Flink
+    CEP spells Pattern.begin/next. Two patterns certified: the count
+    of non-overlapping CONTIGUOUS funnels ``view click* purchase``
+    (leftmost-first, the semantics both Java regex and RE2 give
+    non-overlapping scans), and an existence test for ``signup ...
+    purchase with no error between`` (``s[^e]*p`` — SKIP-TO semantics
+    over arbitrary gaps). The symbol string makes pattern state a
+    regex engine's problem instead of a self-join ladder: a k-step
+    funnel as a k-way join shuffles the events table k times, while
+    this plan shuffles ONCE (the per-user collect) and scans strings
+    map-side. Per-user sequences are bounded by per-user activity —
+    the same contract as sessionization (W5) and path mining (A22);
+    at 100 TB the groupBy is the only data-scale shuffle.
+    DuckDB lacks regexp_count, so the oracle counts funnel matches by
+    global-replacing each match with a sentinel and diffing lengths —
+    same leftmost non-overlapping scan, independently derived."""
+    seqs = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("e")),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+            ).alias("sym")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("sym").cast("bigint").alias("n_events"),
+        F.regexp_count("sym", F.lit("vc*p")).cast("bigint").alias("n_funnels"),
+        (F.col("sym").rlike("s[^e]*p")).cast("int").alias("clean_convert"),
+    ).orderBy("user_id")

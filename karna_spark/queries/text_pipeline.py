@@ -2759,3 +2759,141 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "main_text", "blocks_kept", "blocks_dropped",
         "html_chars", "text_chars", "chrome_ratio",
     )
+
+
+# ---------------------------------------------------------------- F33
+@register_query(
+    "text_boolean_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+             CAST(SUM(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream,
+             CAST(SUM(CASE WHEN token = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf_filter,
+             CAST(SUM(CASE WHEN token = 'slow'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_slow
+      FROM toks
+      WHERE token IN ('vector', 'stream', 'filter', 'slow')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, tf_vector, tf_stream, tf_filter,
+           tf_vector + tf_stream + tf_filter AS score
+    FROM hits
+    WHERE tf_vector > 0 AND tf_stream > 0 AND tf_filter > 0 AND tf_slow = 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags="F33 J3 J4 O3",
+)
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F33: inverted-index boolean retrieval — the conjunctive query
+    ``vector AND stream AND filter AND NOT slow`` ranked by summed
+    term frequency (the boolean-model half of a search engine; BM25
+    ranking over the same postings is F11). The plan IS the inverted
+    index consulted at query time: tokenize, keep ONLY postings for
+    the query's terms (the filter sits under the shuffle, so shuffle
+    volume is ∝ matched postings, not corpus tokens), then ONE grouped
+    conditional aggregate per doc resolves AND / NOT / score together
+    — the NOT term rides the same pass as a zero-count predicate
+    instead of a second anti-join scan. Top-k plans as
+    TakeOrderedAndProject with a doc_id tie-break. At rest the same
+    postings live in the J13 posting-list table; at 100 TB the only
+    data-scale work is the token scan, and the aggregate state is
+    |matching docs| × 4 counters."""
+    from karna_spark.operators.text import words
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words(F.trim(F.col("text")))).alias("token"))
+        .filter(F.col("token").isin("vector", "stream", "filter", "slow"))
+    )
+
+    def tf(term: str) -> Column:
+        return F.sum((F.col("token") == term).cast("bigint")).cast("bigint")
+
+    hits = toks.groupBy("doc_id").agg(
+        tf("vector").alias("tf_vector"),
+        tf("stream").alias("tf_stream"),
+        tf("filter").alias("tf_filter"),
+        tf("slow").alias("tf_slow"),
+    )
+    return (
+        hits.filter(
+            (F.col("tf_vector") > 0)
+            & (F.col("tf_stream") > 0)
+            & (F.col("tf_filter") > 0)
+            & (F.col("tf_slow") == 0)
+        )
+        .select(
+            "doc_id",
+            "tf_vector",
+            "tf_stream",
+            "tf_filter",
+            (F.col("tf_vector") + F.col("tf_stream") + F.col("tf_filter")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- O13
+@register_query(
+    "sample_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('shuf7|' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    )
+    SELECT substr(k, 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           min(k) AS first_key,
+           max(k) AS last_key,
+           CAST(min_by(doc_id, k) AS BIGINT) AS first_doc,
+           CAST(max_by(doc_id, k) AS BIGINT) AS last_doc
+    FROM keyed
+    GROUP BY shard ORDER BY shard
+    """,
+    tags="O13 F7 A1",
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: deterministic global corpus shuffle — the randomize-then-
+    shard step every training-data pipeline runs last (sequential
+    parquet order is source/time-clustered; training wants i.i.d.
+    batches). The shuffle key is md5 over a seed-salted doc id:
+    content-independent, reproducible across runs/engines, and
+    uniform, so shard = first hex nibble (16 shards here; a real run
+    uses more nibbles for more shards) needs NO global sort and NO
+    driver state — writing the real thing is
+    ``repartition(shard).sortWithinPartitions(key)``, an all-map
+    plan plus one shuffle, where a naive ``ORDER BY random()`` is a
+    global range sort with a driver-sampled boundary pass. The
+    certification fingerprints each shard: size (uniformity), member
+    checksum (partition correctness), min/max key and the argmin/
+    argmax docs (within-shard ORDER correctness at both ends) — all
+    map-combinable aggregates. Seed change ⇒ a different, equally
+    certified permutation."""
+    keyed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("shuf7|"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("k"),
+    )
+    return (
+        keyed.groupBy(F.substring("k", 1, 1).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.min("k").alias("first_key"),
+            F.max("k").alias("last_key"),
+            F.min_by("doc_id", "k").cast("bigint").alias("first_doc"),
+            F.max_by("doc_id", "k").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
