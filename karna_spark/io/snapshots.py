@@ -357,7 +357,10 @@ class SnapshotStore:
         new_dels = None
         if doc.get("deletes"):
             new_dels = [
+                # eq entries (S31) are global — nothing to re-key
                 {**e, "partitions": [rq(p) for p in e["partitions"]]}
+                if "partitions" in e
+                else dict(e)
                 for e in doc["deletes"]
             ]
         self._publish(
@@ -459,9 +462,25 @@ class SnapshotStore:
         entries are pruned to the partitions still served by
         inherited pointers and dropped entirely once none remain.
         Older manifests keep their own copies; this never mutates
-        them."""
+        them.
+
+        EQUALITY entries (S31, ``kind == "eq"``) are global — they
+        record no touched-partition list, so a partial rewrite can
+        never retire one. Carrying them stays correct without any
+        bookkeeping because the filter is sequence-guarded: rewritten
+        rows get the commit's fresh ``_rv``, which is ≥ the delete's
+        id, so the carried entry no longer applies to them (their
+        content already reflects the deletion — the rewrite read
+        through it). Only a FULL-table rewrite drops eq entries
+        (pure hygiene: with every row re-versioned the guard already
+        makes them inert)."""
+        full = rewritten >= set(prev_doc["partitions"])
         out = []
         for e in prev_doc.get("deletes", []):
+            if e.get("kind") == "eq":
+                if not full:
+                    out.append(dict(e))
+                continue
             live = [p for p in e["partitions"] if p not in rewritten]
             if live:
                 carried = {"id": e["id"], "partitions": live}
@@ -928,6 +947,90 @@ class SnapshotStore:
         )
         return v
 
+    def delete_keys(self, spark: SparkSession, col: str, keys) -> int:
+        """Merge-on-read EQUALITY delete (S31 — Iceberg v2 equality
+        delete files, the second of Iceberg's two delete-file forms):
+        record a set of key VALUES for logical column ``col``; every
+        row whose key matches is gone from this version on. Unlike
+        :meth:`delete_where` (position deletes), publishing costs
+        ZERO data scans — the only work is writing the key set
+        (``keys``: a python list or a one-column DataFrame) and one
+        manifest — so deleting 10M doc ids from a 100 TB table is an
+        O(|keys|) operation, not a table scan. The trade moves to
+        read time: readers anti-join the key set (broadcast under the
+        same byte threshold as position deletes), and a
+        :meth:`compact` folds it in and retires the entry.
+
+        SEQUENCE SEMANTICS (Iceberg's): the delete applies only to
+        rows written BEFORE it — the anti-join is guarded by
+        ``_rv < delete id``, with ``_rv`` the row's stored write
+        version. A row re-inserted with the same key AFTER the delete
+        survives, exactly as Iceberg scopes equality deletes to data
+        files with a smaller sequence number. The same guard makes
+        every later copy-on-write commit automatically exempt its
+        rewritten rows (they carry the fresh ``_rv``), so the entry
+        stays correct under upsert/CDC/partial-compact with no
+        partition bookkeeping at all — which is also why the entry is
+        GLOBAL (no touched-partition list; the changelog's
+        identical-pointer prune is disabled across the delete until a
+        compact retires it).
+
+        The key set is stored under the key column's PHYSICAL name
+        (the rename-stable identity, standing in for Iceberg's field
+        ids) at the column's current logical type; readers cast it to
+        the scan's physical type, so later :meth:`widen_column` calls
+        compose (widening is lossless). :meth:`drop_column` refuses
+        while an eq entry references the column — dropped physical
+        columns leave the read schema, which would silently disarm
+        the filter and resurrect the rows; compact first."""
+        prev_v = self.latest_version()
+        if prev_v == 0:
+            raise ValueError("nothing to delete from: no published version")
+        prev_doc = self._manifest_doc(prev_v)
+        if prev_doc.get("schema") is None:
+            raise ValueError("equality deletes need a manifest schema")
+        schema = StructType.fromJson(json.loads(prev_doc["schema"]))
+        names = {f.name: f for f in schema.fields}
+        if col not in names:
+            raise ValueError(f"no such column: {col!r}")
+        cm = prev_doc.get("colmap") or {}
+        phys = cm.get(col, col)
+        if isinstance(keys, DataFrame):
+            if len(keys.columns) != 1:
+                raise ValueError("keys frame must have exactly one column")
+            kdf = keys.select(
+                F.col(keys.columns[0])
+                .cast(names[col].dataType)
+                .alias(phys)
+            ).distinct()
+        else:
+            kdf = spark.createDataFrame(
+                [(k,) for k in keys],
+                StructType([StructField(phys, names[col].dataType, True)]),
+            ).distinct()
+        v = self._claim_version()
+        ddir = self._ddir(v)
+        kdf.coalesce(1).write.mode("overwrite").parquet(ddir)
+        deletes = [dict(e) for e in prev_doc.get("deletes", [])]
+        deletes.append({
+            "id": v,
+            "kind": "eq",
+            "col": phys,
+            "bytes": self._delete_bytes([ddir]),
+        })
+        self._publish(
+            v,
+            dict(prev_doc["partitions"]),
+            schema_json=prev_doc.get("schema"),
+            base_version=prev_v,
+            stats=prev_doc.get("stats"),
+            deletes=deletes,
+            colmap=prev_doc.get("colmap"),
+            defaults=prev_doc.get("defaults"),
+            specs=prev_doc.get("specs"),
+        )
+        return v
+
     def compact(
         self,
         spark: SparkSession,
@@ -1302,6 +1405,18 @@ class SnapshotStore:
         names = [f.name for f in schema.fields]
         if name not in names:
             raise ValueError(f"no such column: {name!r}")
+        phys = cm.get(name, name)
+        for e in doc.get("deletes", []):
+            if e.get("kind") == "eq" and e["col"] == phys:
+                # S31: an active equality-delete entry filters on this
+                # column's physical name; dropping it would remove the
+                # column from the read schema, silently disarm the
+                # filter, and resurrect the deleted rows. Compact
+                # (folds the delete in and retires the entry) first.
+                raise ValueError(
+                    f"column {name!r} is referenced by equality-delete "
+                    f"entry v{e['id']}; compact before dropping it"
+                )
         cm.pop(name, None)
         if name in (doc.get("defaults") or {}):
             d = dict(doc["defaults"])
@@ -1496,11 +1611,21 @@ class SnapshotStore:
         touched partitions precisely so this prune stays exact)."""
         doc, doco = self._manifest_doc(v), self._manifest_doc(v_other)
         m, mo = doc["partitions"], doco["partitions"]
-        dels = {e["id"]: set(e["partitions"]) for e in doc.get("deletes", [])}
-        delso = {e["id"]: set(e["partitions"]) for e in doco.get("deletes", [])}
+        dels = {e["id"]: e for e in doc.get("deletes", [])}
+        delso = {e["id"]: e for e in doco.get("deletes", [])}
         mor_touched: set[str] = set()
         for did in set(dels) ^ set(delso):
-            mor_touched |= dels.get(did, set()) | delso.get(did, set())
+            e = dels.get(did) or delso.get(did)
+            if "partitions" not in e:
+                # S31 equality delete: global scope — no touched-
+                # partition list exists, so the identical-pointer
+                # prune is disabled for this diff (every partition
+                # may differ). The scan stays ∝ table, which is the
+                # honest cost of diffing across a global delete; a
+                # compact retires the entry and restores the prune.
+                mor_touched |= set(m)
+                break
+            mor_touched |= set(e["partitions"])
         changed = [
             val
             for val, pv in m.items()
@@ -1564,7 +1689,13 @@ class SnapshotStore:
         versions the parent chain still serves — redact through the
         parent (whose scope covers branch-referenced dirs only via
         its own chain; merge or delete branches first for full
-        erasure). Driver-side work is O(#versions × #partitions)
+        erasure). Like Iceberg, DELETE FILES are not rewritten: a
+        position-delete set holds only synthetic row ids, but an S31
+        equality-delete key set holds column VALUES — if the redacted
+        key's value sits in a live eq entry on that same column, run
+        a compact (retires the entry and GCs its file via vacuum) to
+        complete the erasure. Driver-side work is
+        O(#versions × #partitions)
         manifest bookkeeping; data work is ONE union-scan probe job
         over all referenced directories (the keys broadcast, so the
         probe is a map-side semi-join with no shuffle) plus ONE
@@ -2282,7 +2413,9 @@ class SnapshotStore:
             for g in frames[1:]:
                 out = out.unionByName(g)
         if manifest:
-            dels = doc.get("deletes", [])
+            alldels = doc.get("deletes", [])
+            dels = [e for e in alldels if e.get("kind") != "eq"]
+            eqs = [e for e in alldels if e.get("kind") == "eq"]
             if dels:
                 ddirs = [self._ddir(e["id"]) for e in dels]
                 ddf = spark.read.parquet(*ddirs).select("_rv", "_rid")
@@ -2298,6 +2431,33 @@ class SnapshotStore:
                 if dbytes <= self.BROADCAST_DELETES_MAX_BYTES:
                     ddf = F.broadcast(ddf)
                 out = out.join(ddf, ["_rv", "_rid"], "left_anti")
+            # S31 equality deletes: anti-join each key set on its
+            # PHYSICAL column (present pre-projection in every scan
+            # path), sequence-guarded by _rv < entry id — rows written
+            # at or after the delete survive (Iceberg's eq-delete
+            # scoping). Keys were stored at delete-time logical type;
+            # cast to the scan's physical type so widen_column
+            # composes (lossless up-cast). Same per-entry broadcast
+            # threshold as position deletes.
+            scan_types = {f.name: f.dataType for f in out.schema.fields}
+            for e in eqs:
+                phys = e["col"]
+                kdf = (
+                    spark.read.parquet(self._ddir(e["id"]))
+                    .select(
+                        F.col(phys)
+                        .cast(scan_types[phys])
+                        .alias("__eq_key")
+                    )
+                )
+                if e["bytes"] <= self.BROADCAST_DELETES_MAX_BYTES:
+                    kdf = F.broadcast(kdf)
+                out = out.join(
+                    kdf,
+                    (F.col(phys) == F.col("__eq_key"))
+                    & (F.col("_rv") < F.lit(int(e["id"]))),
+                    "left_anti",
+                )
             if cm is not None:
                 # project the manifest's LOGICAL schema through the
                 # physical mapping: renamed columns come back under

@@ -1322,3 +1322,84 @@ def snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("new_spec_ptrs"),
     )
     return out.unionByName(pruned)
+
+
+# ---------------------------------------------------------------- S31
+@register_query(
+    "snapshot_equality_delete_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    v1 AS (SELECT * FROM base),
+    v2 AS (SELECT * FROM v1 WHERE k % 50 <> 0),
+    reins AS (
+      SELECT k, o_year, (k % 97) + 1000 AS val
+      FROM base WHERE k % 100 = 0
+    ),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM reins),
+    f AS (
+      SELECT 'v1' AS snapshot, * FROM v1
+      UNION ALL SELECT 'v2', * FROM v2
+      UNION ALL SELECT 'v3', * FROM v3
+      UNION ALL SELECT 'v4', * FROM v3
+    )
+    SELECT snapshot,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_keys,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM f GROUP BY snapshot ORDER BY snapshot
+    """,
+    tags="S31",
+)
+def snapshot_equality_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31: merge-on-read EQUALITY deletes (Iceberg v2's second
+    delete-file form — io/snapshots.py:delete_keys). v1 commits
+    orders keyed by year; v2 publishes an equality delete of every
+    50th key as a pure key-set write — ZERO data files scanned or
+    rewritten (a 10M-id delete from a 100 TB table is O(|keys|)),
+    readers anti-join the set under the broadcast threshold; v3
+    re-upserts every 100th key (a subset of the deleted ones) with a
+    marked value — the rows SURVIVE because the delete is
+    sequence-guarded (_rv < delete id), exactly Iceberg's scoping of
+    eq deletes to earlier data files; v4 is the full compact that
+    folds the filter into the data and retires the entry. Every
+    version is fingerprinted (count + exact key/value sums) and the
+    oracle re-derives all four states from the base table alone, so
+    the hash certifies write-time O(|keys|) deletes, read-time
+    anti-join semantics, sequence-number scoping, and
+    compact-retirement end to end."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_eq_delete")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                            # v1
+    store.delete_keys(
+        spark, "k", base.filter(F.col("k") % 50 == 0).select("k")
+    )                                                             # v2
+    reins = base.filter(F.col("k") % 100 == 0).select(
+        "k", "o_year", ((F.col("k") % 97) + 1000).alias("val")
+    )
+    store.upsert(spark, reins, key_cols=["k"])                    # v3
+    store.compact(spark)                                          # v4
+    out = None
+    for v in (1, 2, 3, 4):
+        row = store.read(spark, version=v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(f"v{v}").alias("snapshot"), "n_rows", "sum_keys", "sum_val"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("snapshot")

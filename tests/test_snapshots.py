@@ -473,7 +473,7 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
             op = random.choice(
                 ["commit", "upsert", "cdc", "redact", "vacuum", "tag",
                  "untag", "mkbranch", "brwrite", "merge", "delbranch",
-                 "mordelete", "brmordelete"]
+                 "mordelete", "brmordelete", "eqdelete", "breqdelete"]
             )
             prev = hist[max(v for v in hist if v in retained)]
             if op == "commit":
@@ -598,6 +598,27 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                         k: val
                         for k, val in brs[name]["head"].items()
                         if val >= thresh
+                    }
+            elif op == "eqdelete":
+                # S31: equality delete by key — existing rows with a
+                # matching key vanish (all carry _rv < the delete id);
+                # later upserts of the same key survive (the model's
+                # hist update covers that path naturally)
+                ks = random.sample(range(1, 9), random.randint(1, 3))
+                v = store.delete_keys(spark, "k", ks)
+                hist[v] = {
+                    k: val for k, val in prev.items() if k not in ks
+                }
+                retained.add(v)
+            elif op == "breqdelete":
+                if brs:
+                    name = random.choice(sorted(brs))
+                    ks = random.sample(range(1, 9), random.randint(1, 3))
+                    store.branch(name).delete_keys(spark, "k", ks)
+                    brs[name]["head"] = {
+                        k: val
+                        for k, val in brs[name]["head"].items()
+                        if k not in ks
                     }
             assert store.branches() == sorted(brs)
             for name, b in brs.items():
@@ -2208,3 +2229,140 @@ def test_pending_spec_migration_report(spark, tmp_path):
     rep = store.pending_spec_migration()
     assert rep["pending"] is False and rep["n_old_spec_ptrs"] == 0
     assert rep["current_spec"] == "lang"
+
+
+# ------------------------------------------------- S31 equality deletes
+def test_eq_delete_publishes_without_scanning_data(spark, tmp_path):
+    # The headline property: delete_keys costs O(|keys|) — zero reads
+    # of the table's data files. Evidence: it works even after the
+    # data directories are made unreadable.
+    import os
+    import stat
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    ddirs = [
+        os.path.join(store.data, d)
+        for d in os.listdir(store.data)
+        if d.startswith("p=")
+    ]
+    try:
+        for d in ddirs:
+            os.chmod(d, 0)
+        v = store.delete_keys(spark, "k", [2, 99])
+    finally:
+        for d in ddirs:
+            os.chmod(d, stat.S_IRWXU)
+    assert v == 2
+    assert _rows(store.read(spark)) == [(1, "a", 10), (3, "b", 30)]
+    assert _rows(store.read(spark, version=1)) == [
+        (1, "a", 10), (2, "b", 20), (3, "b", 30)
+    ]
+    e = store._manifest_doc(2)["deletes"][0]
+    assert e["kind"] == "eq" and e["col"] == "k" and "partitions" not in e
+
+
+def test_eq_delete_sequence_semantics_reinsert_survives(spark, tmp_path):
+    # Iceberg eq-delete scoping: applies only to rows written BEFORE
+    # the delete (_rv < id); a same-key re-insert afterwards survives.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (9, "b", 90)]))
+    store.delete_keys(spark, "k", [2, 9])
+    assert _rows(store.read(spark)) == [(1, "a", 10)]
+    store.upsert(spark, _mk(spark, [(2, "a", 99)]), ["k"])
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "a", 99)]
+    # the entry is still live after the PARTIAL rewrite (global,
+    # carried — partition b is still served by an inherited pointer)
+    # but inert for the rewritten row, which carries a fresh _rv
+    assert any(
+        e.get("kind") == "eq"
+        for e in store._manifest_doc(store.latest_version())["deletes"]
+    )
+
+
+def test_eq_delete_full_compact_folds_and_retires(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    store.delete_keys(spark, "k", [3])
+    v = store.compact(spark)
+    assert not store._manifest_doc(v).get("deletes")
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20)]
+    # pre-compact versions still apply the delete through their own
+    # manifests; v1 still has the row
+    assert len(_rows(store.read(spark, version=2))) == 2
+    assert len(_rows(store.read(spark, version=1))) == 3
+
+
+def test_eq_delete_partial_compact_carries_entry_exactly(spark, tmp_path):
+    # a partial rewrite cannot retire a global eq entry; rewritten
+    # rows are exempted by the _rv guard, inherited rows stay filtered
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    store.delete_keys(spark, "k", [1, 3])
+    v = store.compact(spark, partition_values=["b"])
+    dels = store._manifest_doc(v).get("deletes")
+    assert dels and dels[0]["kind"] == "eq"
+    assert _rows(store.read(spark)) == [(2, "b", 20)]
+
+
+def test_eq_delete_composes_with_rename_and_widen(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(
+        _mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]).withColumn(
+            "val", F.col("val").cast("int")
+        )
+    )
+    store.rename_column("k", "kid")          # v2
+    store.delete_keys(spark, "kid", [2])      # v3: stored under phys 'k'
+    assert store._manifest_doc(3)["deletes"][0]["col"] == "k"
+    assert sorted(r["kid"] for r in store.read(spark).collect()) == [1, 3]
+    store.widen_column("val", LongType())     # v4: delete still applies
+    got = sorted(
+        (r["kid"], r["val"]) for r in store.read(spark).collect()
+    )
+    assert got == [(1, 10), (3, 30)]
+
+
+def test_eq_delete_drop_column_guard(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20)]))
+    store.delete_keys(spark, "val", [20])
+    with pytest.raises(ValueError, match="equality-delete"):
+        store.drop_column("val")
+    store.compact(spark)  # folds + retires
+    store.drop_column("val")
+    assert sorted(r["k"] for r in store.read(spark).collect()) == [1]
+
+
+def test_eq_delete_changelog_disables_pointer_prune(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    store.delete_keys(spark, "k", [1, 3])
+    ch = sorted(
+        (r["op"], r["k"]) for r in
+        store.read_changes(spark, 1, 2, key_cols=["k"]).collect()
+    )
+    assert ch == [("D", 1), ("D", 3)]
+
+
+def test_eq_delete_vacuum_gc_and_branch_fork(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))   # v1
+    store.delete_keys(spark, "k", [1])                        # v2
+    br = store.create_branch("wap")
+    assert _rows(br.read(spark)) == [(2, "b", 20)]            # fork sees it
+    br.delete_keys(spark, "k", [2])
+    assert _rows(br.read(spark)) == []
+    assert _rows(store.read(spark)) == [(2, "b", 20)]         # parent intact
+    store.delete_branch("wap")
+    store.commit(_mk(spark, [(5, "a", 50)]))                  # v3 (full)
+    import os
+
+    store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    droot = os.path.join(store.data, "_deletes")
+    left = sorted(os.listdir(droot)) if os.path.isdir(droot) else []
+    assert left == []  # expired manifests released both key sets
