@@ -402,6 +402,11 @@ class SnapshotStore:
                 "column names _rv/_rid are reserved for the store's "
                 "row identity (merge-on-read deletes)"
             )
+        if "__rows" in df.columns:
+            raise ValueError(
+                "column name __rows is reserved for the manifest's "
+                "per-partition row counts (metadata aggregation)"
+            )
         # Synthetic row identity for merge-on-read deletes (S27):
         # (_rv, _rid) is globally unique — _rv is this claimed
         # version (never reused, even across vacuum) and _rid is
@@ -515,10 +520,12 @@ class SnapshotStore:
             mins: dict[str, float] = {}
             maxs: dict[str, float] = {}
             tainted: set[str] = set()
+            nrows = 0
             for fn in sorted(os.listdir(d)):
                 if not fn.endswith(".parquet"):
                     continue
                 md = pq.ParquetFile(os.path.join(d, fn)).metadata
+                nrows += md.num_rows
                 for rg in range(md.num_row_groups):
                     rgm = md.row_group(rg)
                     for ci in range(rgm.num_columns):
@@ -554,6 +561,11 @@ class SnapshotStore:
             stats[val] = {
                 c: [mins[c], maxs[c]] for c in mins if c not in tainted
             }
+            # S32: per-partition row count (Iceberg's record_count),
+            # summed from the same footers — the manifest can answer
+            # COUNT(*) with zero data reads. ``__rows`` is a reserved
+            # name (_write refuses it as a user column).
+            stats[val]["__rows"] = nrows
         return stats
 
     @staticmethod
@@ -1155,6 +1167,98 @@ class SnapshotStore:
                     if f.endswith(".parquet")
                 )
         return total
+
+    @staticmethod
+    def _dir_rows(d: str) -> int:
+        """Row count of one physical dir from parquet FOOTERS — a
+        driver-side metadata read, zero Spark jobs, zero data bytes."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+        return total
+
+    def count_rows(self, version: int | None = None) -> int:
+        """S32: COUNT(*) answered from the MANIFEST — zero Spark jobs,
+        zero data files opened (Iceberg's metadata-table count /
+        aggregate pushdown). Sums the per-partition ``__rows`` counts
+        the committer recorded from parquet footers at write time
+        (falling back to a driver-side footer read for pre-S32
+        manifests). REFUSED while merge-on-read delete entries are
+        pending: the manifest count ignores the anti-join, so it
+        would overcount — exactly why Iceberg disables metadata
+        aggregation when delete files exist. :meth:`compact` folds
+        the deletes and restores the fast path."""
+        v = self.latest_version() if version is None else version
+        doc = self._manifest_doc(v)
+        if doc.get("deletes"):
+            raise ValueError(
+                "merge-on-read deletes pending: a manifest count "
+                "would overcount — compact first (or scan via read())"
+            )
+        st = doc.get("stats") or {}
+        total = 0
+        for key, pv in doc["partitions"].items():
+            n = st.get(key, {}).get("__rows")
+            if n is None:
+                col, val = self._split_key(doc, key)
+                n = self._dir_rows(self._pdir(val, pv, spec_col=col))
+            total += n
+        return total
+
+    def stats_agg(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        version: int | None = None,
+    ) -> DataFrame:
+        """S32: per-partition aggregation pushdown into the MANIFEST —
+        ``(partition, n_rows, <col>_min, <col>_max, ...)`` for the
+        named LOGICAL columns, answered entirely from manifest stats
+        (committer-recorded footer bounds + row counts): zero Spark
+        jobs against the data, zero files opened. This is the
+        dashboard/partition-health query every 100 TB table serves
+        constantly — row counts and value ranges per day — for which
+        a full scan is three orders of magnitude too much I/O.
+
+        Exactness contract: row counts are exact (refused while MOR
+        deletes are pending, same rule as :meth:`count_rows`; redact
+        refreshes counts for the dirs it rewrites). Min/max are exact
+        as written but survive redact only as SUPERSETS — the same
+        conservative semantics the data-skipping reader (S20) relies
+        on — so a bound is a true bound, not necessarily attained.
+        Columns without recorded bounds (strings — parquet may
+        truncate their stats — or NaN-tainted floats) return NULL.
+        Logical names resolve through the colmap; bounds live under
+        physical names."""
+        v = self.latest_version() if version is None else version
+        doc = self._manifest_doc(v)
+        if doc.get("deletes"):
+            raise ValueError(
+                "merge-on-read deletes pending: manifest stats "
+                "would overcount — compact first (or scan via read())"
+            )
+        cm = doc.get("colmap") or {}
+        st = doc.get("stats") or {}
+        rows = []
+        for key in sorted(doc["partitions"]):
+            pv = doc["partitions"][key]
+            pst = st.get(key, {})
+            n = pst.get("__rows")
+            if n is None:
+                col, val = self._split_key(doc, key)
+                n = self._dir_rows(self._pdir(val, pv, spec_col=col))
+            rec = [key, int(n)]
+            for c in cols:
+                b = pst.get(cm.get(c, c))
+                rec += [None, None] if b is None else [b[0], b[1]]
+            rows.append(tuple(rec))
+        names = ["partition", "n_rows"]
+        for c in cols:
+            names += [f"{c}_min", f"{c}_max"]
+        return spark.createDataFrame(rows, names)
 
     def pending_deletes(self, version: int | None = None) -> dict:
         """Compaction-pressure report for a version's accumulated
@@ -1918,19 +2022,44 @@ class SnapshotStore:
         # read, which Spark refuses — breaking time travel to that
         # version (r10 ADVICE). Widening is lossless, so upgrading the
         # repointed manifest's types preserves the logical contract.
+        rewritten_rows: dict[tuple[str, str, int], int] = {}
         for (si, v), cached in mdocs.items():
             st = stores[si]
             m = cached["partitions"]
             new_m: dict[str, int] = {}
             repointed = False
+            stat_fix: dict[str, int | None] = {}
             for key, pv in m.items():
                 col, val = st._split_key(cached, key)
                 nv = remap.get((col, val, pv), pv)
                 repointed = repointed or nv != pv
                 if nv != -1:  # -1 == rewrite emptied the directory
                     new_m[key] = nv
+                    if nv != pv:
+                        # S32: the repointed dir holds FEWER rows —
+                        # refresh the manifest's count from the new
+                        # footers (once per rewritten dir, driver-side
+                        # metadata read) so COUNT-from-manifest stays
+                        # exact. Bounds stay stale-wide (supersets
+                        # prune conservatively); counts cannot.
+                        rk = (col, val, nv)
+                        if rk not in rewritten_rows:
+                            rewritten_rows[rk] = self._dir_rows(
+                                self._pdir(val, nv, spec_col=col)
+                            )
+                        stat_fix[key] = rewritten_rows[rk]
+                else:
+                    stat_fix[key] = None  # partition gone — drop stats
             doc = st._manifest_doc(v)
             doc["partitions"] = new_m
+            if stat_fix and doc.get("stats"):
+                stats_d = dict(doc["stats"])
+                for key, n in stat_fix.items():
+                    if n is None:
+                        stats_d.pop(key, None)
+                    elif key in stats_d:
+                        stats_d[key] = {**stats_d[key], "__rows": n}
+                doc["stats"] = stats_d
             if repointed and doc.get("schema") is not None:
                 cm_d = doc.get("colmap") or {}
                 # spec columns parse as strings with inference off —

@@ -1403,3 +1403,73 @@ def snapshot_equality_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("snapshot")
+
+
+# ---------------------------------------------------------------- S32
+@register_query(
+    "snapshot_stats_agg_pushdown",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    cur AS (
+      SELECT k, o_year,
+             CASE WHEN o_year = 1995 AND k % 10 = 0
+                  THEN val + 1000 ELSE val END AS val
+      FROM base
+    )
+    SELECT CAST(o_year AS VARCHAR) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(val) AS BIGINT) AS val_min,
+           CAST(MAX(val) AS BIGINT) AS val_max
+    FROM cur GROUP BY o_year ORDER BY partition
+    """,
+    tags="S32",
+)
+def snapshot_stats_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32: aggregation pushdown into the MANIFEST
+    (io/snapshots.py:stats_agg / count_rows — Iceberg's metadata-table
+    count and aggregate pushdown). v1 commits orders keyed by year; v2
+    upserts a shifted-value delta into 1995 (rewriting that partition,
+    inheriting every other pointer — and with it the other partitions'
+    committer-recorded stats). The per-partition row counts and value
+    bounds are then answered ENTIRELY from the manifest: zero Spark
+    jobs against the data, zero files opened (pytest proves the
+    data-free property by chmod-ing the data dirs away). The oracle
+    recomputes every count and bound from the base table with the
+    upsert applied, so the hash certifies that commit-time footer
+    stats + pointer inheritance reproduce the exact scan answer —
+    the partition-health dashboard query a 100 TB table serves
+    constantly, at 1e-6 of the scan cost. Counts refuse to answer
+    over pending MOR deletes (they would overcount) and are
+    refreshed by redact; bounds degrade only to supersets (S20's
+    conservative contract)."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_stats_agg")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                            # v1
+    delta = base.filter(
+        (F.col("o_year") == 1995) & (F.col("k") % 10 == 0)
+    ).select("k", "o_year", (F.col("val") + 1000).alias("val"))
+    store.upsert(spark, delta, key_cols=["k"])                    # v2
+    return (
+        store.stats_agg(spark, ["val"])
+        .select(
+            "partition",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("val_min").cast("bigint").alias("val_min"),
+            F.col("val_max").cast("bigint").alias("val_max"),
+        )
+        .orderBy("partition")
+    )

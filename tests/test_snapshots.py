@@ -465,6 +465,13 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                         (k, key_part[k], val) for k, val in hist[v].items()
                     )
                     assert got == want, f"seed={seed} v={v}"
+                    # S32: the manifest count must agree with the
+                    # model whenever it is willing to answer (no
+                    # pending MOR deletes — then it must refuse)
+                    if not store._manifest_doc(v).get("deletes"):
+                        assert store.count_rows(version=v) == len(
+                            hist[v]
+                        ), f"seed={seed} v={v} manifest count"
                 else:
                     with pytest.raises(FileNotFoundError):
                         store.read(spark, v)
@@ -2366,3 +2373,84 @@ def test_eq_delete_vacuum_gc_and_branch_fork(spark, tmp_path):
     droot = os.path.join(store.data, "_deletes")
     left = sorted(os.listdir(droot)) if os.path.isdir(droot) else []
     assert left == []  # expired manifests released both key sets
+
+
+# --------------------------------------- S32 metadata-only aggregation
+def test_count_rows_opens_no_data_after_commit(spark, tmp_path):
+    # counts were recorded at commit; answering must not touch data
+    import os
+    import stat
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    ddirs = [
+        os.path.join(store.data, d)
+        for d in os.listdir(store.data)
+        if d.startswith("p=")
+    ]
+    try:
+        for d in ddirs:
+            os.chmod(d, 0)
+        assert store.count_rows() == 3
+    finally:
+        for d in ddirs:
+            os.chmod(d, stat.S_IRWXU)
+
+
+def test_stats_agg_matches_scan_and_inherits(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    store.upsert(spark, _mk(spark, [(4, "b", 5), (9, "c", 90)]), ["k"])
+    got = {
+        r["partition"]: (r["n_rows"], r["val_min"], r["val_max"])
+        for r in store.stats_agg(spark, ["val"]).collect()
+    }
+    assert got == {"a": (2, 10, 20), "b": (2, 5, 30), "c": (1, 90, 90)}
+    assert store.count_rows() == 5
+    assert store.count_rows(version=1) == 3
+
+
+def test_count_refuses_pending_mor_then_recovers(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    store.delete_where(spark, "val >= 20")
+    with pytest.raises(ValueError, match="overcount"):
+        store.count_rows()
+    with pytest.raises(ValueError, match="overcount"):
+        store.stats_agg(spark, ["val"])
+    store.compact(spark)
+    assert store.count_rows() == 1
+
+
+def test_redact_refreshes_manifest_counts_every_version(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    store.commit(_mk(spark, [(1, "a", 11), (3, "b", 31)]))
+    store.redact(spark, ["k"], _mk(spark, [(1, "a", 0)]))
+    assert store.count_rows(version=1) == 2
+    assert store.count_rows(version=2) == 1
+    # bounds survive as supersets; counts are exact
+    got = {
+        r["partition"]: r["n_rows"]
+        for r in store.stats_agg(spark, ["val"], version=1).collect()
+    }
+    assert got == {"a": 1, "b": 1}
+
+
+def test_stats_agg_resolves_renamed_column_and_reserved_guard(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    store.rename_column("val", "score")
+    got = {
+        r["partition"]: (r["n_rows"], r["score_min"], r["score_max"])
+        for r in store.stats_agg(spark, ["score"]).collect()
+    }
+    assert got == {"a": (1, 10, 10), "b": (1, 20, 20)}
+    with pytest.raises(ValueError, match="__rows"):
+        store.commit(
+            _mk(spark, [(1, "a", 10)]).withColumn("__rows", F.lit(1))
+        )
