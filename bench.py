@@ -101,6 +101,11 @@ HEADLINE = [
     # → mixed-spec MOR upsert → full migration compact + pruned read)
     "text_html_extract",
     "snapshot_partition_evolution",
+    # r11 batch-2: MERGE INTO — the lakehouse writer verb (source-
+    # left-target clause join → CDC feed → partition-scoped COW);
+    # the clause join + touched-partition rewrite is the cost to
+    # watch as the write path every pipeline standardizes on
+    "snapshot_merge_into",
 ]
 
 

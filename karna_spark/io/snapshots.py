@@ -867,6 +867,149 @@ class SnapshotStore:
         )
         return v
 
+    def rollback(self, version: int) -> int:
+        """S34: roll the table back to ``version`` — Iceberg's
+        ``rollback_to_snapshot``: publishes a NEW version whose
+        manifest is a copy of the target's (pointers, schema, colmap,
+        defaults, specs, delete entries — the full read state), so
+        the bad commits stay in history (auditable, time-travelable)
+        while the table's head content is restored. METADATA-ONLY:
+        one JSON write, zero data touched — undoing a botched
+        million-row write on a 100 TB table costs the same as on a
+        100-row one. CAS-published against the current head like any
+        commit, so a racing writer fails loudly rather than being
+        silently undone. The target must still be readable (not
+        expired by vacuum — resolving it raises otherwise)."""
+        prev_v = self.latest_version()
+        if version == prev_v:
+            raise ValueError(f"already at v{version}")
+        doc = self._manifest_doc(version)  # raises if expired/unknown
+        v = self._claim_version()
+        self._publish(
+            v,
+            dict(doc["partitions"]),
+            schema_json=doc.get("schema"),
+            base_version=prev_v,
+            stats=doc.get("stats"),
+            deletes=[dict(e) for e in doc.get("deletes", [])] or None,
+            colmap=doc.get("colmap"),
+            defaults=doc.get("defaults"),
+            specs=doc.get("specs"),
+        )
+        return v
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        matched_update_cond: str | None = None,
+        matched_delete_cond: str | None = None,
+        not_matched_insert_cond: str | None = None,
+    ) -> int:
+        """S33: MERGE INTO — the Delta/Iceberg writer verb
+        (``WHEN MATCHED [AND cond] THEN UPDATE / DELETE, WHEN NOT
+        MATCHED [AND cond] THEN INSERT``) expressed as ONE
+        source-target join that derives a CDC feed and hands it to
+        :meth:`apply_changes` (so partition-scoped copy-on-write,
+        schema/spec evolution, old-spec retirement, stats inheritance
+        and CAS publish are all inherited, not re-implemented).
+
+        Conditions are SQL strings over ``s.<col>`` (source image) and
+        ``t.<col>`` (current target image); ``None`` means
+        unconditional (update every matched row, delete none, insert
+        every unmatched source row). Clause order is Delta's: a
+        matched row is tested against DELETE first, then UPDATE; a
+        matched row passing neither clause is left untouched — and
+        costs nothing, because it never enters the feed, so its
+        partition is only rewritten if some OTHER feed row touches it.
+        Updates write the full source image (UPDATE SET * semantics).
+
+        The join is source-LEFT-target: target rows with no source
+        match are untouched by definition and never scanned into the
+        join's right side beyond the manifest-pruned read. Multiple
+        source rows for one key are REFUSED (Delta's 'multiple source
+        rows matched' error): last-writer-wins here would be
+        nondeterministic under shuffle order, which would poison both
+        the certification hash and any replay."""
+        prev_v = self.latest_version()
+        if prev_v == 0:
+            raise ValueError("nothing to merge into: no published version")
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "multiple source rows matched the same key; "
+                "pre-aggregate the source to one row per key"
+            )
+        cols = source.columns
+        tgt = self.read(spark, version=prev_v)
+        s = source.select(
+            *[F.col(c).alias(f"__s_{c}") for c in cols]
+        )
+        t = tgt.select(
+            *[F.col(c).alias(f"__t_{c}") for c in cols],
+            F.lit(True).alias("__t_present"),
+        )
+        cond = None
+        for k in key_cols:
+            c = F.col(f"__s_{k}") == F.col(f"__t_{k}")
+            cond = c if cond is None else (cond & c)
+        j = s.join(t, cond, "left_outer")
+        # expose s.* / t.* for the user's clause conditions
+        j = j.select(
+            "*",
+            F.struct(
+                *[F.col(f"__s_{c}").alias(c) for c in cols]
+            ).alias("s"),
+            F.struct(
+                *[F.col(f"__t_{c}").alias(c) for c in cols]
+            ).alias("t"),
+        )
+        matched = F.col("__t_present").isNotNull()
+        delete_c = (
+            F.expr(matched_delete_cond)
+            if matched_delete_cond is not None
+            else F.lit(False)
+        )
+        update_c = (
+            F.expr(matched_update_cond)
+            if matched_update_cond is not None
+            else F.lit(True)
+        )
+        insert_c = (
+            F.expr(not_matched_insert_cond)
+            if not_matched_insert_cond is not None
+            else F.lit(True)
+        )
+        op = (
+            F.when(matched & delete_c, F.lit("D"))
+            .when(matched & update_c, F.lit("U"))
+            .when(~matched & insert_c, F.lit("I"))
+        )
+        feed = (
+            j.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            # D rows carry the TARGET image (it holds the live
+            # partition value apply_changes prunes by); I/U carry the
+            # source image
+            .select(
+                "op",
+                *[
+                    F.when(
+                        F.col("op") == "D", F.col(f"__t_{c}")
+                    ).otherwise(F.col(f"__s_{c}")).alias(c)
+                    for c in cols
+                ],
+            )
+        )
+        return self.apply_changes(spark, feed, key_cols)
+
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Merge-on-read row delete (S27 — Iceberg v2 position
         deletes / Delta deletion vectors, re-expressed on the

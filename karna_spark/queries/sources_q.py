@@ -1473,3 +1473,89 @@ def snapshot_stats_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition")
     )
+
+
+# ---------------------------------------------------------------- S33
+@register_query(
+    "snapshot_merge_into",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    kept AS (
+      SELECT k, o_year,
+             CASE WHEN k % 7 = 0 THEN val + 500 ELSE val END AS val
+      FROM base
+      WHERE NOT (k % 7 = 0 AND val < 20)
+    ),
+    ins AS (
+      SELECT k + 20000000 AS k, o_year, (k + 20000000) % 97 AS val
+      FROM base
+      WHERE k % 500 = 0 AND (k + 20000000) % 97 >= 10
+    ),
+    merged AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM merged GROUP BY o_year ORDER BY o_year
+    """,
+    tags="S33",
+)
+def snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33: MERGE INTO (io/snapshots.py:merge — the Delta/Iceberg
+    writer verb). v1 commits orders keyed by year; the merge source
+    carries every 7th key (matched) plus synthetic new keys: the
+    three clauses run together as WHEN MATCHED AND t.val < 20 THEN
+    DELETE, WHEN MATCHED THEN UPDATE SET * (source val + 500), WHEN
+    NOT MATCHED AND s.val >= 10 THEN INSERT. One source-LEFT-target
+    join derives a CDC feed handed to apply_changes, so the merge
+    inherits partition-scoped copy-on-write (only years the feed
+    touches are rewritten), CAS publish, and evolution handling —
+    and matched rows passing neither clause never enter the feed at
+    all. The per-year fingerprint is re-derived by the oracle from
+    the base table and the clause predicates alone, certifying
+    clause precedence (DELETE before UPDATE), condition routing over
+    s.*/t.*, and the untouched-row guarantee end to end. At 100 TB
+    the join is one shuffle on the merge keys and the write cost is
+    ∝ touched partitions — the same bound as upsert."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_merge_into")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                            # v1
+    matched_src = base.filter(F.col("k") % 7 == 0).select(
+        "k", "o_year", (F.col("val") + 500).alias("val")
+    )
+    new_src = base.filter(F.col("k") % 500 == 0).select(
+        (F.col("k") + 20000000).alias("k"),
+        "o_year",
+        ((F.col("k") + 20000000) % 97).alias("val"),
+    )
+    store.merge(
+        spark,
+        matched_src.unionByName(new_src),
+        ["k"],
+        matched_delete_cond="t.val < 20",
+        not_matched_insert_cond="s.val >= 10",
+    )                                                             # v2
+    return (
+        store.read(spark)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .orderBy("o_year")
+    )

@@ -480,7 +480,8 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
             op = random.choice(
                 ["commit", "upsert", "cdc", "redact", "vacuum", "tag",
                  "untag", "mkbranch", "brwrite", "merge", "delbranch",
-                 "mordelete", "brmordelete", "eqdelete", "breqdelete"]
+                 "mordelete", "brmordelete", "eqdelete", "breqdelete",
+                 "smerge", "rollback"]
             )
             prev = hist[max(v for v in hist if v in retained)]
             if op == "commit":
@@ -606,6 +607,42 @@ def test_random_storage_op_interleavings_match_model(spark, tmp_path):
                         for k, val in brs[name]["head"].items()
                         if val >= thresh
                     }
+            elif op == "rollback":
+                # S34: restore an older retained version's content as
+                # a NEW head; history stays intact
+                live = sorted(v for v in hist if v in retained)
+                tgt = random.choice(live)
+                if tgt == max(live):
+                    with pytest.raises(ValueError):
+                        store.rollback(tgt)
+                else:
+                    v = store.rollback(tgt)
+                    hist[v] = dict(hist[tgt])
+                    retained.add(v)
+            elif op == "smerge":
+                # S33 MERGE INTO: matched rows whose target val is
+                # under a threshold are deleted, other matches updated
+                # to the source image, unmatched sources inserted —
+                # the three-clause Delta shape with a live condition
+                rows = {
+                    k: random.randrange(100)
+                    for k in random.sample(range(1, 9), random.randint(1, 5))
+                }
+                thresh = random.randrange(100)
+                v = store.merge(
+                    spark,
+                    frame(rows),
+                    ["k"],
+                    matched_delete_cond=f"t.val < {thresh}",
+                )
+                nxt = dict(prev)
+                for k, val in rows.items():
+                    if k in nxt and nxt[k] < thresh:
+                        nxt.pop(k)
+                    else:
+                        nxt[k] = val
+                hist[v] = nxt
+                retained.add(v)
             elif op == "eqdelete":
                 # S31: equality delete by key — existing rows with a
                 # matching key vanish (all carry _rv < the delete id);
@@ -2454,3 +2491,103 @@ def test_stats_agg_resolves_renamed_column_and_reserved_guard(spark, tmp_path):
         store.commit(
             _mk(spark, [(1, "a", 10)]).withColumn("__rows", F.lit(1))
         )
+
+
+# --------------------------------------------------- S33 MERGE INTO
+def test_merge_three_clause_semantics(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+    ]))
+    src = _mk(spark, [
+        (2, "a", 99),   # matched, val 20 >= 15 -> UPDATE
+        (3, "b", 77),   # matched, but t.val < 35 is false -> UPDATE
+        (1, "a", 0),    # matched, t.val 10 < 15 -> DELETE
+        (9, "c", 90),   # not matched -> INSERT (val >= 50)
+        (8, "c", 8),    # not matched, insert cond fails -> nothing
+    ])
+    store.merge(
+        spark, src, ["k"],
+        matched_delete_cond="t.val < 15",
+        not_matched_insert_cond="s.val >= 50",
+    )
+    assert _rows(store.read(spark)) == [
+        (2, "a", 99), (3, "b", 77), (4, "b", 40), (9, "c", 90),
+    ]
+    # untouched-partition pointer inheritance: only a, b, c rewritten;
+    # v1 time travel intact
+    assert len(_rows(store.read(spark, version=1))) == 4
+
+
+def test_merge_untouched_matched_rows_rewrite_nothing(spark, tmp_path):
+    # a matched row passing neither clause enters no feed row; a
+    # partition with only such rows keeps its inherited pointer
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    store.merge(
+        spark,
+        _mk(spark, [(1, "a", 11), (2, "b", 99)]),
+        ["k"],
+        matched_update_cond="s.val < 50",   # only k=1 updates
+    )
+    doc = store._manifest_doc(2)
+    assert doc["partitions"]["a"] == 2      # rewritten
+    assert doc["partitions"]["b"] == 1      # inherited pointer
+    assert _rows(store.read(spark)) == [(1, "a", 11), (2, "b", 20)]
+
+
+def test_merge_refuses_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="multiple source rows"):
+        store.merge(
+            spark, _mk(spark, [(1, "a", 1), (1, "a", 2)]), ["k"]
+        )
+
+
+# ------------------------------------------------------ S34 rollback
+def test_rollback_restores_content_keeps_history(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))     # v1
+    store.upsert(spark, _mk(spark, [(2, "b", 99)]), ["k"])      # v2 (bad)
+    v3 = store.rollback(1)
+    assert v3 == 3
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20)]
+    # the bad commit stays auditable
+    assert _rows(store.read(spark, version=2)) == [
+        (1, "a", 10), (2, "b", 99)
+    ]
+    # metadata-only: v3 owns no data dirs of its own
+    import os
+
+    assert not any(
+        vd == "v=3"
+        for d in os.listdir(store.data)
+        if d.startswith("p=")
+        for vd in os.listdir(os.path.join(store.data, d))
+    )
+    with pytest.raises(ValueError, match="already at"):
+        store.rollback(3)
+    # changelog across the rollback: v2 -> v3 re-derives the undo
+    ch = sorted(
+        (r["op"], r["k"], r["val"])
+        for r in store.read_changes(spark, 2, 3, key_cols=["k"]).collect()
+    )
+    assert ch == [("U", 2, 20)]
+
+
+def test_rollback_carries_deletes_and_survives_vacuum(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    store.delete_keys(spark, "k", [3])                          # v2
+    store.upsert(spark, _mk(spark, [(1, "a", 99)]), ["k"])       # v3
+    store.rollback(2)                                            # v4
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20)]
+    store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    # the rolled-back head still serves: its manifest pins the v1
+    # data dirs AND the v2 eq-delete file through the vacuum
+    assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20)]
