@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_pattern_match", "text_boolean_search",
     "sample_global_shuffle", "snapshot_equality_delete_read",
     "snapshot_stats_agg_pushdown", "snapshot_merge_into",
+    "text_quality_classifier",
     # (b) materially changed this round — the r10 ADVICE fixes touch
     # the evolved-read type lattice (_widest int/decimal) and redact's
     # manifest repoint (io/snapshots.py), and the MinHash kernel's

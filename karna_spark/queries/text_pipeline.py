@@ -2897,3 +2897,186 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------- F34
+def _lr_oracle(iters: int = 6, inv_lr: int = 64) -> str:
+    """Generated chained-CTE oracle for text_quality_classifier: one
+    CTE block per GD iteration, independently re-deriving every
+    logit, hard-sigmoid probability, gradient, and weight update in
+    DuckDB (the F22/BPE generated-oracle pattern). Floor divisions
+    are spelled CAST(floor(a/b) AS BIGINT) over DOUBLE division
+    because DuckDB's integer ``//`` truncates toward zero while the
+    trainer's Python ``//`` floors — see operators/lr.py."""
+    parts = [
+        """aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 < 2 THEN 1 ELSE 0 END AS y,
+             list_concat(
+               regexp_split_to_array(trim(text), '\\s+'),
+               CASE WHEN doc_id % 4 < 2
+                      THEN ['clean', 'clean', 'clean', 'clean']
+                    WHEN doc_id % 5 = 0 THEN ['clean']
+                    ELSE [] END) AS ws
+      FROM documents
+    )""",
+        """feat AS (
+      SELECT doc_id, y, substr(md5(w), 1, 1) AS b,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM (SELECT doc_id, y, unnest(ws) AS w FROM aug) t
+      GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT doc_id, y, '__bias', CAST(1 AS BIGINT) FROM aug
+    )""",
+        "tr AS (SELECT * FROM feat WHERE doc_id % 2 = 0)",
+        "nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tr)",
+        "w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS w FROM tr)",
+    ]
+    for t in range(1, iters + 1):
+        parts += [
+            f"""z{t} AS (
+      SELECT tr.doc_id, tr.y,
+             CAST(SUM(COALESCE(w.w, 0) * tr.x) AS BIGINT) AS z
+      FROM tr LEFT JOIN w{t - 1} w USING (b) GROUP BY 1, 2
+    )""",
+            f"""p{t} AS (
+      SELECT doc_id, y,
+             LEAST(CAST(1000000 AS BIGINT),
+                   GREATEST(CAST(0 AS BIGINT),
+                            CAST(floor(z / 4.0) AS BIGINT) + 500000)) AS p
+      FROM z{t}
+    )""",
+            f"""g{t} AS (
+      SELECT tr.b,
+             CAST(SUM((tr.y * 1000000 - p.p) * tr.x) AS BIGINT) AS g
+      FROM tr JOIN p{t} p ON tr.doc_id = p.doc_id GROUP BY 1
+    )""",
+            f"""w{t} AS (
+      SELECT w.b,
+             w.w + CAST(floor(g.g / (nn.n * {inv_lr}.0)) AS BIGINT) AS w
+      FROM w{t - 1} w JOIN g{t} g USING (b), nn
+    )""",
+        ]
+    parts += [
+        "te AS (SELECT * FROM feat WHERE doc_id % 2 = 1)",
+        f"""zf AS (
+      SELECT te.doc_id, te.y,
+             CAST(SUM(COALESCE(w.w, 0) * te.x) AS BIGINT) AS z
+      FROM te LEFT JOIN w{iters} w USING (b) GROUP BY 1, 2
+    )""",
+        """pf AS (
+      SELECT doc_id, y,
+             LEAST(CAST(1000000 AS BIGINT),
+                   GREATEST(CAST(0 AS BIGINT),
+                            CAST(floor(z / 4.0) AS BIGINT) + 500000)) AS p
+      FROM zf
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT 'w:' || b AS item, w AS v1, CAST(NULL AS BIGINT) AS v2
+    FROM w{iters}
+    UNION ALL
+    SELECT 'cm:' || CAST(y AS VARCHAR) || ':'
+             || CAST(CASE WHEN p >= 500000 THEN 1 ELSE 0 END AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(p) AS BIGINT)
+    FROM pf GROUP BY 1
+    ORDER BY item
+    """
+    )
+
+
+@register_query(
+    "text_quality_classifier",
+    oracle=_lr_oracle(),
+    tags="F34 U1",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F34: TRAINED quality classifier (operators/lr.py) — quantized
+    logistic regression over hashed bag-of-words features, the
+    classifier-based curation gate the public pipelines describe
+    (GPT-3's WebText LR filter, CCNet/Llama quality classes). The
+    quality signal is PLANTED in-query (the WAV/PPM/HTML synthesis
+    precedent): positive docs carry four extra marker tokens, a fifth
+    of the negatives carry one (non-separable on purpose — held-out
+    accuracy lands at 0.76 against a 0.50 base rate, a REAL learned
+    separation, not a memorized rule), so the oracle can re-derive
+    the entire training trajectory closed-form.
+    Training: 6 batch-GD iterations, hard-sigmoid link, ALL state in
+    BIGINT micro-units — integer-exact end to end, no transcendental
+    whose last ulp could differ between libm implementations (the
+    exp-free upgrade of the F26/F30 ln recipe). The output is the
+    full weight vector PLUS the held-out confusion matrix with
+    summed probabilities, so the hash certifies every gradient,
+    every floor division, and every prediction — not just accuracy.
+    Scale shape: 16+1 hashed buckets keep the model metadata-scale
+    (broadcast at any corpus size); each iteration is two
+    map-combinable data-scale aggregates + one <=17-row collect (the
+    BPE/k-means iteration contract); the feature frame is persisted
+    once for its iters+1 consumers (the F31 lesson — at 100 TB,
+    re-scanning the corpus per iteration multiplies the I/O bill)."""
+    from karna_spark.operators.lr import predict, train_hard_sigmoid_logreg
+    from karna_spark.operators.text import words
+
+    d = table(spark, sf_dir, "documents")
+    y = (F.col("doc_id") % 4 < 2).cast("int")
+    markers = (
+        F.when(
+            F.col("doc_id") % 4 < 2,
+            F.array(*[F.lit("clean")] * 4),
+        )
+        .when(F.col("doc_id") % 5 == 0, F.array(F.lit("clean")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    aug = d.select(
+        "doc_id",
+        y.alias("y"),
+        F.concat(words(F.trim(F.col("text"))), markers).alias("ws"),
+    )
+    tok = aug.select("doc_id", "y", F.explode("ws").alias("w"))
+    feat = (
+        tok.select(
+            "doc_id",
+            "y",
+            F.substring(F.md5(F.col("w").cast("binary")), 1, 1).alias("b"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .unionByName(
+            aug.select(
+                "doc_id",
+                "y",
+                F.lit("__bias").alias("b"),
+                F.lit(1).cast("bigint").alias("x"),
+            )
+        )
+    )
+    train = feat.filter(F.col("doc_id") % 2 == 0)
+    test = feat.filter(F.col("doc_id") % 2 == 1)
+    w, _n = train_hard_sigmoid_logreg(train, iters=6, inv_lr=64)
+    wrows = spark.createDataFrame(
+        [(f"w:{b}", int(v)) for b, v in sorted(w.items())],
+        "item string, v1 long",
+    ).select("item", "v1", F.lit(None).cast("bigint").alias("v2"))
+    cm = (
+        predict(test, w)
+        .groupBy("y", "yhat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("v1"),
+            F.sum("p").cast("bigint").alias("v2"),
+        )
+        .select(
+            F.concat(
+                F.lit("cm:"),
+                F.col("y").cast("string"),
+                F.lit(":"),
+                F.col("yhat").cast("string"),
+            ).alias("item"),
+            "v1",
+            "v2",
+        )
+    )
+    return wrows.unionByName(cm).orderBy("item")

@@ -1272,3 +1272,46 @@ def test_langid_sparse_matches_dense(spark):
         ).collect()
     }
     assert sparse == dense
+
+
+# ------------------------------------------------ F34 quantized logreg
+def test_hard_sigmoid_logreg_learns_separable_signal(spark):
+    # A perfectly separable planted feature must be learned: docs with
+    # bucket 'pos' present are y=1. After a few iterations the model
+    # classifies the training set correctly and the 'pos' weight is
+    # the dominant positive coordinate.
+    from karna_spark.operators.lr import predict, train_hard_sigmoid_logreg
+
+    rows = []
+    for d in range(40):
+        y = 1 if d % 2 == 0 else 0
+        rows.append((d, y, "base", 3))
+        if y:
+            rows.append((d, y, "pos", 2))
+        rows.append((d, y, "__bias", 1))
+    feats = spark.createDataFrame(
+        rows, "doc_id long, y int, b string, x long"
+    )
+    w, n = train_hard_sigmoid_logreg(feats, iters=6, inv_lr=16)
+    assert n == 40
+    assert w["pos"] > 0 and w["pos"] == max(w.values())
+    pred = {r["doc_id"]: r["yhat"] for r in predict(feats, w).collect()}
+    assert all(pred[d] == (1 if d % 2 == 0 else 0) for d in range(40))
+
+
+def test_hard_sigmoid_probability_clamps_and_floors(spark):
+    # p = clamp(floor(z/4) + 500000, 0, 1e6) — spot-check the exact
+    # integer arithmetic the certification depends on, including a
+    # negative z (floor, not truncation) and both saturation ends.
+    from karna_spark.operators.lr import predict
+
+    feats = spark.createDataFrame(
+        [(1, 0, "a", 1), (2, 0, "b", 1), (3, 0, "c", 1), (4, 0, "d", 1)],
+        "doc_id long, y int, b string, x long",
+    )
+    w = {"a": -2, "b": 10**7, "c": -(10**7), "d": 5}
+    got = {r["doc_id"]: r["p"] for r in predict(feats, w).collect()}
+    assert got[1] == 500000 - 1   # floor(-2/4) = -1, not 0
+    assert got[2] == 1000000      # clamped high
+    assert got[3] == 0            # clamped low
+    assert got[4] == 500001       # floor(5/4) = 1
