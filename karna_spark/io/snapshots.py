@@ -1167,12 +1167,20 @@ class SnapshotStore:
         ddir = self._ddir(v)
         kdf.coalesce(1).write.mode("overwrite").parquet(ddir)
         deletes = [dict(e) for e in prev_doc.get("deletes", [])]
-        deletes.append({
-            "id": v,
-            "kind": "eq",
-            "col": phys,
-            "bytes": self._delete_bytes([ddir]),
-        })
+        if self._dir_rows(ddir) > 0:
+            deletes.append({
+                "id": v,
+                "kind": "eq",
+                "col": phys,
+                "bytes": self._delete_bytes([ddir]),
+            })
+        else:
+            # zero keys: publish a deterministic no-op version (the
+            # delete_where zero-match contract) instead of an entry
+            # every future read would anti-join against forever
+            import shutil
+
+            shutil.rmtree(ddir, ignore_errors=True)
         self._publish(
             v,
             dict(prev_doc["partitions"]),

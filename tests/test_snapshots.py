@@ -2591,3 +2591,33 @@ def test_rollback_carries_deletes_and_survives_vacuum(spark, tmp_path):
     # the rolled-back head still serves: its manifest pins the v1
     # data dirs AND the v2 eq-delete file through the vacuum
     assert _rows(store.read(spark)) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_eq_delete_zero_keys_publishes_noop(spark, tmp_path):
+    # an empty key set must not leave an entry every future read
+    # anti-joins against (self-review r11)
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    v = store.delete_keys(spark, "k", [])
+    assert v == 2
+    assert not store._manifest_doc(2).get("deletes")
+    assert _rows(store.read(spark)) == [(1, "a", 10)]
+
+
+def test_merge_null_source_key_inserts(spark, tmp_path):
+    # a NULL key never matches (SQL equality), so the row routes to
+    # the NOT MATCHED clause — Delta's ON-clause NULL semantics
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    store.merge(
+        spark,
+        spark.createDataFrame(
+            [(None, "a", 99), (1, "a", 11)], "k long, p string, val long"
+        ),
+        ["k"],
+    )
+    got = sorted(
+        ((r["k"], r["val"]) for r in store.read(spark).collect()),
+        key=lambda t: (t[0] is None, t[0] or 0),
+    )
+    assert got == [(1, 11), (None, 99)]
