@@ -181,6 +181,7 @@ class SnapshotStore:
         colmap: dict[str, str] | None = None,
         defaults: dict[str, dict] | None = None,
         specs: list[dict] | None = None,
+        op: str | None = None,
     ) -> None:
         """Publish manifest ``v``. When ``base_version`` is given the
         publish is CAS-style (Iceberg's commit validation): the
@@ -207,6 +208,11 @@ class SnapshotStore:
             # — the resolution key for read(as_of=<ts>)
             "committed_at": float(self._clock()),
         }
+        if op is not None:
+            # S35: the operation that produced this version — the
+            # history()/operation-log surface (Iceberg's snapshot
+            # summary "operation" field)
+            doc["op"] = op
         if defaults:
             # S28 add-column defaults (Iceberg v3 initial-default):
             # {logical: {"value": .., "since": <add version>}} — reads
@@ -373,6 +379,7 @@ class SnapshotStore:
             colmap=cm,
             defaults=doc.get("defaults"),
             specs=specs,
+            op="respec",
         )
         return v
 
@@ -622,6 +629,7 @@ class SnapshotStore:
                     ).items()
                 },
                 specs=[{"col": pc, "since": 0}],
+                op="commit",
             )
             return v
         written = self._write(df, v)
@@ -630,6 +638,7 @@ class SnapshotStore:
             {a: v for a in written},
             schema_json=df.schema.json(),
             stats=self._partition_stats(written, v),
+            op="commit",
         )
         return v
 
@@ -717,6 +726,7 @@ class SnapshotStore:
             colmap=cm,
             defaults=prev_doc.get("defaults"),
             specs=prev_doc.get("specs"),
+            op="upsert",
         )
         return v
 
@@ -808,6 +818,7 @@ class SnapshotStore:
         changes: DataFrame,
         key_cols: list[str],
         op_col: str = "op",
+        _op: str = "cdc",
     ) -> int:
         """CDC apply: merge a change feed carrying an op column
         ('I'/'U' upsert, 'D' delete) into a new snapshot. Rows whose
@@ -864,6 +875,7 @@ class SnapshotStore:
             colmap=cm,
             defaults=prev_doc.get("defaults"),
             specs=prev_doc.get("specs"),
+            op=_op,
         )
         return v
 
@@ -895,6 +907,7 @@ class SnapshotStore:
             colmap=doc.get("colmap"),
             defaults=doc.get("defaults"),
             specs=doc.get("specs"),
+            op="rollback",
         )
         return v
 
@@ -1008,7 +1021,7 @@ class SnapshotStore:
                 ],
             )
         )
-        return self.apply_changes(spark, feed, key_cols)
+        return self.apply_changes(spark, feed, key_cols, _op="merge")
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Merge-on-read row delete (S27 — Iceberg v2 position
@@ -1099,6 +1112,7 @@ class SnapshotStore:
             colmap=prev_doc.get("colmap"),
             defaults=prev_doc.get("defaults"),
             specs=prev_doc.get("specs"),
+            op="delete",
         )
         return v
 
@@ -1191,6 +1205,7 @@ class SnapshotStore:
             colmap=prev_doc.get("colmap"),
             defaults=prev_doc.get("defaults"),
             specs=prev_doc.get("specs"),
+            op="eq-delete",
         )
         return v
 
@@ -1289,6 +1304,7 @@ class SnapshotStore:
             colmap=cm,
             defaults=prev_doc.get("defaults"),
             specs=specs,
+            op="compact",
         )
         return v
 
@@ -1410,6 +1426,77 @@ class SnapshotStore:
         for c in cols:
             names += [f"{c}_min", f"{c}_max"]
         return spark.createDataFrame(rows, names)
+
+    def history(self) -> list[dict]:
+        """S35: the table's operation log (Iceberg's ``history`` /
+        snapshots metadata table): one entry per published version —
+        version, commit timestamp, the OPERATION that produced it
+        (commit / upsert / cdc / merge / delete / eq-delete / compact
+        / respec / add-column / rename-column / drop-column /
+        widen-column / rollback / branch-fork / branch-merge), the
+        pointer count, pending delete-entry count, and the exact
+        manifest row count where the manifest can answer it (None
+        while MOR deletes are pending — the :meth:`count_rows` rule).
+        Driver-side manifest reads only: the audit view of a 100 TB
+        table costs zero data I/O. Versions expired by vacuum drop
+        out (their manifests are gone); claims are never reused, so
+        the version column still orders the full life of the table."""
+        out = []
+        for v in self._published_versions():
+            doc = self._manifest_doc(v)
+            dels = doc.get("deletes", [])
+            st = doc.get("stats") or {}
+            n_rows: int | None = None
+            if not dels:
+                counts = [
+                    st.get(key, {}).get("__rows")
+                    for key in doc["partitions"]
+                ]
+                if all(c is not None for c in counts):
+                    n_rows = int(sum(counts))
+            out.append({
+                "version": v,
+                "committed_at": doc.get("committed_at"),
+                "operation": doc.get("op", "commit"),
+                "n_partitions": len(doc["partitions"]),
+                "n_delete_entries": len(dels),
+                "n_rows": n_rows,
+            })
+        return out
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The :meth:`history` log as a DataFrame (the queryable
+        metadata-table form — join it, filter it, feed dashboards)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField as SF_,
+            StructType as ST_,
+        )
+
+        schema = ST_([
+            SF_("version", LongType()),
+            SF_("committed_at", DoubleType()),
+            SF_("operation", StringType()),
+            SF_("n_partitions", LongType()),
+            SF_("n_delete_entries", LongType()),
+            SF_("n_rows", LongType()),
+        ])
+        return spark.createDataFrame(
+            [
+                (
+                    e["version"],
+                    e["committed_at"],
+                    e["operation"],
+                    e["n_partitions"],
+                    e["n_delete_entries"],
+                    e["n_rows"],
+                )
+                for e in self.history()
+            ],
+            schema,
+        )
 
     def pending_deletes(self, version: int | None = None) -> dict:
         """Compaction-pressure report for a version's accumulated
@@ -1552,7 +1639,8 @@ class SnapshotStore:
         return prev_v, doc, schema, cm
 
     def _publish_evolution(
-        self, v: int, prev_v: int, doc: dict, schema: "StructType", cm: dict
+        self, v: int, prev_v: int, doc: dict, schema: "StructType",
+        cm: dict, op: str = "ddl",
     ) -> int:
         self._publish(
             v,
@@ -1564,6 +1652,7 @@ class SnapshotStore:
             colmap=cm,
             defaults=doc.get("defaults"),
             specs=doc.get("specs"),
+            op=op,
         )
         return v
 
@@ -1606,7 +1695,9 @@ class SnapshotStore:
             d = dict(doc.get("defaults") or {})
             d[name] = {"value": default, "since": v}
             doc["defaults"] = d
-        return self._publish_evolution(v, prev_v, doc, schema, cm)
+        return self._publish_evolution(
+            v, prev_v, doc, schema, cm, op="add-column"
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """S28: rename a column — METADATA-ONLY. The physical name in
@@ -1641,7 +1732,8 @@ class SnapshotStore:
             ]
         )
         return self._publish_evolution(
-            self._claim_version(), prev_v, doc, schema, cm
+            self._claim_version(), prev_v, doc, schema, cm,
+            op="rename-column",
         )
 
     def drop_column(self, name: str) -> int:
@@ -1679,7 +1771,8 @@ class SnapshotStore:
             doc["defaults"] = d or None
         schema = StructType([f for f in schema.fields if f.name != name])
         return self._publish_evolution(
-            self._claim_version(), prev_v, doc, schema, cm
+            self._claim_version(), prev_v, doc, schema, cm,
+            op="drop-column",
         )
 
     # widening lattice: every edge is lossless (Iceberg's permitted
@@ -1736,7 +1829,8 @@ class SnapshotStore:
             ]
         )
         return self._publish_evolution(
-            self._claim_version(), prev_v, doc, schema, cm
+            self._claim_version(), prev_v, doc, schema, cm,
+            op="widen-column",
         )
 
     def read_changes(
@@ -2336,6 +2430,7 @@ class SnapshotStore:
             colmap=doc.get("colmap"),
             defaults=doc.get("defaults"),
             specs=doc.get("specs"),
+            op="branch-fork",
         )
         return br
 
@@ -2388,6 +2483,7 @@ class SnapshotStore:
             # pointers become unreadable)
             defaults=doc.get("defaults"),
             specs=doc.get("specs"),
+            op="branch-merge",
         )
         meta_path = os.path.join(self._bdir(name), "meta.json")
         with open(meta_path) as fh:

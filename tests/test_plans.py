@@ -189,6 +189,10 @@ _SLOW_BUILDERS = {
     "dedup_shared_ngrams", "dedup_containment",
     "text_bpe_merges_exact",  # trains 8 merges (1 job each) at build
     "snapshot_schema_evolution",  # commits + DDL-evolves a store at build
+    # r11: store-lifecycle builders (commit + delete/upsert/merge at
+    # build) and the GD trainer (6 iterations, 1 collect each)
+    "snapshot_equality_delete_read", "snapshot_stats_agg_pushdown",
+    "snapshot_merge_into", "text_quality_classifier",
 }
 
 

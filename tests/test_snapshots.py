@@ -2621,3 +2621,59 @@ def test_merge_null_source_key_inserts(spark, tmp_path):
         key=lambda t: (t[0] is None, t[0] or 0),
     )
     assert got == [(1, 11), (None, 99)]
+
+
+# ------------------------------------------------- S35 operation log
+def test_history_records_every_operation(spark, tmp_path):
+    from pyspark.sql.types import DecimalType, StringType
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (3, "b", 30)]))
+    store.upsert(spark, _mk(spark, [(2, "b", 21)]), ["k"])
+    store.apply_changes(
+        spark,
+        spark.createDataFrame([Row(k=3, p="b", val=31, op="U")]),
+        ["k"],
+    )
+    store.delete_keys(spark, "k", [1])
+    store.delete_where(spark, "val > 100")
+    store.merge(spark, _mk(spark, [(9, "c", 90)]), ["k"])
+    store.add_column("tag", StringType())
+    store.rename_column("val", "score")
+    store.widen_column("k", DecimalType(20, 0))
+    store.repartition_spec("score")
+    store.compact(spark)
+    store.rollback(2)
+    h = store.history()
+    ops = [e["operation"] for e in h]
+    assert ops == [
+        "commit", "upsert", "cdc", "eq-delete", "delete", "merge",
+        "add-column", "rename-column", "widen-column", "respec",
+        "compact", "rollback",
+    ]
+    assert [e["version"] for e in h] == list(range(1, 13))
+    # exact counts where answerable, None while MOR deletes pending
+    assert h[0]["n_rows"] == 3
+    assert h[3]["n_rows"] is None          # eq-delete pending
+    assert h[10]["n_rows"] == 3            # compact folded the eq-delete
+                                           # of k=1 in: {2, 3, 9}
+    assert h[-1]["n_rows"] == 3            # rollback restored v2's state
+    assert all(e["committed_at"] is not None for e in h)
+    df = store.history_df(spark)
+    assert df.count() == 12
+    assert [r["operation"] for r in df.orderBy("version").collect()] == ops
+
+
+def test_history_branch_ops_and_vacuum_expiry(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    store.commit(_mk(spark, [(1, "a", 11)]))
+    br = store.create_branch("wap")
+    assert br.history()[0]["operation"] == "branch-fork"
+    br.upsert(spark, _mk(spark, [(2, "a", 20)]), ["k"])
+    store.merge_branch("wap")
+    assert store.history()[-1]["operation"] == "branch-merge"
+    store.vacuum(retain_last=1, orphan_grace_sec=0.0)
+    # claims are store-global (the branch upsert claimed v3), so the
+    # merge published parent v4 — the expired history drops to it
+    assert [e["version"] for e in store.history()] == [4]

@@ -28,6 +28,7 @@ PYTEST_GATED = {
     "S26": "tests/test_snapshots.py",      # branches (write-audit-publish)
     "S29": "tests/test_snapshots.py",      # column type widening
     "S34": "tests/test_snapshots.py",      # snapshot rollback
+    "S35": "tests/test_snapshots.py",      # operation log / history
     "V1": "tests/test_frontends.py",       # front-end translators (plus rows)
     "V2": "tests/test_cli.py",             # CLI entry
     "V3": "tests/test_metastore.py",       # durable catalog
