@@ -159,7 +159,14 @@ def _matrix_budget_bytes() -> int:
     sweeps at one-shot speed with ≤2 chunks; a 200 MB cap pays ~1.6×),
     the floor keeps chunking from degenerating on tiny containers.
     ``KARNA_MINHASH_MATRIX_MB`` overrides (propagates to executors via
-    spark.executorEnv / cluster submit conf)."""
+    spark.executorEnv / cluster submit conf).
+
+    MEASURED (SCALING_r11.json, zero-retry gate GREEN): under the
+    derived budget the 800k-doc naive leg that r10 timed at 2992 s
+    while silently absorbing OOM-kill retries finishes in 1021 s with
+    ``task_failures: 0`` — the budget is simultaneously the safe AND
+    the fast configuration (retries were re-running whole Arrow
+    batches)."""
     global _matrix_budget_cache
     if _matrix_budget_cache is not None:
         return _matrix_budget_cache
