@@ -106,6 +106,11 @@ HEADLINE = [
     # the clause join + touched-partition rewrite is the cost to
     # watch as the write path every pipeline standardizes on
     "snapshot_merge_into",
+    # r11 batch-3: the trained quality classifier — 6 GD iterations,
+    # each a corpus-scale per-doc aggregate + per-bucket gradient;
+    # the per-iteration cost is the number to watch (the BPE/k-means
+    # iteration contract applied to model training)
+    "text_quality_classifier",
 ]
 
 

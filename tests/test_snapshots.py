@@ -2677,3 +2677,50 @@ def test_history_branch_ops_and_vacuum_expiry(spark, tmp_path):
     # claims are store-global (the branch upsert claimed v3), so the
     # merge published parent v4 — the expired history drops to it
     assert [e["version"] for e in store.history()] == [4]
+
+
+def test_merge_random_clauses_match_model(spark, tmp_path):
+    """S33 property gate: seeded random MERGE programs — random source
+    subsets (matched rows, fresh keys, value collisions) under random
+    UPDATE/DELETE/INSERT threshold conditions — checked against a
+    pure-Python executor of Delta's clause semantics (DELETE tested
+    before UPDATE; unmatched sources route to INSERT; rows passing no
+    clause untouched). The interleaving model check runs ONE fixed
+    delete clause; this sweeps the clause space."""
+    import random
+
+    for seed in (7, 19):
+        random.seed(seed)
+        root = str(tmp_path / f"m{seed}")
+        store = SnapshotStore(root, "p")
+        part = {k: "abc"[k % 3] for k in range(1, 13)}
+        state = {
+            k: random.randrange(100)
+            for k in random.sample(range(1, 13), 8)
+        }
+        store.commit(_mk(spark, [(k, part[k], v) for k, v in state.items()]))
+        for _ in range(4):
+            src = {
+                k: random.randrange(100)
+                for k in random.sample(range(1, 13), random.randint(1, 6))
+            }
+            ut, dt, it = (random.randrange(100) for _ in range(3))
+            v = store.merge(
+                spark,
+                _mk(spark, [(k, part[k], val) for k, val in src.items()]),
+                ["k"],
+                matched_update_cond=f"s.val >= {ut}",
+                matched_delete_cond=f"t.val < {dt}",
+                not_matched_insert_cond=f"s.val >= {it}",
+            )
+            for k, sval in src.items():
+                if k in state:
+                    if state[k] < dt:
+                        state.pop(k)
+                    elif sval >= ut:
+                        state[k] = sval
+                elif sval >= it:
+                    state[k] = sval
+            got = _rows(store.read(spark, version=v))
+            want = sorted((k, part[k], val) for k, val in state.items())
+            assert got == want, f"seed={seed} v={v} ut={ut} dt={dt} it={it}"
