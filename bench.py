@@ -114,6 +114,48 @@ HEADLINE = [
 ]
 
 
+# FROZEN core subtotal (r11 verdict item 1): the exact r10 anchor set,
+# never extended — new anchors grow the headline total, so round-over-
+# round comparison needs a like-for-like subtotal that stays the same
+# size forever. BENCH JSONs carry core_r10_total alongside the total.
+CORE_R10 = frozenset({
+    "agg_hll_mergeable_rollup", "agg_theta_set_algebra",
+    "asof_join_nearest", "dedup_clusters", "dedup_containment",
+    "dedup_image_phash", "dedup_incremental_minhash", "dedup_minhash_lsh",
+    "dedup_semantic_keep", "frontend_graphql_nested_list",
+    "graph_pagerank_trade", "graph_triangle_count",
+    "multimodal_decode_pipeline", "pipeline_training_corpus",
+    "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "sample_dsir_importance", "sample_weighted_pps",
+    "similarity_ivf_incremental", "similarity_topk_lsh", "skew_join_aqe",
+    "snapshot_corpus_diff", "snapshot_incremental_mv",
+    "snapshot_mor_delete_read", "source_cdc_apply",
+    "streaming_snapshot_rollup", "text_bm25_scores",
+    "text_boilerplate_strip", "text_bpe_merges_200",
+    "text_duplicate_span_scrub", "text_lang_id_classifier",
+    "text_quality", "text_repetition_filter", "text_url_domain_stats",
+    "window_topk_per_group",
+})
+
+
+def pyloop_probe(n: int = 4_000_000) -> float:
+    """Pure-python CPU probe (r11 protocol): the host this sandbox
+    runs on suffers contention WAVES invisible to guest load averages
+    (1-min load ~0, vmstat steal spikes) — five identical-tree r11
+    runs spanned 129.9–212.9 s. A tight arithmetic loop exposes the
+    wave directly: ~0.45 s quiet at n=4M, 3–4× that inside a wave.
+    Interleaved BETWEEN anchors (not just ambient bookends) so a
+    mid-run wave is attributed to the anchor measurements it actually
+    overlapped."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(n):
+        s += i * i
+    # keep s live so the loop can't be optimized away
+    return time.perf_counter() - t0 if s else 0.0
+
+
 def run_bpe_anchor(spark, sf_dir: str) -> tuple[float, dict]:
     """Tokenizer-depth BPE anchor: request 200 merges from the sf
     corpus (the r7 query runs a toy 20). Each merge is one distributed
@@ -141,6 +183,11 @@ def run_bpe_anchor(spark, sf_dir: str) -> tuple[float, dict]:
         "merges_requested": 200,
         "merges_learned": len(merges),
         "s_per_merge": round(sec / max(len(merges), 1), 4),
+        # r11 verdict item 8: the corpus at this SF supports fewer
+        # merges than requested (every remaining pair unique) — the
+        # denominator of record is merges_learned, and this flag keeps
+        # s_per_merge trends from being read against the phantom 200.
+        "corpus_exhausted": len(merges) < 200,
     }
     print(f"text_bpe_merges_200: {detail}", file=sys.stderr)
     return sec, detail
@@ -279,28 +326,69 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # MID-RUN CONTENTION GATING (r11 verdict item 1): the guest load
+    # gate above cannot see host-level waves, so every warm anchor
+    # measurement is bracketed by a pyloop probe — a run whose probe
+    # reads contended is DISCARDED and retried (bounded); an anchor
+    # still contended after retries is kept but named in the JSON so
+    # round-over-round diffs can exclude it instead of chasing a
+    # phantom regression.
+    probe_baseline = min(pyloop_probe() for _ in range(3))
+    probe_thresh = max(probe_baseline * 1.6, probe_baseline + 0.25)
+    probes: dict[str, list[float]] = {}
+    contended_anchors: set[str] = set()
+    n_retries = 0
+
+    def measure(name: str) -> float:
+        nonlocal n_retries
+        sec = 0.0
+        for attempt in range(3):  # 1 run + up to 2 retries
+            sec = run(name)
+            p = pyloop_probe()
+            probes.setdefault(name, []).append(round(p, 3))
+            if p <= probe_thresh:
+                return sec
+            n_retries += 1
+        contended_anchors.add(name)
+        return sec
+
     # First pass is COLD (includes JVM JIT + whole-stage-codegen
     # compilation); the WARM number is the MEDIAN OF THREE further
     # passes (r10 protocol — one warm pass left ~1.5-1.9× outliers
     # unadjudicable in r9; the median absorbs a single noisy run
-    # without hiding a real regression, which shifts all three).
+    # without hiding a real regression, which shifts all three), each
+    # pass probe-gated per anchor (r11 protocol).
     cold = {name: run(name) for name in names}
-    warm_runs = [{name: run(name) for name in names} for _ in range(3)]
+    warm_runs = [{name: measure(name) for name in names} for _ in range(3)]
     per_query = {
         name: sorted(w[name] for w in warm_runs)[1] for name in names
     }
     # The AQE skew-join probe manages its own warm pass and scratch
     # data; it reports warm-only (the cold slot repeats the number so
-    # both maps stay same-keyed for round-over-round diffing).
+    # both maps stay same-keyed for round-over-round diffing). The
+    # long single-run anchors (skew, BPE) are probe-BRACKETED, not
+    # retried: a retry would double bench wall-clock, so a contended
+    # bracket just marks them.
     spark.catalog.clearCache()
     skew_sec = run_skew_anchor(spark, sf_dir)
+    p = pyloop_probe()
+    probes["skew_join_aqe"] = [round(p, 3)]
+    if p > probe_thresh:
+        contended_anchors.add("skew_join_aqe")
     cold["skew_join_aqe"] = per_query["skew_join_aqe"] = skew_sec
     # 200-merge BPE depth anchor (r8): single-run like the skew probe.
     bpe_sec, bpe_detail = run_bpe_anchor(spark, sf_dir)
+    p = pyloop_probe()
+    probes["text_bpe_merges_200"] = [round(p, 3)]
+    if p > probe_thresh:
+        contended_anchors.add("text_bpe_merges_200")
     cold["text_bpe_merges_200"] = per_query["text_bpe_merges_200"] = bpe_sec
     load_after = os.getloadavg()
 
     total = round(sum(per_query.values()), 3)
+    core_r10_total = round(
+        sum(s for n, s in per_query.items() if n in CORE_R10), 3
+    )
     ncpu = os.cpu_count() or 1
     # Load in the JSON so round-over-round deltas are attributable: a
     # high *ambient* 1-min average means sandbox contention, not an
@@ -326,8 +414,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "queries_cold": cold,
+                # frozen like-for-like subtotal over the r10 anchor
+                # set (see CORE_R10) — THE round-over-round number
+                "core_r10_total": core_r10_total,
+                "core_r10_n": len([n for n in per_query if n in CORE_R10]),
                 "sf": sf,
                 "load": load,
+                "probe": {
+                    "baseline_sec": round(probe_baseline, 3),
+                    "threshold_sec": round(probe_thresh, 3),
+                    "per_anchor": probes,
+                    "contended_anchors": sorted(contended_anchors),
+                    "retries": n_retries,
+                },
                 "bpe": bpe_detail,
             }
         )

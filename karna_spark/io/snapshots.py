@@ -46,7 +46,13 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -303,7 +309,193 @@ class SnapshotStore:
                 return lg
         return phys
 
-    def repartition_spec(self, new_col: str) -> int:
+    # -------------------- composite / transform partition specs (S30b)
+    #
+    # Iceberg partition specs are ORDERED MULTI-FIELD with transforms
+    # (identity, bucket(n), truncate(w)); the partition tuple is the
+    # field values concatenated. Re-expressed here by REIFYING the
+    # tuple as one derived string column (synthetic name ``__sp<v>``,
+    # never part of the table schema): each field renders to a
+    # canonical string component (identity = cast-to-string, bucket =
+    # crc32(str(v)) mod n, truncate = prefix / floor-to-multiple),
+    # components are %-escaped and joined with ``~``. The SAME
+    # rendering exists twice — a Spark Column expression for writes
+    # and a pure-python twin for driver-side key construction and
+    # partition pruning (:meth:`spec_key` / :meth:`prune_keys`) — so
+    # a predicate on any SOURCE field prunes directories before Spark
+    # lists a file, exactly Iceberg's manifest-level partition
+    # pruning through a transform spec.
+
+    _SPEC_NULL = "__null__"
+
+    @staticmethod
+    def _parse_spec_field(s: str) -> dict:
+        """``'col'`` | ``'bucket(n, col)'`` | ``'truncate(w, col)'``
+        → ``{"src": <name>, "t": None | ["bucket", n] | ["truncate", w]}``
+        (``src`` still logical here; the caller resolves physical)."""
+        import re
+
+        m = re.fullmatch(
+            r"\s*(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*", s
+        )
+        if m:
+            n = int(m.group(2))
+            if n <= 0:
+                raise ValueError(f"{m.group(1)} width must be positive: {s!r}")
+            return {"src": m.group(3), "t": [m.group(1), n]}
+        m = re.fullmatch(r"\s*(\w+)\s*", s)
+        if m:
+            return {"src": m.group(1), "t": None}
+        raise ValueError(
+            f"unparseable spec field {s!r}: expected 'col', "
+            "'bucket(n, col)' or 'truncate(w, col)'"
+        )
+
+    @classmethod
+    def _py_spec_component(cls, val, t) -> str:
+        """Driver-side twin of :meth:`_spec_component_expr` — MUST
+        render byte-identically to the Spark expression (both sides
+        restrict sources to int-like/string/date, whose canonical
+        string forms agree between ``str()`` and Spark's cast)."""
+        if val is None:
+            return cls._SPEC_NULL
+        if t is None:
+            comp = str(val)
+        elif t[0] == "bucket":
+            import zlib
+
+            comp = str(zlib.crc32(str(val).encode("utf-8")) % t[1])
+        else:  # truncate
+            if isinstance(val, str):
+                comp = val[: t[1]]
+            else:
+                comp = str(int(val) - (int(val) % t[1]))
+        return comp.replace("%", "%25").replace("~", "%7E")
+
+    @classmethod
+    def _spec_component_expr(cls, c, t, dtype):
+        """Spark rendering of one spec field (see the python twin)."""
+        if t is None:
+            comp = c.cast("string")
+        elif t[0] == "bucket":
+            # crc32 over the canonical utf-8 string — the one hash
+            # available identically JVM-side (F.crc32) and driver-side
+            # (zlib.crc32); pmod keeps the remainder non-negative on
+            # both sides
+            comp = F.pmod(
+                F.crc32(c.cast("string").cast("binary")), F.lit(t[1])
+            ).cast("string")
+        else:  # truncate: string prefix / int floor-to-multiple
+            from pyspark.sql.types import StringType as _St
+
+            if isinstance(dtype, _St):
+                comp = F.substring(c, 1, t[1])
+            else:
+                comp = (c - F.pmod(c, F.lit(t[1]))).cast("long").cast("string")
+        esc = F.regexp_replace(
+            F.regexp_replace(comp, "%", "%25"), "~", "%7E"
+        )
+        return F.when(c.isNull(), F.lit(cls._SPEC_NULL)).otherwise(esc)
+
+    def _spec_expr(self, doc: dict, spec: dict, logical: bool):
+        """Derived partition-value Column for a composite spec, over
+        the frame's LOGICAL names (delta/CDC frames) or PHYSICAL names
+        (post ``_to_physical`` write frames)."""
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        cm = doc.get("colmap") or {}
+        ptype = {cm.get(f.name, f.name): f.dataType for f in schema.fields}
+        comps = []
+        for f in spec["fields"]:
+            src = f["src"]
+            name = self._logical_of(doc, src) if logical else src
+            comps.append(
+                self._spec_component_expr(F.col(name), f["t"], ptype[src])
+            )
+        return F.concat_ws("~", *comps)
+
+    def _with_spec_col(self, df: DataFrame, doc: dict, logical: bool):
+        """(frame carrying the current spec's partition column, its
+        name): identity for single-column specs; composite specs get
+        the derived column computed from their source fields."""
+        spec = self._doc_specs(doc)[-1]
+        if not spec.get("fields"):
+            cur = spec["col"]
+            return df, (self._logical_of(doc, cur) if logical else cur)
+        return (
+            df.withColumn(spec["col"], self._spec_expr(doc, spec, logical)),
+            spec["col"],
+        )
+
+    def _spec_protected_cols(self, doc: dict) -> set[str]:
+        """Physical columns rename/drop must refuse while any manifest
+        may point through them: every spec column in the history PLUS
+        every composite spec's SOURCE columns (future writes under the
+        spec derive the partition value from them)."""
+        out: set[str] = set()
+        for s in self._doc_specs(doc):
+            out.add(s["col"])
+            for f in s.get("fields") or []:
+                out.add(f["src"])
+        return out
+
+    def spec_key(self, values: dict, version: int | None = None) -> str:
+        """Manifest partition key for the CURRENT spec given source
+        field values by LOGICAL name — the handle for manifest-pruned
+        point reads on a composite spec: ``read(spark,
+        partition_values=[store.spec_key({"region": "EU", "k": 42})])``
+        scans exactly one directory of a 100 TB table."""
+        v = self.latest_version() if version is None else version
+        doc = self._manifest_doc(v)
+        spec = self._doc_specs(doc)[-1]
+        if not spec.get("fields"):
+            lg = self._logical_of(doc, spec["col"])
+            return self._mk_key(doc, spec["col"], str(values[lg]))
+        comps = [
+            self._py_spec_component(
+                values[self._logical_of(doc, f["src"])], f["t"]
+            )
+            for f in spec["fields"]
+        ]
+        return f"{spec['col']}={'~'.join(comps)}"
+
+    def prune_keys(
+        self, field: str, value, version: int | None = None
+    ) -> list[str]:
+        """Manifest keys that could hold rows with ``field == value``
+        — equality-predicate partition pruning evaluated through EVERY
+        spec epoch (Iceberg evaluates a scan predicate against each
+        manifest's own spec): a key under a spec deriving from
+        ``field`` is kept only when its stored component equals the
+        transformed value; keys under specs that never mention the
+        field are kept (conservative — pruning may fail to skip, never
+        lose rows). Pure driver-side manifest work, zero I/O."""
+        v = self.latest_version() if version is None else version
+        doc = self._manifest_doc(v)
+        phys = (doc.get("colmap") or {}).get(field, field)
+        specs = {s["col"]: s for s in self._doc_specs(doc)}
+        out = []
+        for key in sorted(doc["partitions"]):
+            col, val = self._split_key(doc, key)
+            s = specs.get(col)
+            if s is not None and s.get("fields"):
+                comps = val.split("~")
+                keep = True
+                for f, comp in zip(s["fields"], comps):
+                    if f["src"] == phys and (
+                        self._py_spec_component(value, f["t"]) != comp
+                    ):
+                        keep = False
+                        break
+                if keep:
+                    out.append(key)
+            elif col == phys:
+                if str(value) == val:
+                    out.append(key)
+            else:
+                out.append(key)
+        return out
+
+    def repartition_spec(self, new_col: "str | list[str]") -> int:
         """S30: change the partition spec — METADATA-ONLY (Iceberg
         partition-spec evolution): publishes a new version whose
         pointers are a copy of the base, re-keyed to qualified
@@ -323,7 +515,25 @@ class SnapshotStore:
         migration op (Iceberg's ``rewrite_data_files`` to latest
         spec). ``new_col`` is resolved through the colmap (pass the
         LOGICAL name); it must exist and not already be the current
-        spec."""
+        spec.
+
+        S30b — MULTI-FIELD / TRANSFORM specs: pass a LIST of field
+        strings instead of a column name — ``["region",
+        "bucket(16, custkey)"]`` or ``["truncate(4, name)"]`` —
+        mirroring Iceberg's ordered partition spec with identity /
+        ``bucket(n)`` / ``truncate(w)`` transforms. The spec is
+        reified as ONE derived string column (see the S30b helper
+        block): the same metadata-only flip, mixed-spec read/upsert/
+        CDC/compact composition, and migration story as a single-
+        column respec, plus :meth:`spec_key` / :meth:`prune_keys` for
+        manifest-pruned point reads and equality-predicate pruning
+        through the transforms. Sources are restricted to int-like /
+        string / date columns — the types whose canonical string
+        rendering is identical JVM-side and driver-side (floats and
+        timestamps are not: scientific notation / zone formatting
+        would make the python pruning twin disagree with the written
+        directory names). A one-field identity list degrades to the
+        single-column spec form."""
         prev_v = self.latest_version()
         if prev_v == 0:
             raise ValueError("spec evolution needs a published version")
@@ -332,19 +542,63 @@ class SnapshotStore:
             raise ValueError("manifest carries no schema to evolve")
         schema = StructType.fromJson(json.loads(doc["schema"]))
         names = [f.name for f in schema.fields]
-        if new_col not in names:
-            raise ValueError(f"no such column: {new_col!r}")
         cm = dict(
             doc.get("colmap") or {f.name: f.name for f in schema.fields}
         )
-        phys = cm.get(new_col, new_col)
-        if phys == self._cur_spec(doc):
-            raise ValueError(
-                f"{new_col!r} is already the partition column"
+        if isinstance(new_col, (list, tuple)):
+            fields = [self._parse_spec_field(s) for s in new_col]
+            if not fields:
+                raise ValueError("empty partition spec")
+            if len(fields) == 1 and fields[0]["t"] is None:
+                new_col = fields[0]["src"]  # degrade to single-column
+        if isinstance(new_col, (list, tuple)):
+            from pyspark.sql.types import (
+                ByteType, DateType, IntegerType, ShortType,
             )
-        v = self._claim_version()
-        specs = [dict(s) for s in self._doc_specs(doc)]
-        specs.append({"col": phys, "since": v})
+
+            ok_types = (
+                ByteType, ShortType, IntegerType, LongType,
+                StringType, DateType,
+            )
+            ftypes = {f.name: f.dataType for f in schema.fields}
+            for f in fields:
+                if f["src"] not in names:
+                    raise ValueError(f"no such column: {f['src']!r}")
+                dt = ftypes[f["src"]]
+                if not isinstance(dt, ok_types):
+                    raise ValueError(
+                        f"spec field {f['src']!r} has type "
+                        f"{dt.simpleString()}; composite specs take "
+                        "int-like / string / date sources (canonical "
+                        "string rendering must match driver-side)"
+                    )
+                if (
+                    f["t"] is not None
+                    and f["t"][0] == "truncate"
+                    and isinstance(dt, DateType)
+                ):
+                    raise ValueError("truncate() takes int or string")
+                f["src"] = cm.get(f["src"], f["src"])  # → physical
+            cur = self._doc_specs(doc)[-1]
+            if cur.get("fields") == fields:
+                raise ValueError("this is already the partition spec")
+            v = self._claim_version()
+            dname = f"__sp{v}"
+            if dname in {cm.get(n, n) for n in names}:
+                raise ValueError(f"column name {dname!r} is reserved")
+            specs = [dict(s) for s in self._doc_specs(doc)]
+            specs.append({"col": dname, "since": v, "fields": fields})
+        else:
+            if new_col not in names:
+                raise ValueError(f"no such column: {new_col!r}")
+            phys = cm.get(new_col, new_col)
+            if phys == self._cur_spec(doc):
+                raise ValueError(
+                    f"{new_col!r} is already the partition column"
+                )
+            v = self._claim_version()
+            specs = [dict(s) for s in self._doc_specs(doc)]
+            specs.append({"col": phys, "since": v})
 
         # re-key every partition-value reference to qualified form:
         # a pointer keeps the spec col it was written under (for an
@@ -615,9 +869,30 @@ class SnapshotStore:
         if "specs" in prev_doc:
             # epoch reset: physical names become df's logical names,
             # so the spec entry is re-keyed to the CURRENT logical
-            # name of the spec column
-            pc = self._logical_of(prev_doc, self._cur_spec(prev_doc))
-            written = self._write(df, v, spec_col=pc)
+            # name(s) of the spec column / composite sources
+            spec = self._doc_specs(prev_doc)[-1]
+            if spec.get("fields"):
+                new_spec = {
+                    "col": spec["col"],
+                    "since": 0,
+                    "fields": [
+                        {
+                            "src": self._logical_of(prev_doc, f["src"]),
+                            "t": f["t"],
+                        }
+                        for f in spec["fields"]
+                    ],
+                }
+                pc = spec["col"]
+                doc0 = {"schema": df.schema.json()}
+                wdf = df.withColumn(
+                    pc, self._spec_expr(doc0, new_spec, logical=False)
+                )
+            else:
+                pc = self._logical_of(prev_doc, spec["col"])
+                new_spec = {"col": pc, "since": 0}
+                wdf = df
+            written = self._write(wdf, v, spec_col=pc)
             self._publish(
                 v,
                 {f"{pc}={a}": v for a in written},
@@ -628,7 +903,7 @@ class SnapshotStore:
                         written, v, spec_col=pc
                     ).items()
                 },
-                specs=[{"col": pc, "since": 0}],
+                specs=[new_spec],
                 op="commit",
             )
             return v
@@ -677,16 +952,25 @@ class SnapshotStore:
         prev_v = self.latest_version()
         prev_doc = self._manifest_doc(prev_v)
         prev = prev_doc["partitions"]
-        cur = self._cur_spec(prev_doc)
-        pc_l = self._logical_of(prev_doc, cur)
-        affected = self._affected_values(delta, pc_l)
+        cur_spec = self._doc_specs(prev_doc)[-1]
+        cur = cur_spec["col"]
+        # S30b: under a composite spec the partition value is DERIVED
+        # (one string column computed from the spec's source fields) —
+        # the delta gains it here for affected-value discovery, and
+        # the physical write frame gains it again below from physical
+        # names. Single-column specs pass through unchanged.
+        dl, pc_l = self._with_spec_col(delta, prev_doc, logical=True)
+        affected = self._affected_values(dl, pc_l)
         affected_keys = {self._mk_key(prev_doc, cur, a) for a in affected}
         if validate_keys and prev:
+            prev_df, _ = self._with_spec_col(
+                self.read(spark, version=prev_v), prev_doc, logical=True
+            )
             moved = (
-                self.read(spark, version=prev_v)
+                prev_df
                 .withColumnRenamed(pc_l, "_prev_pc")
                 .select(*key_cols, "_prev_pc")
-                .join(delta.select(*key_cols, pc_l).distinct(), key_cols)
+                .join(dl.select(*key_cols, pc_l).distinct(), key_cols)
                 .filter(F.col("_prev_pc").cast("string") != F.col(pc_l).cast("string"))
                 .limit(1)
                 .collect()
@@ -706,7 +990,12 @@ class SnapshotStore:
         keep = existing.join(delta.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = keep.unionByName(delta)
         cm = prev_doc.get("colmap")
-        written = self._write(self._to_physical(merged, cm), v, spec_col=cur)
+        wdf = self._to_physical(merged, cm)
+        if cur_spec.get("fields"):
+            wdf = wdf.withColumn(
+                cur, self._spec_expr(prev_doc, cur_spec, logical=False)
+            )
+        written = self._write(wdf, v, spec_col=cur)
         manifest = {k: pv for k, pv in prev.items() if k not in affected_keys}
         manifest.update({self._mk_key(prev_doc, cur, a): v for a in written})
         deletes = self._carry_deletes(prev_doc, affected_keys) or []
@@ -842,9 +1131,11 @@ class SnapshotStore:
         prev_v = self.latest_version()
         prev_doc = self._manifest_doc(prev_v)
         prev = prev_doc["partitions"]
-        cur = self._cur_spec(prev_doc)
-        pc_l = self._logical_of(prev_doc, cur)
-        affected = self._affected_values(changes, pc_l)
+        cur_spec = self._doc_specs(prev_doc)[-1]
+        cur = cur_spec["col"]
+        # S30b: composite specs derive the partition value (see upsert)
+        ch, pc_l = self._with_spec_col(changes, prev_doc, logical=True)
+        affected = self._affected_values(ch, pc_l)
         affected_keys = {self._mk_key(prev_doc, cur, a) for a in affected}
         existing = self.read(
             spark,
@@ -855,7 +1146,12 @@ class SnapshotStore:
         upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
         merged = keep.unionByName(upserts)
         cm = prev_doc.get("colmap")
-        written = self._write(self._to_physical(merged, cm), v, spec_col=cur)
+        wdf = self._to_physical(merged, cm)
+        if cur_spec.get("fields"):
+            wdf = wdf.withColumn(
+                cur, self._spec_expr(prev_doc, cur_spec, logical=False)
+            )
+        written = self._write(wdf, v, spec_col=cur)
         manifest = {k: pv for k, pv in prev.items() if k not in affected_keys}
         manifest.update({self._mk_key(prev_doc, cur, a): v for a in written})
         deletes = self._carry_deletes(prev_doc, affected_keys) or []
@@ -948,10 +1244,22 @@ class SnapshotStore:
         prev_v = self.latest_version()
         if prev_v == 0:
             raise ValueError("nothing to merge into: no published version")
+        # Pin ONE materialization of the source before anything reads
+        # it twice: the dup check below and the clause join/feed are
+        # separate actions, and a non-deterministic source (sampled,
+        # rand()-derived, re-shuffled) could pass the check yet emit
+        # duplicate keys into the feed — silently poisoning exactly
+        # the determinism the check exists to protect. localCheckpoint
+        # truncates lineage, so both reads see the same rows; merge
+        # sources are delta-scale, so materializing is cheap.
+        source = source.localCheckpoint(eager=True)
         dup = (
             source.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
+            # counting literal 1 under a reserved alias — .count()
+            # would collide with a source column literally named
+            # 'count' and break the filter below
+            .agg(F.count(F.lit(1)).alias("__k_count"))
+            .filter(F.col("__k_count") > 1)
             .limit(1)
             .count()
         )
@@ -1167,10 +1475,31 @@ class SnapshotStore:
         if isinstance(keys, DataFrame):
             if len(keys.columns) != 1:
                 raise ValueError("keys frame must have exactly one column")
+            kc = F.col(keys.columns[0])
+            # Strict cast: a lenient cast turns unconvertible values
+            # into NULL (and ANSI mode throws an opaque runtime error
+            # mid-job), and a NULL key never matches the read-side
+            # anti-join — a mistyped key set would become a silent
+            # partial no-op delete. try_cast + an explicit refusal
+            # mirrors the strictness of the rest of the write path in
+            # both ANSI and legacy modes.
+            bad = (
+                keys.filter(
+                    kc.isNotNull()
+                    & kc.try_cast(names[col].dataType).isNull()
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"delete key set does not cast cleanly to {col!r}'s "
+                    f"type {names[col].dataType.simpleString()}: at least "
+                    "one non-null key became NULL under the cast (it "
+                    "would silently never match any row)"
+                )
             kdf = keys.select(
-                F.col(keys.columns[0])
-                .cast(names[col].dataType)
-                .alias(phys)
+                kc.try_cast(names[col].dataType).alias(phys)
             ).distinct()
         else:
             kdf = spark.createDataFrame(
@@ -1278,8 +1607,12 @@ class SnapshotStore:
         v = self._claim_version()
         df = self.read(spark, version=prev_v, partition_values=vals)
         cm = prev_doc.get("colmap")
+        # S30b: composite specs compact/migrate by the DERIVED value —
+        # computed on the logical read, untouched by _to_physical (the
+        # synthetic name is in no colmap), consumed by partitionBy
+        rdf, pcn = self._with_spec_col(df, prev_doc, logical=True)
         packed = self._to_physical(
-            df.repartition(len(vals), F.col(pc_l)), cm
+            rdf.repartition(len(vals), F.col(pcn)), cm
         )
         written = self._write(packed, v, order_by=order_by, spec_col=cur)
         manifest = {k: pv for k, pv in prev.items() if k not in set(vals)}
@@ -1422,10 +1755,36 @@ class SnapshotStore:
                 b = pst.get(cm.get(c, c))
                 rec += [None, None] if b is None else [b[0], b[1]]
             rows.append(tuple(rec))
-        names = ["partition", "n_rows"]
-        for c in cols:
-            names += [f"{c}_min", f"{c}_max"]
-        return spark.createDataFrame(rows, names)
+        # Explicit result schema — a column with no recorded bounds in
+        # ANY partition (strings, NaN-tainted floats: exactly the
+        # documented return-NULL cases) yields an all-None pair, which
+        # type inference cannot resolve (CANNOT_DETERMINE_TYPE). Bound
+        # values are only ever int or float (_collect_stats skips
+        # everything else): LONG when every recorded value is an int,
+        # DOUBLE otherwise (incl. the int/float mix a widen_column
+        # leaves across epochs, and the all-None case).
+        fields = [
+            StructField("partition", StringType(), False),
+            StructField("n_rows", LongType(), False),
+        ]
+        for ci in range(len(cols)):
+            vals = [x for r in rows for x in r[2 + 2 * ci:4 + 2 * ci]
+                    if x is not None]
+            is_long = bool(vals) and all(type(x) is int for x in vals)
+            t = LongType() if is_long else DoubleType()
+            fields += [
+                StructField(f"{cols[ci]}_min", t, True),
+                StructField(f"{cols[ci]}_max", t, True),
+            ]
+            if not is_long:
+                rows = [
+                    r[:2 + 2 * ci]
+                    + tuple(None if x is None else float(x)
+                            for x in r[2 + 2 * ci:4 + 2 * ci])
+                    + r[4 + 2 * ci:]
+                    for r in rows
+                ]
+        return spark.createDataFrame(rows, StructType(fields))
 
     def history(self) -> list[dict]:
         """S35: the table's operation log (Iceberg's ``history`` /
@@ -1457,7 +1816,10 @@ class SnapshotStore:
             out.append({
                 "version": v,
                 "committed_at": doc.get("committed_at"),
-                "operation": doc.get("op", "commit"),
+                # pre-S35 manifests recorded no op; surfacing them as
+                # 'unknown' (not 'commit') keeps the audit log honest —
+                # a recorded operation is a fact, a missing one is not
+                "operation": doc.get("op", "unknown"),
                 "n_partitions": len(doc["partitions"]),
                 "n_delete_entries": len(dels),
                 "n_rows": n_rows,
@@ -1743,11 +2105,13 @@ class SnapshotStore:
         The physical name is retired forever: add_column never reuses
         one, so a later re-add cannot resurrect the dropped values."""
         prev_v, doc, schema, cm = self._evolved_doc()
-        if cm.get(name, name) in {s["col"] for s in self._doc_specs(doc)}:
+        if cm.get(name, name) in self._spec_protected_cols(doc):
             # any spec column (current or historical) stays undroppable
             # while this manifest may point at dirs keyed by it (S30);
-            # a full commit/compact collapses the history and frees
-            # retired ones
+            # a composite spec's SOURCE columns are protected the same
+            # way (future writes derive the partition value from them
+            # — S30b); a full commit/compact collapses the history and
+            # frees retired ones
             raise ValueError("cannot drop the partition column")
         names = [f.name for f in schema.fields]
         if name not in names:
@@ -2506,7 +2870,10 @@ class SnapshotStore:
 
     # ------------------------------------------------------ vacuum
     def vacuum(
-        self, retain_last: int = 1, orphan_grace_sec: float = 86400.0
+        self,
+        retain_last: int = 1,
+        orphan_grace_sec: float = 86400.0,
+        older_than: float | None = None,
     ) -> list[str]:
         """Garbage-collect data directories no retained manifest
         references: expired-version data (time travel keeps the last
@@ -2539,6 +2906,23 @@ class SnapshotStore:
             raise ValueError("vacuum a branch through its parent store")
         published = self._published_versions()
         retained = published[-retain_last:] if retain_last > 0 else []
+        # Retention-by-age (Iceberg's ``expire_snapshots(older_than=
+        # ts)``, the form governance policies state): every published
+        # version whose ``committed_at`` stamp is strictly newer than
+        # ``older_than`` is retained IN ADDITION to the count-based
+        # window, and the current snapshot is never expired — so
+        # ``vacuum(retain_last=1, older_than=now - 7*86400)`` is
+        # exactly "keep a week of time travel". The stamps come from
+        # the injectable commit clock, so the policy is deterministic
+        # under test.
+        if older_than is not None and published:
+            aged = [
+                v
+                for v in published
+                if self._manifest_doc(v).get("committed_at", 0.0)
+                > older_than
+            ]
+            retained = sorted(set(retained) | set(aged) | {published[-1]})
         # Tagged snapshots are pinned (Iceberg tag semantics): their
         # manifests and data stay until the tag is deleted.
         retained = sorted(set(retained) | set(self.tags().values()))
@@ -2761,6 +3145,14 @@ class SnapshotStore:
                     [doc], exclude=frozenset()
                 ).fields
             }
+            # S30b: a COMPOSITE spec's column is synthetic — derived at
+            # write, materialized only as directory names, absent from
+            # every file and from the table schema. Its group drops it
+            # right here (after _pkey): carrying it into the union
+            # would mismatch old-spec groups, whose files never had it.
+            synth = {
+                s["col"] for s in self._doc_specs(doc) if s.get("fields")
+            }
             frames = []
             for col, items in sorted(groups.items()):
                 gdirs = [
@@ -2783,7 +3175,12 @@ class SnapshotStore:
                             F.lit(f"{col}="), F.col(col).cast("string")
                         ),
                     )
-                g = g.withColumn(col, F.col(col).cast(ptypes[col])).drop("v")
+                if col in synth:
+                    g = g.drop(col, "v")
+                else:
+                    g = g.withColumn(
+                        col, F.col(col).cast(ptypes[col])
+                    ).drop("v")
                 frames.append(g)
             out = frames[0]
             for g in frames[1:]:

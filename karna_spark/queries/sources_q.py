@@ -1559,3 +1559,491 @@ def snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------- S30b
+# bucket(8, prio) component constants, precomputed once so the DuckDB
+# oracle can name them: the transform is crc32(canonical-string) mod n
+# on BOTH sides (Spark F.crc32 at write, zlib.crc32 in the driver-side
+# pruning twin), and priorities are a closed 5-value domain — a CASE
+# over literals is the exact SQL rendering of the bucket function.
+def _prio_bucket_case(expr: str) -> str:
+    import zlib
+
+    arms = " ".join(
+        f"WHEN '{p}' THEN {zlib.crc32(p.encode()) % 8}" for p in "12345"
+    )
+    return f"(CASE {expr} {arms} END)"
+
+
+@register_query(
+    "snapshot_multifield_spec",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             substr(o_orderpriority, 1, 1) AS prio,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    repl AS (
+      SELECT k, prio, val + 1000 AS val FROM base WHERE k % 10 = 0
+    ),
+    ins AS (
+      SELECT k + 10000000 AS k, prio, (k + 10000000) % 97 AS val
+      FROM base WHERE k % 20 = 0
+    ),
+    delta AS (SELECT * FROM repl UNION ALL SELECT * FROM ins),
+    final AS (
+      SELECT * FROM base WHERE k % 10 <> 0
+      UNION ALL SELECT * FROM delta
+    ),
+    probe AS (SELECT k, prio FROM final ORDER BY k LIMIT 1),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv,
+                 CAST(COUNT(DISTINCT prio) AS BIGINT) AS np
+          FROM base),
+    f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv
+          FROM final),
+    dparts AS (SELECT CAST(COUNT(DISTINCT
+                 {_prio_bucket_case("prio")} || '~' ||
+                 CAST(k - (k % 4096) AS VARCHAR)) AS BIGINT) AS np
+               FROM delta),
+    fparts AS (SELECT CAST(COUNT(DISTINCT
+                 {_prio_bucket_case("prio")} || '~' ||
+                 CAST(k - (k % 4096) AS VARCHAR)) AS BIGINT) AS np
+               FROM final),
+    pruned AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(k) AS BIGINT) AS sk,
+                      CAST(SUM(val) AS BIGINT) AS sv
+               FROM final
+               WHERE k - (k % 4096) =
+                     (SELECT k - (k % 4096) FROM probe)),
+    point AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(k) AS BIGINT) AS sk,
+                     CAST(SUM(val) AS BIGINT) AS sv
+              FROM final
+              WHERE k - (k % 4096) =
+                    (SELECT k - (k % 4096) FROM probe)
+                AND {_prio_bucket_case("prio")} =
+                    (SELECT {_prio_bucket_case("prio")} FROM probe))
+    SELECT 'v1_by_prio' AS snapshot, b.n AS n_rows, b.sk AS sum_keys,
+           b.sv AS sum_val, b.np AS n_parts FROM b
+    UNION ALL SELECT 'v2_respec', b.n, b.sk, b.sv, b.np FROM b
+    UNION ALL SELECT 'v3_mixed', f.n, f.sk, f.sv,
+                     b.np + dparts.np FROM b, f, dparts
+    UNION ALL SELECT 'v4_migrated', f.n, f.sk, f.sv, fparts.np
+              FROM f, fparts
+    UNION ALL SELECT 'v4_pruned_k', pruned.n, pruned.sk, pruned.sv,
+                     CAST(NULL AS BIGINT) FROM pruned
+    UNION ALL SELECT 'v4_point', point.n, point.sk, point.sv,
+                     CAST(NULL AS BIGINT) FROM point
+    """,
+    tags="S30b",
+)
+def snapshot_multifield_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30b: MULTI-FIELD TRANSFORM partition spec — Iceberg's ordered
+    spec with bucket/truncate transforms
+    (io/snapshots.py:repartition_spec(list), spec_key, prune_keys).
+    v1 commits orders partitioned by priority; v2 flips the spec to
+    ``[bucket(8, prio), truncate(4096, k)]`` metadata-only (the
+    composite tuple is reified as ONE derived string column, rendered
+    identically by the Spark write expression and the pure-python
+    driver twin); v3 upserts against the mixed table — the delta lands
+    under derived composite directories while replaced keys in
+    old-spec priority partitions retire through a merge-on-read entry;
+    v4 is the migration compact. Then the two pruning proofs: a
+    prune_keys equality scan on the TRUNCATE source (drops every
+    non-matching composite directory; keeps old-spec dirs
+    conservatively — here none remain post-migration) and a spec_key
+    POINT read (exactly one directory of the table). The oracle
+    re-derives every fingerprint from orders alone — the bucket
+    function is crc32(str) mod 8, spelled as a closed CASE over the
+    5-value priority domain, and truncate is plain arithmetic — so the
+    hash certifies the transform math itself, not just row movement.
+    At 100 TB: the respec is one manifest write; a point read costs
+    one directory; an equality predicate on any spec SOURCE prunes at
+    manifest level through the transform, Iceberg-style."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.substring("o_orderpriority", 1, 1).alias("prio"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_multifield_spec")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "prio")
+    v1 = store.commit(base)                               # v1: by prio
+    v2 = store.repartition_spec(["bucket(8, prio)", "truncate(4096, k)"])
+    repl = base.filter(F.col("k") % 10 == 0).withColumn(
+        "val", F.col("val") + 1000
+    )
+    ins = base.filter(F.col("k") % 20 == 0).select(
+        (F.col("k") + 10000000).alias("k"),
+        "prio",
+        ((F.col("k") + 10000000) % 97).alias("val"),
+    )
+    v3 = store.upsert(spark, repl.unionByName(ins), key_cols=["k"])
+    v4 = store.compact(spark)                             # migration
+
+    def fp(tag_, v, n_parts):
+        return store.read(spark, version=v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(tag_).alias("snapshot"), "n_rows", "sum_keys",
+            "sum_val",
+            F.lit(n_parts).cast("bigint").alias("n_parts"),
+        )
+
+    out = None
+    for tag_, v in (
+        ("v1_by_prio", v1), ("v2_respec", v2),
+        ("v3_mixed", v3), ("v4_migrated", v4),
+    ):
+        n_parts = len(store._manifest_doc(v)["partitions"])
+        row = fp(tag_, v, n_parts)
+        out = row if out is None else out.unionByName(row)
+
+    # probe row: smallest key in the final table (deterministic; its
+    # priority is a bounded 1-row collect, the spec_key input)
+    pr = (
+        store.read(spark, version=v4)
+        .orderBy("k")
+        .select("k", "prio")
+        .limit(1)
+        .collect()[0]
+    )
+    keys_k = store.prune_keys("k", pr["k"], version=v4)
+    pruned = store.read(spark, version=v4, partition_values=keys_k).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_keys"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+    ).select(
+        F.lit("v4_pruned_k").alias("snapshot"), "n_rows", "sum_keys",
+        "sum_val", F.lit(None).cast("bigint").alias("n_parts"),
+    )
+    pkey = store.spec_key({"prio": pr["prio"], "k": pr["k"]}, version=v4)
+    point = store.read(spark, version=v4, partition_values=[pkey]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_keys"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+    ).select(
+        F.lit("v4_point").alias("snapshot"), "n_rows", "sum_keys",
+        "sum_val", F.lit(None).cast("bigint").alias("n_parts"),
+    )
+    return out.unionByName(pruned).unionByName(point)
+
+
+# ---------------------------------------------------------------- S26
+@register_query(
+    "snapshot_branch_wap",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    staged AS (
+      SELECT k, o_year, val + 500 AS val FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k + 10000000 AS k, o_year, (k + 10000000) % 97 AS val
+      FROM base WHERE k % 14 = 0
+    ),
+    merged AS (
+      SELECT * FROM base WHERE k % 7 <> 0
+      UNION ALL SELECT * FROM staged
+    ),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv FROM base),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(val) AS BIGINT) AS sv FROM merged)
+    SELECT 'parent_v1' AS stage, b.n AS n_rows, b.sk AS sum_keys,
+           b.sv AS sum_val FROM b
+    UNION ALL SELECT 'parent_during_wap', b.n, b.sk, b.sv FROM b
+    UNION ALL SELECT 'branch_staged', s.n, s.sk, s.sv FROM s
+    UNION ALL SELECT 'parent_after_publish', s.n, s.sk, s.sv FROM s
+    UNION ALL SELECT 'parent_v1_time_travel', b.n, b.sk, b.sv FROM b
+    """,
+    tags="S26",
+)
+def snapshot_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: the WRITE-AUDIT-PUBLISH cycle on snapshot branches
+    (io/snapshots.py:create_branch/branch/merge_branch — Iceberg's
+    branch refs, the WAP pattern every governed 100 TB pipeline runs):
+    v1 commits orders; a branch forks it by POINTER COPY (zero data);
+    the staged upsert (replaced + inserted keys) lands ONLY on the
+    branch — the parent's head is byte-identical while the audit runs
+    (fingerprinted mid-WAP); merge_branch fast-forwards the staged
+    snapshot into the parent chain as its v2 — publish is one manifest
+    write, no data moves; the parent's v1 stays time-travelable. The
+    oracle derives all five stage fingerprints from orders alone, so
+    the hash certifies isolation (parent unchanged during WAP), the
+    staged content, the published content, and history retention in
+    one row set."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_branch_wap")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    v1 = store.commit(base)
+    store.create_branch("audit")
+
+    repl = base.filter(F.col("k") % 7 == 0).withColumn(
+        "val", F.col("val") + 500
+    )
+    ins = base.filter(F.col("k") % 14 == 0).select(
+        (F.col("k") + 10000000).alias("k"),
+        "o_year",
+        ((F.col("k") + 10000000) % 97).alias("val"),
+    )
+    store.branch("audit").upsert(spark, repl.unionByName(ins), ["k"])
+
+    def fp(stage, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(stage).alias("stage"), "n_rows", "sum_keys", "sum_val"
+        )
+
+    out = fp("parent_v1", store.read(spark, version=v1))
+    # mid-WAP: the parent head must still serve v1's content
+    out = out.unionByName(
+        fp("parent_during_wap", store.read(spark))
+    )
+    out = out.unionByName(
+        fp("branch_staged", store.branch("audit").read(spark))
+    )
+    v2 = store.merge_branch("audit")                      # publish
+    out = out.unionByName(
+        fp("parent_after_publish", store.read(spark, version=v2))
+    )
+    out = out.unionByName(
+        fp("parent_v1_time_travel", store.read(spark, version=v1))
+    )
+    return out
+
+
+# ---------------------------------------------------------------- S34
+@register_query(
+    "snapshot_rollback_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    bad AS (
+      SELECT * FROM base WHERE k % 5 <> 0
+      UNION ALL
+      SELECT k, o_year, 0 AS val FROM base WHERE k % 5 = 0
+    ),
+    good AS (
+      SELECT * FROM base WHERE k % 11 <> 0
+      UNION ALL
+      SELECT k, o_year, val + 7 AS val FROM base WHERE k % 11 = 0
+    ),
+    b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(val) AS BIGINT) AS sv FROM base),
+    w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(val) AS BIGINT) AS sv FROM bad),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(val) AS BIGINT) AS sv FROM good)
+    SELECT 1 AS version, 'commit' AS operation, b.n AS n_rows,
+           b.sv AS sum_val FROM b
+    UNION ALL SELECT 2, 'upsert', w.n, w.sv FROM w
+    UNION ALL SELECT 3, 'rollback', b.n, b.sv FROM b
+    UNION ALL SELECT 4, 'upsert', g.n, g.sv FROM g
+    ORDER BY version
+    """,
+    tags="S34 S35",
+)
+def snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S34+S35: rollback lifecycle with the operation log as witness
+    (io/snapshots.py:rollback/history — Iceberg's
+    ``rollback_to_snapshot`` + the snapshots metadata table). v1
+    commits orders; v2 is a BAD upsert (zeroes every 5th key's value);
+    v3 rolls the table back to v1 — METADATA-ONLY, one manifest write
+    restoring the head while v2 stays auditable; v4 is the corrected
+    upsert applied ON TOP of the restored content. Each version's row
+    carries the history() OPERATION that produced it plus content
+    fingerprints; the oracle re-derives the contents and hardcodes the
+    op strings, so the hash certifies both the restore semantics (v3
+    content == v1) and the audit trail (the op log names rollback, not
+    a masked commit). At 100 TB: undoing a botched million-row write
+    costs one JSON manifest, zero data I/O."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_rollback")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                    # v1
+    store.upsert(
+        spark,
+        base.filter(F.col("k") % 5 == 0).withColumn("val", F.lit(0)),
+        ["k"],
+    )                                                     # v2 (bad)
+    store.rollback(1)                                     # v3
+    store.upsert(
+        spark,
+        base.filter(F.col("k") % 11 == 0).withColumn(
+            "val", F.col("val") + 7
+        ),
+        ["k"],
+    )                                                     # v4
+    ops = {e["version"]: e["operation"] for e in store.history()}
+    out = None
+    for v in (1, 2, 3, 4):
+        row = store.read(spark, version=v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(ops[v]).alias("operation"),
+            "n_rows",
+            "sum_val",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("version")
+
+
+# ---------------------------------------------------------------- S35
+@register_query(
+    "snapshot_history_audit",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    upd AS (
+      SELECT * FROM base WHERE k % 9 <> 0
+      UNION ALL
+      SELECT k, o_year, val + 3 AS val FROM base WHERE k % 9 = 0
+    ),
+    afterdel AS (SELECT * FROM upd WHERE val < 90),
+    ny AS (SELECT CAST(COUNT(DISTINCT o_year) AS BIGINT) AS n FROM base)
+    SELECT 1 AS version, CAST(1000.0 AS DOUBLE) AS committed_at,
+           'commit' AS operation, ny.n AS n_partitions,
+           CAST(0 AS BIGINT) AS n_delete_entries,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_rows
+    FROM ny
+    UNION ALL
+    SELECT 2, CAST(1060.0 AS DOUBLE), 'upsert', ny.n,
+           CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM upd)
+    FROM ny
+    UNION ALL
+    SELECT 3, CAST(1120.0 AS DOUBLE), 'delete', ny.n,
+           CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ny
+    UNION ALL
+    SELECT 4, CAST(1180.0 AS DOUBLE), 'compact',
+           (SELECT CAST(COUNT(DISTINCT o_year) AS BIGINT) FROM afterdel),
+           CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM afterdel)
+    FROM ny
+    UNION ALL
+    SELECT 5, CAST(1240.0 AS DOUBLE), 'rollback', ny.n,
+           CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+    FROM ny
+    ORDER BY version
+    """,
+    tags="S35",
+)
+def snapshot_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S35: the operation log as a queryable metadata table
+    (io/snapshots.py:history_df — Iceberg's snapshots/history table).
+    A five-op lifecycle (commit → upsert → MOR delete → compact →
+    rollback-to-v1) runs under an INJECTED deterministic commit clock
+    (60 s apart from t=1000), then history_df() is returned directly:
+    version, committed_at, operation, partition count, pending
+    delete-entry count, and the manifest row count — NULL exactly
+    while MOR deletes pend (the count_rows refusal rule, surfaced
+    honestly in the audit view). The oracle re-derives the row counts
+    from orders and hardcodes the clock/op sequence, so the hash
+    certifies the ENTIRE audit surface — operations, timestamps,
+    delete bookkeeping, row accounting — with zero data I/O at read
+    time (driver-side manifest walk; the 100 TB audit dashboard query
+    costs no cluster work at all)."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_history_audit")
+    shutil.rmtree(root, ignore_errors=True)
+    clock = {"t": 940.0}
+
+    def tick() -> float:
+        clock["t"] += 60.0
+        return clock["t"]
+
+    store = SnapshotStore(root, "o_year", clock=tick)
+    store.commit(base)                                    # v1 @1000
+    store.upsert(
+        spark,
+        base.filter(F.col("k") % 9 == 0).withColumn(
+            "val", F.col("val") + 3
+        ),
+        ["k"],
+    )                                                     # v2 @1060
+    store.delete_where(spark, "val >= 90")                # v3 @1120
+    store.compact(spark)                                  # v4 @1180
+    store.rollback(1)                                     # v5 @1240
+    return store.history_df(spark).orderBy("version")
+
+
+# ------------------------------------------------------------ S1d Avro
+@register_query(
+    "source_avro_roundtrip",
+    oracle="SELECT * FROM nation",
+    tags="S1 S8",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S8 (Avro): nation → Avro object-container export → Avro
+    scan (io/avro_io.py). The remaining mainstream open tabular
+    format next to CSV/TSV/Parquet/ORC/NDJSON — this sandbox ships
+    neither the spark-avro module nor a DuckDB avro extension, so the
+    codec is a self-contained implementation of the PUBLIC Avro OCF
+    spec: the sink encodes one container per input partition ON THE
+    EXECUTORS (mapInPandas, zigzag-varint binary encoding, embedded
+    writer schema, sync-marker framing) and the source decodes them
+    through Spark's binaryFile reader — one task per container, bytes
+    never crossing the driver. The oracle reads the ORIGINAL parquet,
+    so the hash certifies the round trip lossless through a byte
+    format neither engine natively speaks."""
+    from karna_spark.io.avro_io import read_avro, write_avro
+
+    out = _export_dir(sf_dir, "nation_avro")
+    write_avro(table(spark, sf_dir, "nation"), out)
+    return read_avro(spark, out)

@@ -1606,9 +1606,20 @@ def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
                 hist[v] = (val_name, nv, na)
                 retained.add(v)
             elif op == "respec":
-                other = "p2" if cur_spec == "p" else "p"
-                v = store.repartition_spec(other)
-                cur_spec = other
+                # rotate p → p2 → composite (p, bucket(3, k)) → p —
+                # the S30b transform spec composes with every other op
+                # exactly like a single-column respec (reads must be
+                # spec-blind; writes reroute to derived directories)
+                cycle = ["p", "p2", ["p", "bucket(3, k)"]]
+                nxt_spec = cycle[
+                    (cycle.index(cur_spec) + 1) % 3
+                    if cur_spec in ("p", "p2")
+                    else 0
+                ]
+                v = store.repartition_spec(nxt_spec)
+                cur_spec = (
+                    nxt_spec if isinstance(nxt_spec, str) else "composite"
+                )
                 hist[v] = (
                     val_name,
                     dict(prev_vals),
@@ -2724,3 +2735,224 @@ def test_merge_random_clauses_match_model(spark, tmp_path):
             got = _rows(store.read(spark, version=v))
             want = sorted((k, part[k], val) for k, val in state.items())
             assert got == want, f"seed={seed} v={v} ut={ut} dt={dt} it={it}"
+
+
+# --------------------------------- r11 ADVICE fixes + S30b + vacuum age
+def test_stats_agg_all_null_bounds_returns_nulls(spark, tmp_path):
+    # r11 ADVICE: a requested column with no recorded bounds in ANY
+    # partition (strings — parquet may truncate their stats) must
+    # return NULL cells, not raise CANNOT_DETERMINE_TYPE from schema
+    # inference over an all-None column.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    df = spark.createDataFrame(
+        [Row(k=1, p="a", val=10, name="x"), Row(k=2, p="b", val=20, name="y")]
+    )
+    store.commit(df)
+    got = store.stats_agg(spark, ["name", "val"]).collect()
+    assert {r["partition"] for r in got} == {"a", "b"}
+    assert all(r["name_min"] is None and r["name_max"] is None for r in got)
+    vals = {r["partition"]: (r["val_min"], r["val_max"]) for r in got}
+    assert vals == {"a": (10, 10), "b": (20, 20)}
+    # and the typed result is stable: string col bounds are double-
+    # typed NULLs, recorded int bounds stay LONG
+    sch = {f.name: f.dataType.simpleString()
+           for f in store.stats_agg(spark, ["name", "val"]).schema.fields}
+    assert sch["val_min"] == "bigint" and sch["name_min"] == "double"
+
+
+def test_merge_source_named_count_and_nondeterministic(spark, tmp_path):
+    # r11 ADVICE: (a) a source column literally named 'count' must not
+    # break the duplicate-key check; (b) the source is pinned once —
+    # a non-deterministic source cannot pass the dup check yet feed
+    # different rows into the clause join.
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    base = spark.createDataFrame([Row(k=1, p="a", count=10)])
+    store.commit(base)
+    src = spark.createDataFrame([Row(k=1, p="a", count=77),
+                                 Row(k=2, p="b", count=20)])
+    store.merge(spark, src, ["k"])
+    got = sorted((r["k"], r["count"]) for r in store.read(spark).collect())
+    assert got == [(1, 77), (2, 20)]
+    # non-deterministic source: rand()-derived key set — localCheckpoint
+    # pins ONE materialization, so merge sees a consistent image (runs
+    # without the dup-check/feed divergence; content is then coherent)
+    nd = (
+        spark.range(200)
+        .withColumn("k", (F.rand(seed=None) * 1000).cast("long") + 100)
+        .withColumn("p", F.lit("a"))
+        .withColumn("count", F.lit(1))
+        .select("k", "p", "count")
+        .dropDuplicates(["k"])
+    )
+    store2 = SnapshotStore(str(tmp_path / "t2"), "p")
+    store2.commit(spark.createDataFrame([Row(k=1, p="a", count=0)]))
+    v = store2.merge(spark, nd, ["k"])
+    # every key in the table appears exactly once
+    cnt = (
+        store2.read(spark, version=v)
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    assert cnt == 0
+
+
+def test_delete_keys_refuses_uncastable_key_frame(spark, tmp_path):
+    # r11 ADVICE: keys that become NULL under the cast to the key
+    # column's type must raise, not silently never-match.
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20)]))
+    bad = spark.createDataFrame([Row(key="not-a-number"), Row(key="2")])
+    with pytest.raises(ValueError, match="cast"):
+        store.delete_keys(spark, "k", bad)
+    # clean-casting frame still works
+    ok = spark.createDataFrame([Row(key="2")])
+    store.delete_keys(spark, "k", ok)
+    assert _rows(store.read(spark)) == [(1, "a", 10)]
+
+
+def test_history_unknown_op_for_pre_s35_manifest(spark, tmp_path):
+    # r11 ADVICE: a manifest without an op field (pre-S35) reports
+    # 'unknown', not a fabricated 'commit'.
+    import json as _json
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    mp = store._mpath(1)
+    doc = _json.load(open(mp))
+    doc.pop("op")
+    with open(mp, "w") as fh:
+        _json.dump(doc, fh)
+    assert [e["operation"] for e in store.history()] == ["unknown"]
+
+
+def test_vacuum_older_than_retains_age_window(spark, tmp_path):
+    # S15b: retention-by-age — versions newer than the cutoff survive,
+    # older ones expire, the current snapshot and tags are never
+    # expired. Deterministic via the injectable commit clock.
+    import pytest
+
+    t = {"now": 1000.0}
+    store = SnapshotStore(str(tmp_path / "t"), "p", clock=lambda: t["now"])
+    for i in range(5):
+        t["now"] = 1000.0 + i * 100  # v1..v5 at t=1000,1100,...,1400
+        store.upsert(spark, _mk(spark, [(1, "a", i)]), ["k"]) if i else \
+            store.commit(_mk(spark, [(1, "a", 0)]))
+    store.tag("pin", version=2)
+    store.vacuum(retain_last=1, older_than=1250.0, orphan_grace_sec=0.0)
+    # kept: v4 (t=1300) + v5 (t=1400) by age, v5 by retain_last/current,
+    # v2 by tag; expired: v1, v3
+    assert store._published_versions() == [2, 4, 5]
+    assert _rows(store.read(spark, version=4)) == [(1, "a", 3)]
+    assert _rows(store.read(spark, tag="pin")) == [(1, "a", 1)]
+    with pytest.raises(FileNotFoundError):
+        store.read(spark, version=3)
+    # cutoff in the future expires everything but the head + tag
+    store.vacuum(retain_last=1, older_than=9999.0, orphan_grace_sec=0.0)
+    assert store._published_versions() == [2, 5]
+
+
+def test_composite_spec_lifecycle(spark, tmp_path):
+    # S30b: multi-field transform spec — metadata-only flip, derived
+    # directories for new writes, spec-blind reads, point reads via
+    # spec_key, equality pruning via prune_keys, migration compact.
+    import zlib
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    v2 = store.repartition_spec(["p", "bucket(4, k)"])
+    spec = store._doc_specs(store._manifest_doc(v2))[-1]
+    assert spec["fields"] == [
+        {"src": "p", "t": None}, {"src": "k", "t": ["bucket", 4]}
+    ]
+    v3 = store.upsert(spark, _mk(spark, [(1, "a", 11), (9, "c", 90)]), ["k"])
+    doc = store._manifest_doc(v3)
+    b1 = zlib.crc32(b"1") % 4
+    assert f"__sp{v2}=a~{b1}" in doc["partitions"]
+    assert _rows(store.read(spark)) == [
+        (1, "a", 11), (2, "a", 20), (3, "b", 30), (9, "c", 90)]
+    # point read scans exactly the one derived directory
+    key = store.spec_key({"p": "a", "k": 1})
+    assert _rows(store.read(spark, partition_values=[key])) == [(1, "a", 11)]
+    # pruning: old-spec keys kept conservatively, matching bucket kept,
+    # non-matching new-spec keys dropped
+    pk = store.prune_keys("k", 1)
+    assert key in pk and f"__sp{v2}=c~{zlib.crc32(b'9') % 4}" not in pk
+    assert {"p=a", "p=b"} <= set(pk)
+    # identity field prunes BOTH spec epochs
+    pa = store.prune_keys("p", "a")
+    assert "p=b" not in pa and key in pa and "p=a" in pa
+    # migration compact: all pointers under the composite spec, spec
+    # history pruned, content identical
+    v5 = store.compact(spark)
+    doc5 = store._manifest_doc(v5)
+    assert all(k.startswith(f"__sp{v2}=") for k in doc5["partitions"])
+    assert len(store._doc_specs(doc5)) == 1
+    assert _rows(store.read(spark)) == [
+        (1, "a", 11), (2, "a", 20), (3, "b", 30), (9, "c", 90)]
+    # time travel across epochs intact
+    assert _rows(store.read(spark, version=1)) == [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30)]
+
+
+def test_composite_spec_truncate_null_and_guards(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(spark.createDataFrame([
+        Row(k=1, p="x", val=23, name="alphabet"),
+        Row(k=2, p="y", val=-7, name=None),
+    ]))
+    v2 = store.repartition_spec(["truncate(4, name)", "truncate(10, val)"])
+    store.upsert(spark, spark.createDataFrame(
+        [Row(k=3, p="z", val=27, name="alpine")]), ["k"])
+    doc = store._manifest_doc(store.latest_version())
+    assert f"__sp{v2}=alpi~20" in doc["partitions"]
+    # int truncate floors negatives to the lower multiple; NULL source
+    # renders the reserved token — write one of each and check keys
+    store.upsert(spark, spark.createDataFrame(
+        [(4, "w", -7, None)], "k long, p string, val long, name string"
+    ), ["k"])
+    doc = store._manifest_doc(store.latest_version())
+    assert f"__sp{v2}=__null__~-10" in doc["partitions"]
+    got = sorted((r["k"], r["name"], r["val"])
+                 for r in store.read(spark).collect())
+    assert got == [(1, "alphabet", 23), (2, None, -7),
+                   (3, "alpine", 27), (4, None, -7)]
+    # guards: dropping a composite SOURCE refused; float sources and
+    # unparseable fields refused; no-op respec refused
+    with pytest.raises(ValueError, match="partition column"):
+        store.drop_column("name")
+    with pytest.raises(ValueError, match="already the partition spec"):
+        store.repartition_spec(["truncate(4, name)", "truncate(10, val)"])
+    with pytest.raises(ValueError, match="unparseable"):
+        store.repartition_spec(["bucket(4)"])
+    store2 = SnapshotStore(str(tmp_path / "f"), "p")
+    store2.commit(spark.createDataFrame([Row(k=1, p="a", x=1.5)]))
+    with pytest.raises(ValueError, match="int-like"):
+        store2.repartition_spec(["bucket(8, x)"])
+    # single-field identity list degrades to the single-column form
+    v = store2.repartition_spec(["k"])
+    assert store2._doc_specs(store2._manifest_doc(v))[-1] == {
+        "col": "k", "since": v}
+
+
+def test_composite_spec_rename_source_still_writes(spark, tmp_path):
+    # renaming a composite SOURCE is metadata-only and safe: the spec
+    # tracks the physical name; the derived expression resolves the
+    # new logical name through the colmap on the next write
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    v2 = store.repartition_spec(["p", "bucket(4, k)"])
+    store.rename_column("k", "doc_id")
+    delta = spark.createDataFrame([Row(doc_id=5, p="b", val=50)])
+    store.upsert(spark, delta, ["doc_id"])
+    got = sorted((r["doc_id"], r["p"], r["val"])
+                 for r in store.read(spark).collect())
+    assert got == [(1, "a", 10), (5, "b", 50)]
+    key = store.spec_key({"p": "b", "doc_id": 5})
+    assert key.startswith(f"__sp{v2}=b~")
+    got1 = [(r["doc_id"], r["val"])
+            for r in store.read(spark, partition_values=[key]).collect()]
+    assert got1 == [(5, 50)]
