@@ -466,7 +466,8 @@ def to_sql(question: str, vocab: Vocabulary = DEFAULT_VOCAB) -> str:
         "'total X by Y in T', 'count of T [by Y]', 'top N T by X' "
         "(operator-backed, via ask(): 'find near-duplicates in T', "
         "'deduplicate T exactly', 'sample N% of T stratified by C', "
-        "'top K T matching <terms>')"
+        "'top K T matching <terms>', '[top K] T containing X and Y "
+        "[but not Z]', 'how many users did A then B then C [in T]')"
     )
 
 
@@ -490,6 +491,28 @@ _BM25_RE = re.compile(
     r"(?i)^(?:show |list |find )?top (?P<k>\d+) (?P<table>[a-z_ ]+?) "
     r"(?:matching|about|mentioning) (?P<terms>.+)$"
 )
+
+_BOOL_RE = re.compile(
+    r"(?i)^(?:show |list |find )?(?:top (?P<k>\d+) )?(?P<table>[a-z_ ]+?) "
+    r"containing (?P<pos>[a-z0-9_' ]+?)"
+    r"(?: (?:but not|without|excluding) (?P<neg>[a-z0-9_' ]+?))?$"
+)
+
+_FUNNEL_RE = re.compile(
+    r"(?i)^(?:how many|count(?: of)?) (?P<entity>users|customers) "
+    r"(?:did|who did|completed|who completed) "
+    r"(?P<steps>[a-z_]+(?: then [a-z_]+)+)"
+    r"(?: in (?P<table>[a-z_ ]+))?$"
+)
+
+
+def _split_terms(phrase: str) -> list[str]:
+    """'vector and stream' / 'vector, stream' → ['vector', 'stream']"""
+    return [
+        t.strip().strip("'\"")
+        for t in re.split(r"(?:,| and )+", phrase.strip())
+        if t.strip().strip("'\"")
+    ]
 
 # Text-bearing column names the operator-backed intents recognize.
 _TEXT_COLS = ("text", "body", "content")
@@ -585,5 +608,48 @@ def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
         terms = m.group("terms").strip().strip("'\"").split()
         return bm25_topk(
             spark.table(table), id_col, text_col, terms, int(m.group("k"))
+        )
+    # boolean retrieval: 'documents containing X and Y [but not Z]' —
+    # dispatches to the certified F33 operator (inverted-index AND/NOT
+    # in one grouped conditional aggregate). Tried AFTER the bm25 form
+    # (both are '<table> <verb> <terms>' shapes; 'containing' is the
+    # boolean keyword, 'matching/about' the ranked one).
+    m = _BOOL_RE.match(q)
+    if m:
+        table, id_col, text_col = _text_table(m.group("table"), vocab)
+        from karna_spark.operators.retrieval import boolean_search
+
+        return boolean_search(
+            spark.table(table),
+            id_col,
+            text_col,
+            _split_terms(m.group("pos")),
+            _split_terms(m.group("neg")) if m.group("neg") else [],
+            k=int(m.group("k")) if m.group("k") else None,
+        )
+    # funnel / row-pattern: 'how many users did view then click then
+    # purchase [in events]' — the T19 family's skip-to subsequence
+    # semantics over the raw event-type arrays (operators/patterns.py;
+    # no symbol-alphabet assumption, so types sharing a first letter
+    # cannot collide).
+    m = _FUNNEL_RE.match(q)
+    if m:
+        table = resolve_table(m.group("table") or "events", vocab)
+        cols = vocab.table_columns[table]
+        for need in ("user_id", "event_type", "ts"):
+            if need not in cols:
+                raise NLError(
+                    f"the funnel intent needs {need!r} on {table} "
+                    f"(found {cols})"
+                )
+        from karna_spark.operators.patterns import funnel_user_count
+
+        order = ("ts", "event_id") if "event_id" in cols else ("ts",)
+        return funnel_user_count(
+            spark.table(table),
+            m.group("steps").split(" then "),
+            entity_col="user_id",
+            type_col="event_type",
+            order_cols=order,
         )
     return spark.sql(to_sql(question, vocab))

@@ -105,3 +105,61 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def boolean_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    must: list[str],
+    must_not: list[str] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """F33 as a reusable operator: conjunctive boolean retrieval —
+    every ``must`` term present, no ``must_not`` term present, ranked
+    by summed term frequency. One certified implementation, two
+    surfaces (the `text_boolean_search` driver query and the NL
+    front-end's "<table> containing X and Y but not Z" intent).
+
+    The plan IS an inverted index consulted at query time: tokenize,
+    keep ONLY postings for the query's terms (the filter sits under
+    the shuffle — shuffle volume ∝ matched postings, not corpus
+    tokens), then ONE grouped conditional aggregate per doc resolves
+    AND / NOT / score together; the NOT terms ride the same pass as
+    zero-count predicates instead of a second anti-join scan.
+    Aggregate state is |matching docs| × (|must|+|must_not|) counters;
+    with ``k`` the order-by plans as TakeOrderedAndProject (id
+    tie-break — deterministic at any parallelism)."""
+    from karna_spark.operators.text import words
+
+    must = [t.lower() for t in must]
+    must_not = [t.lower() for t in (must_not or [])]
+    if not must:
+        raise ValueError("boolean_search needs at least one must-term")
+    allterms = must + must_not
+    toks = docs.select(
+        id_col,
+        F.explode(words(F.trim(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token").isin(*allterms))
+
+    def tf(term: str):
+        return F.sum((F.col("token") == term).cast("bigint")).cast("bigint")
+
+    hits = toks.groupBy(id_col).agg(
+        *[tf(t).alias(f"tf_{t}") for t in allterms]
+    )
+    cond = F.lit(True)
+    for t in must:
+        cond = cond & (F.col(f"tf_{t}") > 0)
+    for t in must_not:
+        cond = cond & (F.col(f"tf_{t}") == 0)
+    score = None
+    for t in must:
+        score = F.col(f"tf_{t}") if score is None else score + F.col(f"tf_{t}")
+    out = hits.filter(cond).select(
+        id_col,
+        *[F.col(f"tf_{t}") for t in must],
+        score.cast("bigint").alias("score"),
+    )
+    out = out.orderBy(F.col("score").desc(), F.col(id_col))
+    return out.limit(k) if k is not None else out

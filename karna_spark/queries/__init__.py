@@ -60,58 +60,49 @@ from karna_spark.queries import (  # noqa: F401,E402
 #      added (precedent: the r8 retirement of the four rows-only
 #      dedup/similarity twins).
 #
-# Round 11 executes the r10 verdict's post-round reorder. Head =
-# (a) the r11-born rows (HTML main-content extraction, partition-spec
-# evolution, sequence pattern detection, boolean retrieval, global
-# shuffle), (b) the queries whose operators materially changed with
-# the r10 ADVICE fixes (snapshots _widest/redact type lattice → the
-# evolution read path; the memory-derived MinHash chunk budget), then
-# (c) the EDF-obligatory stale cohorts: all 24 r6 rows (deadline r11)
-# followed by the first r7 rows in registry order up to slot 50; the
-# r7 remainder leads r12's (c) head. rotation_check.py verifies floor
-# + EDF feasibility against this order.
+# Round 12 executes the r11 verdict's post-round reorder. Head =
+# (a) the r12-born rows (multi-field transform partition specs S30b,
+# branch WAP / rollback / history-audit driver rows for the formerly
+# pytest-only storage verbs S26/S34/S35, the Avro OCF round trip, and
+# the two operator-backed NL intents), (b) the queries whose operators
+# materially changed with the r11 ADVICE fixes (stats_agg explicit
+# result schema, merge source pinning + reserved count alias, and the
+# S30 machinery generalized to composite specs), then (c) the
+# EDF-obligatory stale cohorts: all 32 r7 rows (deadline r12) followed
+# by the first 8 r8 rows in registry order; the r8 remainder leads
+# r13's (c) head. rotation_check.py verifies floor + EDF feasibility
+# against this order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the r11-born rows: HTML→text main-content extraction (F32,
-    # operators/html.py), the partition-spec evolution lifecycle (S30,
-    # io/snapshots.py:repartition_spec), sequence pattern detection
-    # (T19), inverted-index boolean retrieval (F33), and the
-    # deterministic global corpus shuffle (O13).
-    "text_html_extract", "snapshot_partition_evolution",
-    "events_pattern_match", "text_boolean_search",
-    "sample_global_shuffle", "snapshot_equality_delete_read",
+    # (a) the r12-born rows:
+    "snapshot_multifield_spec", "snapshot_branch_wap",
+    "snapshot_rollback_read", "snapshot_history_audit",
+    "source_avro_roundtrip", "frontend_nl_boolean_search",
+    "frontend_nl_funnel",
+    # (b) materially changed this round (io/snapshots.py r11 ADVICE
+    # fixes + composite-spec generalization of the write/read paths):
     "snapshot_stats_agg_pushdown", "snapshot_merge_into",
-    "text_quality_classifier",
-    # (b) materially changed this round — the r10 ADVICE fixes touch
-    # the evolved-read type lattice (_widest int/decimal) and redact's
-    # manifest repoint (io/snapshots.py), and the MinHash kernel's
-    # chunk cap became memory-budget-derived (operators/dedup.py):
-    "snapshot_schema_evolution", "dedup_incremental_minhash",
-    # (c) the 24 r6-stale rows (deadline r11), registry order:
-    "text_lang_id", "text_repetition_filter",
-    "sample_temperature_by_lang", "text_unigram_logprob",
-    "text_chunk_documents", "text_sequence_packing",
-    "pipeline_training_corpus", "dedup_exact_stats",
-    "dedup_minhash_lsh", "dedup_simhash_md5_pairs",
-    "dedup_semantic_assign", "dedup_semantic_keep",
-    "dedup_shared_ngrams", "vector_ops", "similarity_topk_bruteforce",
-    "similarity_lsh_recall", "similarity_ivf_recall",
-    "similarity_pq_recall", "frontend_graphql_filter_join",
-    "frontend_nl_dynamic_view", "frontend_graphql_dynamic_rel",
-    "source_time_travel", "streaming_foreachbatch_upsert",
-    "join_interval_overlap",
-    # (c) the first 22 r7 rows fill the remaining slots; the other
-    # 25 r7 rows lead r12's (c) head:
-    "join_null_safe_eq", "agg_hll_mergeable_rollup",
-    "agg_theta_set_algebra", "agg_kll_quantile_rollup",
-    "agg_topk_sketch_merge", "events_session_length_histogram",
-    "window_distribution_ranks", "multimodal_metadata",
-    "multimodal_decode_pipeline", "sample_weighted_pps",
-    "sample_top_p_by_lang", "text_train_val_test_split",
-    "dedup_containment", "dedup_cluster_keep_best",
-    "text_ngram_novelty", "source_csv_roundtrip",
-    "source_tsv_roundtrip", "source_multifile_glob",
-    "source_partitioned_layout", "sink_result_page",
-    "source_bucketed_join", "source_cdc_apply",
+    "snapshot_partition_evolution",
+    # (c) the 32 r7-stale rows (deadline r12), registry order:
+    "source_csv_roundtrip", "source_tsv_roundtrip",
+    "source_multifile_glob", "source_partitioned_layout",
+    "sink_result_page", "source_bucketed_join", "source_cdc_apply",
+    "source_jsonl_roundtrip", "source_orc_roundtrip",
+    "streaming_snapshot_rollup", "events_cohort_retention",
+    "scd2_dimension_build", "timeseries_twap", "agg_linear_regression",
+    "agg_equidepth_histogram", "zorder_layout_stats",
+    "events_transition_matrix", "agg_sketch_accuracy_gate",
+    "timeseries_ohlc", "events_rfm_segmentation",
+    "basket_affinity_lift", "profile_table_stats",
+    "events_longest_streak", "events_attribution_last_touch",
+    "events_path_mining", "agg_yoy_growth", "agg_abc_pareto",
+    "orders_backlog_timeline", "events_dau_wau",
+    "dq_referential_integrity", "events_winsorized_stats",
+    "dq_k_anonymity",
+    # (c) the first 8 r8 rows fill the remaining slots; the other 35
+    # r8 rows lead r13's (c) head:
+    "q11_important_parts", "sample_systematic",
+    "agg_approx_count_distinct", "agg_grouping_sets", "agg_listagg",
+    "agg_count_if_bool", "unpivot_melt", "explode_posexplode",
 )
 
 

@@ -561,3 +561,86 @@ def frontend_nl_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _fixtures(spark, sf_dir)
     return ask(spark, "find near-duplicate documents")
+
+
+# ------------------------------------------------- NL: boolean retrieval
+@register_query(
+    "frontend_nl_boolean_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN token = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector,
+             CAST(SUM(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream,
+             CAST(SUM(CASE WHEN token = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf_filter,
+             CAST(SUM(CASE WHEN token = 'slow'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_slow
+      FROM toks
+      WHERE token IN ('vector', 'stream', 'filter', 'slow')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, tf_vector, tf_stream, tf_filter,
+           tf_vector + tf_stream + tf_filter AS score
+    FROM hits
+    WHERE tf_vector > 0 AND tf_stream > 0 AND tf_filter > 0 AND tf_slow = 0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    tags="V1 F33",
+)
+def frontend_nl_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent (r11 verdict item 9):
+    'top 20 documents containing vector and stream and filter but not
+    slow' dispatches to the certified F33 boolean-retrieval operator
+    (operators/retrieval.py:boolean_search — inverted-index AND/NOT in
+    one grouped conditional aggregate, query-term filter under the
+    shuffle). Same oracle as `text_boolean_search`, now reached
+    through natural language: the exact search question a corpus
+    curator types at the console."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(
+        spark,
+        "top 20 documents containing vector and stream and filter "
+        "but not slow",
+    )
+
+
+# ------------------------------------------------- NL: funnel pattern
+@register_query(
+    "frontend_nl_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    )
+    SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM e a
+    JOIN e b ON b.user_id = a.user_id
+            AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+    JOIN e c ON c.user_id = b.user_id
+            AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+      AND c.event_type = 'purchase'
+    """,
+    tags="V1 T19 A9",
+)
+def frontend_nl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent (r11 verdict item 9):
+    'how many users did view then click then purchase' dispatches to
+    the sequence-pattern family (operators/patterns.py:
+    funnel_user_count) — subsequence containment with skip-to
+    semantics over per-user chronological event-type arrays, ONE
+    shuffle (the per-user collect) + a JVM-side fold, no k-way
+    self-join ladder and no symbol-alphabet assumption. The oracle
+    derives the same count through an ordered 3-way EXISTS join
+    (independent derivation of subsequence existence), so the hash
+    certifies the fold semantics, including same-timestamp
+    tie-breaking on event_id."""
+    from karna_spark.frontends.nl import ask
+    from karna_spark.queries.registry import table as _table
+
+    _fixtures(spark, sf_dir)
+    _table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return ask(spark, "how many users did view then click then purchase")

@@ -532,3 +532,191 @@ def test_graphql_skip_include_directives(fixtures):
         )
     with pytest.raises(GraphQLError, match="boolean 'if'"):
         translate(fixtures, "query { part { p_partkey @skip(if: 3) } }", flat=True)
+
+
+# -------------------------------------------------------- GraphQL mutations
+def test_graphql_mutation_register_and_query(fixtures, tmp_path):
+    """r11 verdict item 6: registerDataset via GraphQL MUTATION has
+    behavior parity with REST POST /datasets — same metastore record,
+    same immediate queryability through every front-end."""
+    from karna_spark.frontends.graphql import translate
+    from karna_spark.metastore import Metastore
+
+    fixtures.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.5)], "pid long, tag string, w double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "probes"))
+    ms = Metastore(str(tmp_path / "meta.json"))
+    out = translate(
+        fixtures,
+        f"""
+        mutation {{
+          registerDataset(name: "probes", path: "{tmp_path / 'probes'}",
+                          fmt: "parquet") {{ name registered path }}
+        }}
+        """,
+        metastore=ms,
+    ).collect()
+    assert out[0]["name"] == "probes" and out[0]["registered"] is True
+    # immediately queryable through the GraphQL READ surface
+    rows = translate(
+        fixtures,
+        "query { probes(orderBy: [{pid: ASC}]) { pid tag } }",
+    ).collect()
+    assert [r["pid"] for r in rows] == [1, 2]
+    # REST-path parity: the metastore record matches what POST
+    # /datasets would write (same register() call underneath)
+    rec = ms.get("probes")
+    assert rec is not None and rec.fmt == "parquet"
+    assert rec.path == str(tmp_path / "probes")
+    # a fresh metastore instance attaches it (durability)
+    ms2 = Metastore(str(tmp_path / "meta.json"))
+    assert [d.name for d in ms2.list()] == ["probes"]
+    fixtures.catalog.dropTempView("probes")
+
+
+def test_graphql_mutation_save_drop_and_errors(fixtures, tmp_path):
+    from karna_spark.frontends.graphql import GraphQLError, translate
+    from karna_spark.metastore import Metastore
+
+    ms = Metastore(str(tmp_path / "meta.json"))
+    out = translate(
+        fixtures,
+        'mutation { saveQuery(name: "q1", language: "sql", '
+        'query: "SELECT 1 AS one") { name saved } }',
+        metastore=ms,
+    ).collect()
+    assert out[0]["saved"] is True
+    assert ms.get_query("q1").text == "SELECT 1 AS one"
+    out = translate(
+        fixtures,
+        'mutation { dropQuery(name: "q1") { name dropped } }',
+        metastore=ms,
+    ).collect()
+    assert out[0]["dropped"] is True and ms.get_query("q1") is None
+    # variables bind in mutations exactly as in queries
+    fixtures.createDataFrame([(1,)], "x long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "v"))
+    out = translate(
+        fixtures,
+        'mutation Reg($p: String!) { registerDataset(name: "vds", '
+        "path: $p) { registered } }",
+        variables={"p": str(tmp_path / "v")},
+        metastore=ms,
+    ).collect()
+    assert out[0]["registered"] is True
+    out = translate(
+        fixtures,
+        'mutation { dropDataset(name: "vds") { dropped } }',
+        metastore=ms,
+    ).collect()
+    assert out[0]["dropped"] is True
+    fixtures.catalog.dropTempView("vds")
+    # errors: unknown mutation, missing args, unknown payload field,
+    # metastore-needing verbs without one
+    with pytest.raises(GraphQLError, match="unknown mutation"):
+        translate(fixtures, "mutation { frobnicate(name: \"x\") { name } }")
+    with pytest.raises(GraphQLError, match="needs 'name' and 'path'"):
+        translate(fixtures, "mutation { registerDataset(name: \"x\") { name } }")
+    with pytest.raises(GraphQLError, match="no payload field"):
+        translate(
+            fixtures,
+            'mutation { saveQuery(name: "q", query: "SELECT 1") { bogus } }',
+            metastore=ms,
+        )
+    with pytest.raises(GraphQLError, match="metastore"):
+        translate(fixtures, 'mutation { saveQuery(name: "q", query: "x") { name } }')
+
+
+def test_graphql_mutation_fk_edges_nest(fixtures, tmp_path):
+    """FK edges declared through the mutation nest in GraphQL reads —
+    the full register→relate→query cycle on one surface."""
+    from karna_spark.frontends.graphql import (
+        rel_schema_from_metastore,
+        translate,
+    )
+    from karna_spark.metastore import Metastore
+
+    fixtures.createDataFrame(
+        [(1, "north"), (2, "south")], "zone_id long, zone_name string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "zones2"))
+    fixtures.createDataFrame(
+        [(10, 1, 7.5), (12, 2, 4.0)],
+        "trip_id long, zone_id long, fare double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "trips2"))
+    ms = Metastore(str(tmp_path / "meta.json"))
+    translate(
+        fixtures,
+        f'mutation {{ registerDataset(name: "zones2", '
+        f'path: "{tmp_path / "zones2"}") {{ name }} }}',
+        metastore=ms,
+    ).collect()
+    translate(
+        fixtures,
+        f'mutation {{ registerDataset(name: "trips2", '
+        f'path: "{tmp_path / "trips2"}", foreignKeys: [{{column: '
+        f'"zone_id", refTable: "zones2", refColumn: "zone_id"}}]) '
+        f"{{ name registered }} }}",
+        metastore=ms,
+    ).collect()
+    rows = translate(
+        fixtures,
+        "query { trips2(orderBy: [{trip_id: ASC}]) "
+        "{ trip_id zones2 { zone_name } } }",
+        rel_schema=rel_schema_from_metastore(ms),
+    ).collect()
+    assert [(r["trip_id"], r["zones2"]["zone_name"]) for r in rows] == [
+        (10, "north"), (12, "south"),
+    ]
+    fixtures.catalog.dropTempView("zones2")
+    fixtures.catalog.dropTempView("trips2")
+
+
+# ------------------------------------------------- NL operator intents (r12)
+def test_nl_boolean_search_intent(fixtures):
+    from karna_spark.frontends.nl import ask
+
+    fixtures.createDataFrame(
+        [(1, "fast vector stream"), (2, "vector stream slow"),
+         (3, "vector only here")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("notes")
+    try:
+        rows = ask(
+            fixtures, "notes containing vector and stream but not slow"
+        ).collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["score"] == 2
+        # top-k form limits; without 'but not' no NOT terms
+        rows = ask(fixtures, "top 2 notes containing vector").collect()
+        assert [r["doc_id"] for r in rows] == [1, 2]
+    finally:
+        fixtures.catalog.dropTempView("notes")
+
+
+def test_nl_funnel_intent(fixtures):
+    from karna_spark.frontends.nl import NLError, ask
+
+    fixtures.createDataFrame(
+        [
+            (1, 100, "view", 1.0), (2, 100, "click", 2.0),
+            (3, 100, "purchase", 3.0),
+            (4, 200, "view", 1.0), (5, 200, "purchase", 2.0),
+            (6, 300, "click", 1.0), (7, 300, "view", 2.0),
+            (8, 300, "error", 3.0), (9, 300, "click", 4.0),
+            (10, 300, "purchase", 5.0),
+        ],
+        "event_id long, user_id long, event_type string, ts double",
+    ).createOrReplaceTempView("clicks")
+    try:
+        n = ask(
+            fixtures,
+            "how many users did view then click then purchase in clicks",
+        ).collect()
+        # user 100 (contiguous) and 300 (with gaps) match; 200 lacks click
+        assert n[0]["n_users"] == 2
+        # a table without the event columns refuses loudly
+        with pytest.raises(NLError, match="funnel intent"):
+            ask(fixtures, "how many users did view then click in region")
+    finally:
+        fixtures.catalog.dropTempView("clicks")

@@ -193,6 +193,12 @@ _SLOW_BUILDERS = {
     # build) and the GD trainer (6 iterations, 1 collect each)
     "snapshot_equality_delete_read", "snapshot_stats_agg_pushdown",
     "snapshot_merge_into", "text_quality_classifier",
+    # r12: store-lifecycle builders (commit + respec/branch/rollback/
+    # history ops at build) and the Avro sink (encodes containers at
+    # build before the source plan exists)
+    "snapshot_multifield_spec", "snapshot_branch_wap",
+    "snapshot_rollback_read", "snapshot_history_audit",
+    "source_avro_roundtrip",
 }
 
 
