@@ -111,6 +111,12 @@ HEADLINE = [
     # the per-iteration cost is the number to watch (the BPE/k-means
     # iteration contract applied to model training)
     "text_quality_classifier",
+    # r12: the composite transform-spec lifecycle (commit → respec to
+    # bucket+truncate → mixed-spec MOR upsert → migration compact →
+    # prune_keys scan + spec_key point read) — the S30b write path's
+    # cost anchor, dominated like the other snapshot lifecycles by
+    # many small commits (local fixed cost, not data-scale work)
+    "snapshot_multifield_spec",
 ]
 
 
@@ -333,8 +339,14 @@ def main() -> None:
     # still contended after retries is kept but named in the JSON so
     # round-over-round diffs can exclude it instead of chasing a
     # phantom regression.
+    # Threshold: 1.5× the quiet baseline with a small absolute jitter
+    # floor. (First r12 run taught the calibration: a +0.25 floor on a
+    # 0.16 s baseline let ~2.2× probe readings pass as quiet while the
+    # whole run sat in a host wave — the floor exists only to absorb
+    # scheduler jitter, so it must stay well under the ~2× wave
+    # signature.)
     probe_baseline = min(pyloop_probe() for _ in range(3))
-    probe_thresh = max(probe_baseline * 1.6, probe_baseline + 0.25)
+    probe_thresh = max(probe_baseline * 1.5, probe_baseline + 0.1)
     probes: dict[str, list[float]] = {}
     contended_anchors: set[str] = set()
     n_retries = 0
