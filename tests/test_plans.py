@@ -665,3 +665,49 @@ def test_runtime_bloom_filter_injected_and_confs_restored(spark):
         )
         == "10GB"
     )
+
+
+def test_nl_funnel_single_shuffle_no_join_ladder(spark):
+    """r12: the funnel intent's plan must be the one-shuffle form —
+    per-user collect + JVM-side fold — not the k-way self-join ladder
+    a 3-step funnel naively plans (which would shuffle the events
+    table 3 times and explode at 100 TB)."""
+    from karna_spark.operators.patterns import funnel_user_count
+    from karna_spark.queries.registry import table
+
+    df = funnel_user_count(
+        table(spark, SF, "events"), ["view", "click", "purchase"]
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "Join" not in plan, plan
+    # one data-scale exchange (user groupBy) + the 1-row final agg's
+    # single-partition exchange
+    assert plan.count("Exchange") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_boolean_search_term_filter_under_shuffle(spark):
+    """r12: boolean retrieval keeps the query-term filter BELOW the
+    per-doc aggregate exchange (shuffle volume ∝ matched postings, not
+    corpus tokens) and resolves AND/NOT/score in ONE aggregate; the
+    top-k form plans as TakeOrderedAndProject, never a global sort."""
+    from karna_spark.operators.retrieval import boolean_search
+    from karna_spark.queries.registry import table
+
+    df = boolean_search(
+        table(spark, SF, "documents"), "doc_id", "text",
+        ["vector", "stream"], ["slow"], k=10,
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert plan.count("Exchange") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the isin() term filter sits below the exchange in the plan tree
+    # (printed after it in simple mode's top-down rendering)
+    exch = plan.index("Exchange")
+    assert "vector" in plan[exch:], plan
