@@ -95,9 +95,21 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.graphql:
-            from karna_spark.frontends.graphql import translate
+            from karna_spark.frontends.graphql import (
+                rel_schema_from_metastore,
+                translate,
+            )
 
-            df = translate(spark, args.query)
+            # --metastore rides along: mutations are durable and FK
+            # edges nest, matching the HTTP route's behavior
+            df = translate(
+                spark,
+                args.query,
+                rel_schema=(
+                    rel_schema_from_metastore(ms) if ms else None
+                ),
+                metastore=ms,
+            )
         elif args.nl:
             from karna_spark.frontends.nl import ask
 

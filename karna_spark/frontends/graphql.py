@@ -489,11 +489,19 @@ def _translate_mutation(
         # FK edges in metastore triple form [fk_col, parent_table,
         # parent_col] — accepts GraphQL object fields or plain triples
         # (the REST body shape), so both surfaces feed the same record
-        fks = [
-            f if isinstance(f, (list, tuple))
-            else [f["column"], f.get("refTable"), f.get("refColumn")]
-            for f in (args.get("foreignKeys") or [])
-        ]
+        fks = []
+        for f in args.get("foreignKeys") or []:
+            if isinstance(f, (list, tuple)):
+                fks.append(list(f))
+            elif isinstance(f, dict) and "column" in f:
+                fks.append(
+                    [f["column"], f.get("refTable"), f.get("refColumn")]
+                )
+            else:
+                raise GraphQLError(
+                    "each foreignKeys entry needs {column, refTable, "
+                    "refColumn}" + f" (got {f!r})"
+                )
         if metastore is not None:
             metastore.register(
                 spark, ds, path, fmt=args.get("fmt"), foreign_keys=fks

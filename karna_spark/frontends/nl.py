@@ -507,10 +507,13 @@ _FUNNEL_RE = re.compile(
 
 
 def _split_terms(phrase: str) -> list[str]:
-    """'vector and stream' / 'vector, stream' → ['vector', 'stream']"""
+    """'vector and stream' / 'vector, stream' → ['vector', 'stream'].
+    The connector split is case-insensitive like the intent regexes
+    that feed it — 'vector AND stream' must split, not silently become
+    one never-matching term."""
     return [
         t.strip().strip("'\"")
-        for t in re.split(r"(?:,| and )+", phrase.strip())
+        for t in re.split(r"(?i)(?:,| and )+", phrase.strip())
         if t.strip().strip("'\"")
     ]
 
@@ -645,9 +648,12 @@ def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
         from karna_spark.operators.patterns import funnel_user_count
 
         order = ("ts", "event_id") if "event_id" in cols else ("ts",)
+        # the step split is case-insensitive like the intent regex
+        # ('view Then click' must split); step VALUES keep their case —
+        # they compare against data
         return funnel_user_count(
             spark.table(table),
-            m.group("steps").split(" then "),
+            re.split(r"(?i) then ", m.group("steps")),
             entity_col="user_id",
             type_col="event_type",
             order_cols=order,

@@ -1579,7 +1579,6 @@ class SnapshotStore:
         prev_doc = self._manifest_doc(prev_v)
         prev = prev_doc["partitions"]
         cur = self._cur_spec(prev_doc)
-        pc_l = self._logical_of(prev_doc, cur)
         if partition_values is None:
             vals = sorted(prev)
         else:

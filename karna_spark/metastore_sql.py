@@ -59,7 +59,15 @@ def connect(dsn: str):
     if dsn.startswith("sqlite:///"):
         import sqlite3
 
-        return sqlite3.connect(dsn[len("sqlite:///"):]), "qmark"
+        # check_same_thread off: the server front-end handles requests
+        # on per-request threads (ThreadingHTTPServer), and sqlite's
+        # default same-thread guard would 500 every catalog POST; the
+        # store serializes its own writes (SqlMetastore._lock), which
+        # is the discipline sqlite actually needs
+        return (
+            sqlite3.connect(dsn[len("sqlite:///"):], check_same_thread=False),
+            "qmark",
+        )
     if dsn.startswith(("postgresql://", "postgres://")):
         try:
             import psycopg2  # type: ignore[import-not-found]
@@ -80,8 +88,13 @@ class SqlMetastore(Metastore):
     or ``"format"`` (psycopg)."""
 
     def __init__(self, conn, paramstyle: str = "qmark"):
+        import threading
+
         self._conn = conn
         self._ph = "?" if paramstyle == "qmark" else "%s"
+        # one writer at a time: the server front-end calls through
+        # per-request threads, and flush is a whole-set rewrite
+        self._lock = threading.Lock()
         self.store_path = f"sql:{type(conn).__module__}"
         self._records = {}
         self._queries = {}
@@ -119,6 +132,10 @@ class SqlMetastore(Metastore):
             )
 
     def _flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         ph = self._ph
         cur = self._conn.cursor()
         try:

@@ -64,5 +64,11 @@ def funnel_user_count(
     )
     return (
         seqs.select((cursor == F.lit(n)).alias("hit"))
-        .agg(F.sum(F.col("hit").cast("bigint")).cast("bigint").alias("n_users"))
+        # coalesce: sum over ZERO groups (empty events frame) is NULL,
+        # but a count's contract is 0
+        .agg(
+            F.coalesce(
+                F.sum(F.col("hit").cast("bigint")), F.lit(0)
+            ).cast("bigint").alias("n_users")
+        )
     )

@@ -132,10 +132,19 @@ def boolean_search(
     tie-break — deterministic at any parallelism)."""
     from karna_spark.operators.text import words
 
-    must = [t.lower() for t in must]
-    must_not = [t.lower() for t in (must_not or [])]
+    # dedupe preserving order: a repeated term would alias two
+    # aggregate columns to the same tf_<term> name (ambiguous
+    # reference); a term in both polarities is contradictory — refuse
+    must = list(dict.fromkeys(t.lower() for t in must))
+    must_not = list(dict.fromkeys(t.lower() for t in (must_not or [])))
     if not must:
         raise ValueError("boolean_search needs at least one must-term")
+    clash = sorted(set(must) & set(must_not))
+    if clash:
+        raise ValueError(
+            f"terms in both must and must-not: {clash} (the query can "
+            "never match)"
+        )
     allterms = must + must_not
     toks = docs.select(
         id_col,

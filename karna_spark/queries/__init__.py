@@ -79,9 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     "source_avro_roundtrip", "frontend_nl_boolean_search",
     "frontend_nl_funnel",
     # (b) materially changed this round (io/snapshots.py r11 ADVICE
-    # fixes + composite-spec generalization of the write/read paths):
+    # fixes + composite-spec generalization of the write/read paths;
+    # text_boolean_search refactored onto the shared F33 operator):
     "snapshot_stats_agg_pushdown", "snapshot_merge_into",
-    "snapshot_partition_evolution",
+    "snapshot_partition_evolution", "text_boolean_search",
     # (c) the 32 r7-stale rows (deadline r12), registry order:
     "source_csv_roundtrip", "source_tsv_roundtrip",
     "source_multifile_glob", "source_partitioned_layout",
@@ -98,11 +99,11 @@ _PRIORITY: tuple[str, ...] = (
     "orders_backlog_timeline", "events_dau_wau",
     "dq_referential_integrity", "events_winsorized_stats",
     "dq_k_anonymity",
-    # (c) the first 8 r8 rows fill the remaining slots; the other 35
+    # (c) the first 7 r8 rows fill the remaining slots; the other 36
     # r8 rows lead r13's (c) head:
     "q11_important_parts", "sample_systematic",
     "agg_approx_count_distinct", "agg_grouping_sets", "agg_listagg",
-    "agg_count_if_bool", "unpivot_melt", "explode_posexplode",
+    "agg_count_if_bool", "unpivot_melt",
 )
 
 

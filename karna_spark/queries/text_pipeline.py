@@ -2802,41 +2802,18 @@ def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings live in the J13 posting-list table; at 100 TB the only
     data-scale work is the token scan, and the aggregate state is
     |matching docs| × 4 counters."""
-    from karna_spark.operators.text import words
+    from karna_spark.operators.retrieval import boolean_search
 
-    toks = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(words(F.trim(F.col("text")))).alias("token"))
-        .filter(F.col("token").isin("vector", "stream", "filter", "slow"))
-    )
-
-    def tf(term: str) -> Column:
-        return F.sum((F.col("token") == term).cast("bigint")).cast("bigint")
-
-    hits = toks.groupBy("doc_id").agg(
-        tf("vector").alias("tf_vector"),
-        tf("stream").alias("tf_stream"),
-        tf("filter").alias("tf_filter"),
-        tf("slow").alias("tf_slow"),
-    )
-    return (
-        hits.filter(
-            (F.col("tf_vector") > 0)
-            & (F.col("tf_stream") > 0)
-            & (F.col("tf_filter") > 0)
-            & (F.col("tf_slow") == 0)
-        )
-        .select(
-            "doc_id",
-            "tf_vector",
-            "tf_stream",
-            "tf_filter",
-            (F.col("tf_vector") + F.col("tf_stream") + F.col("tf_filter")).alias(
-                "score"
-            ),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
+    # one certified implementation, two surfaces (r12): this driver
+    # row and the NL "containing X and Y but not Z" intent both call
+    # the operator — the inline copy it was extracted from is gone
+    return boolean_search(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["vector", "stream", "filter"],
+        ["slow"],
+        k=20,
     )
 
 

@@ -131,7 +131,11 @@ def _run_query(spark: SparkSession, body: dict, metastore=None) -> DataFrame:
         from karna_spark.frontends.graphql import rel_schema_from_metastore, translate
 
         rel = rel_schema_from_metastore(metastore) if metastore is not None else None
-        return translate(spark, query, rel_schema=rel)
+        # the metastore rides along so GraphQL MUTATIONS over HTTP are
+        # durable — REST POST /datasets parity (a registerDataset that
+        # silently skipped the store would report success and persist
+        # nothing)
+        return translate(spark, query, rel_schema=rel, metastore=metastore)
     if language == "nl":
         from karna_spark.frontends.nl import ask
 

@@ -720,3 +720,94 @@ def test_nl_funnel_intent(fixtures):
             ask(fixtures, "how many users did view then click in region")
     finally:
         fixtures.catalog.dropTempView("clicks")
+
+
+# ----------------------------------------------- r12 review-fix regressions
+def test_nl_intents_case_insensitive_connectors(fixtures):
+    """(?i) intent regexes must pair with (?i) connector splits —
+    'vector AND stream' / 'view Then click' must parse, not silently
+    become one never-matching term/step."""
+    from karna_spark.frontends.nl import ask
+
+    fixtures.createDataFrame(
+        [(1, "fast vector stream")], "doc_id long, text string"
+    ).createOrReplaceTempView("notes_ci")
+    fixtures.createDataFrame(
+        [(1, 100, "view", 1.0), (2, 100, "click", 2.0)],
+        "event_id long, user_id long, event_type string, ts double",
+    ).createOrReplaceTempView("clicks_ci")
+    try:
+        rows = ask(fixtures, "notes_ci containing vector AND stream").collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        n = ask(
+            fixtures, "how many users did view Then click in clicks_ci"
+        ).collect()
+        assert n[0]["n_users"] == 1
+    finally:
+        fixtures.catalog.dropTempView("notes_ci")
+        fixtures.catalog.dropTempView("clicks_ci")
+
+
+def test_boolean_search_dup_and_clashing_terms(fixtures):
+    """A repeated term must not alias two tf_<term> columns (ambiguous
+    reference); a term in both polarities is refused."""
+    import pytest as _pytest
+
+    from karna_spark.operators.retrieval import boolean_search
+
+    df = fixtures.createDataFrame(
+        [(1, "vector vector stream")], "doc_id long, text string"
+    )
+    rows = boolean_search(df, "doc_id", "text", ["vector", "vector"]).collect()
+    assert rows[0]["tf_vector"] == 2 and rows[0]["score"] == 2
+    with _pytest.raises(ValueError, match="both must and must-not"):
+        boolean_search(df, "doc_id", "text", ["vector"], ["vector"])
+
+
+def test_funnel_empty_frame_counts_zero(fixtures):
+    from karna_spark.operators.patterns import funnel_user_count
+
+    empty = fixtures.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts double"
+    )
+    assert funnel_user_count(empty, ["view", "click"]).collect()[0][
+        "n_users"
+    ] == 0
+
+
+def test_http_graphql_mutation_is_durable(fixtures, tmp_path):
+    """The server's graphql route passes its metastore into
+    translate(): a registerDataset over HTTP persists the record —
+    REST POST /datasets parity (the review found it silently dropped
+    the store)."""
+    from karna_spark.metastore import Metastore
+    from karna_spark.server import _run_query
+
+    fixtures.createDataFrame([(1, "x")], "pid long, tag string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "httpds"))
+    ms = Metastore(str(tmp_path / "meta.json"))
+    _run_query(
+        fixtures,
+        {
+            "language": "graphql",
+            "query": (
+                f'mutation {{ registerDataset(name: "httpds", '
+                f'path: "{tmp_path / "httpds"}") {{ registered }} }}'
+            ),
+        },
+        ms,
+    ).collect()
+    assert Metastore(str(tmp_path / "meta.json")).get("httpds") is not None
+    # saveQuery over the same route reaches the attached store too
+    _run_query(
+        fixtures,
+        {
+            "language": "graphql",
+            "query": 'mutation { saveQuery(name: "hq", language: "sql", '
+                     'query: "SELECT 2 AS two") { saved } }',
+        },
+        ms,
+    ).collect()
+    assert ms.get_query("hq").text == "SELECT 2 AS two"
+    fixtures.catalog.dropTempView("httpds")
