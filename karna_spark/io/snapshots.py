@@ -3006,6 +3006,7 @@ class SnapshotStore:
         version: int | None = None,
         partition_values: list[str] | None = None,
         where: tuple[str, object, object] | None = None,
+        where_eq: "tuple[str, object] | None" = None,
         tag: str | None = None,
         as_of: float | None = None,
         _keep_hidden: bool = False,
@@ -3033,6 +3034,13 @@ class SnapshotStore:
         fold a large accumulated set into the data with
         :meth:`compact`, which reads through the deletes and clears
         the fully-rewritten entries.
+
+        ``where_eq=(field, value)`` is the PARTITION-pruning path for
+        equality predicates (S30b): the predicate is evaluated against
+        every spec epoch's layout — identity, bucket, truncate
+        transforms included — so only consistent directories are
+        scanned (see :meth:`prune_keys`), with a residual row filter
+        keeping the result exact.
 
         ``where=(col, lo, hi)`` is the manifest-stat data-skipping
         path for NON-partition columns (Iceberg-style): partitions
@@ -3074,6 +3082,17 @@ class SnapshotStore:
         cm = doc.get("colmap")
         if partition_values is not None:
             manifest = {k: manifest[k] for k in partition_values}
+        if where_eq is not None:
+            # S30b automatic equality pruning: evaluate the predicate
+            # against every spec epoch's layout (identity / bucket /
+            # truncate transforms — :meth:`prune_keys`), keep only
+            # consistent directories, and apply the residual filter
+            # below. The caller writes ``where_eq=("k", 42)`` and the
+            # engine prunes at manifest level — Iceberg's scan-planning
+            # behavior, no manual key construction.
+            ecol, eval_ = where_eq
+            keep = set(self.prune_keys(ecol, eval_, version=v))
+            manifest = {k: pv for k, pv in manifest.items() if k in keep}
         if where is not None:
             wcol, lo, hi = where
             # stats are keyed by PHYSICAL column names (computed from
@@ -3269,4 +3288,8 @@ class SnapshotStore:
                 out = out.drop("_rv", "_rid")
         if where is not None:
             out = out.filter(F.col(where[0]).between(where[1], where[2]))
+        if where_eq is not None:
+            # residual exactness: pruning only drops directories that
+            # CANNOT hold the value; kept ones still filter row-level
+            out = out.filter(F.col(where_eq[0]) == F.lit(where_eq[1]))
         return out

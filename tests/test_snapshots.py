@@ -2956,3 +2956,45 @@ def test_composite_spec_rename_source_still_writes(spark, tmp_path):
     got1 = [(r["doc_id"], r["val"])
             for r in store.read(spark, partition_values=[key]).collect()]
     assert got1 == [(5, 50)]
+
+
+def test_where_eq_prunes_through_transform_specs(spark, tmp_path):
+    """S30b automatic equality pruning: read(where_eq=(field, value))
+    evaluates the predicate against every spec epoch's transforms and
+    scans only consistent directories — the engine-side form of
+    prune_keys (no manual key construction), exact via the residual
+    row filter."""
+    import zlib
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "b", 20), (17, "b", 30)]))
+    store.repartition_spec(["p", "bucket(4, k)"])
+    store.upsert(spark, _mk(spark, [(5, "c", 50), (9, "c", 90)]), ["k"])
+    # single-col epoch key p=a/p=b + composite epoch keys for c
+    df = store.read(spark, where_eq=("k", 17))
+    files = df.inputFiles()
+    # k=17 lives in the OLD single-col spec — old dirs are kept
+    # conservatively (the old spec derives from p, not k), composite
+    # dirs whose bucket(k) mismatches are dropped
+    b17 = zlib.crc32(b"17") % 4
+    b5 = zlib.crc32(b"5") % 4
+    b9 = zlib.crc32(b"9") % 4
+    assert all(f"__sp2=c~{b5}" not in f or b5 == b17 for f in files)
+    assert all(f"__sp2=c~{b9}" not in f or b9 == b17 for f in files)
+    assert _rows(df) == [(17, "b", 30)]
+    # equality on a new-spec row: exactly the matching composite dir +
+    # the conservative old-spec dirs
+    df9 = store.read(spark, where_eq=("k", 9))
+    assert _rows(df9) == [(9, "c", 90)]
+    # after migration the whole table is composite: pruning on the
+    # bucket source now drops every non-matching directory
+    store.compact(spark)
+    df9m = store.read(spark, where_eq=("k", 9))
+    assert _rows(df9m) == [(9, "c", 90)]
+    keys = {f.split("/data/")[1].split("/")[0] for f in df9m.inputFiles()}
+    assert all(k.endswith(f"~{b9}") for k in keys), keys
+    # identity field prunes too (composite identity component)
+    dfc = store.read(spark, where_eq=("p", "c"))
+    keysc = {f.split("/data/")[1].split("/")[0] for f in dfc.inputFiles()}
+    assert all(k.startswith("__sp2=c~") for k in keysc), keysc
+    assert _rows(dfc) == [(5, "c", 50), (9, "c", 90)]
