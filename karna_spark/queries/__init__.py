@@ -99,12 +99,26 @@ _PRIORITY: tuple[str, ...] = (
     "orders_backlog_timeline", "events_dau_wau",
     "dq_referential_integrity", "events_winsorized_stats",
     "dq_k_anonymity",
-    # (c) the first 7 r8 rows fill the remaining slots; the other 36
-    # r8 rows lead r13's (c) head:
-    "q11_important_parts", "sample_systematic",
-    "agg_approx_count_distinct", "agg_grouping_sets", "agg_listagg",
-    "agg_count_if_bool", "unpivot_melt",
+    # (c) the first 7 r8 rows fill the remaining slots; the r8
+    # remainder leads r13's (c) head:
+    "q11_important_parts", "sample_systematic", "agg_grouping_sets",
+    "agg_listagg", "agg_count_if_bool", "unpivot_melt",
+    "explode_posexplode",
 )
+
+# r12 CONSOLIDATION (policy rule 4, pre-emptive — N was 226/240 with
+# EDF avg 19.7): eleven rows whose capability is strictly dominated by
+# certified supersets were retired — the primitive demonstrations
+# (projection/filter/distinct/sort/semi/anti) exercised by every TPC-H
+# row, window_ranking (⊂ window_distribution_ranks + topk_per_group),
+# text_token_counts (⊂ vocab/BM25/LM rows' exact token counting),
+# agg_approx_count_distinct (⊂ agg_sketch_accuracy_gate, which
+# certifies the same function AGAINST exact), dedup_semantic_assign
+# (its assignment is certified implicitly through
+# dedup_semantic_keep's winners; still plan-audited by direct import),
+# and similarity_threshold_search (⊂ topk_bruteforce + lsh_recall).
+# Every §2 tag they carried is multi-covered (tests/
+# test_survey_coverage.py stays green). N: 226 → 215.
 
 
 def _reorder() -> None:

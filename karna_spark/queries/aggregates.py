@@ -38,32 +38,6 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- A4
-@register_query(
-    "agg_approx_count_distinct",
-    oracle="""
-    SELECT
-      COUNT(DISTINCT o_custkey) AS exact_custkeys,
-      (ABS(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
-           - COUNT(DISTINCT o_custkey)) / COUNT(DISTINCT o_custkey)) < 0.1
-        AS approx_within_10pct
-    FROM orders
-    """,
-    tags="A4 A3",
-)
-def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: HyperLogLog++ cardinality. Each engine checks its own sketch
-    against its own exact count (sketches differ across engines by
-    design); the exact count itself is hash-compared."""
-    orders = table(spark, sf_dir, "orders")
-    exact = F.count_distinct("o_custkey")
-    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
-    return orders.agg(
-        exact.alias("exact_custkeys"),
-        ((F.abs(approx.cast("double") - exact) / exact) < 0.1).alias("approx_within_10pct"),
-    )
-
-
 # ---------------------------------------------------------------- A5
 @register_query(
     "agg_statistical",

@@ -349,23 +349,10 @@ _SQL_SEMDEDUP_ASSIGN = """
 """
 
 
-@register_query(
-    "dedup_semantic_assign",
-    oracle=_SQL_SEMDEDUP_ASSIGN
-    + """
-    , rep AS (
-      SELECT cid, vec_id,
-             row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS r
-      FROM asg
-    )
-    SELECT a.cid, COUNT(*) AS cluster_size,
-           MIN(r.vec_id) AS rep_id,
-           CAST(SUM(CAST(round(a.cos * 10000) AS BIGINT)) AS BIGINT) AS sum_cos_e4
-    FROM asg a JOIN rep r ON a.cid = r.cid AND r.r = 1
-    GROUP BY a.cid
-    """,
-    tags="J9 F8 J11",
-)
+# Retired from the driver registry in r12 (consolidation: the
+# assignment stage is certified implicitly by dedup_semantic_keep's
+# winners — a wrong assignment changes them). Still plan-audited in
+# tests/test_plans.py via direct import.
 def dedup_semantic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup stage 1 — nearest-centroid assignment (operators/
     semdedup.py): broadcast K=8 deterministic seed centroids, JVM-fold

@@ -21,83 +21,6 @@ from karna_spark.queries.parity import davg, dec, dsum, sql_davg, sql_dsum
 from karna_spark.queries.registry import register_query, table
 
 
-# ---------------------------------------------------------------- P1/P4/P5
-@register_query(
-    "projection_expressions",
-    oracle="""
-    SELECT
-      p_partkey,
-      upper(p_name) AS name_upper,
-      CAST(p_size AS DOUBLE) AS size_d,
-      CASE WHEN p_retailprice >= 1500 THEN 'premium'
-           WHEN p_retailprice >= 800  THEN 'standard'
-           ELSE 'budget' END AS price_band,
-      COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other,
-      ROUND(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 0.9 AS DOUBLE), 4) AS discounted
-    FROM part
-    """,
-    tags="P1 P4 P5",
-)
-def projection_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1/P4/P5: computed projections, CASE/COALESCE/NULLIF, explicit
-    casts. Narrow transform — no shuffle at any scale."""
-    part = table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.col("p_size").cast("double").alias("size_d"),
-        F.when(F.col("p_retailprice") >= 1500, "premium")
-        .when(F.col("p_retailprice") >= 800, "standard")
-        .otherwise("budget")
-        .alias("price_band"),
-        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("OTHER")).alias(
-            "brand_or_other"
-        ),
-        F.round((dec("p_retailprice") * F.lit(0.9).cast("decimal(8,2)")).cast("double"), 4).alias(
-            "discounted"
-        ),
-    )
-
-
-# ---------------------------------------------------------------- P2
-@register_query(
-    "filter_predicates",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
-    FROM orders
-    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-      AND o_totalprice BETWEEN 1000 AND 200000
-      AND o_orderstatus <> 'P'
-      AND (o_orderpriority LIKE '1-%' OR o_totalprice > 50000)
-      AND o_orderdate IS NOT NULL
-    """,
-    tags="P2",
-)
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: conjunctive/disjunctive predicates, BETWEEN/IN/LIKE/IS NULL.
-    All push down to the parquet scan (verify: PushedFilters in plan)."""
-    orders = table(spark, sf_dir, "orders")
-    return orders.filter(
-        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-        & F.col("o_totalprice").between(1000, 200000)
-        & (F.col("o_orderstatus") != "P")
-        & (F.col("o_orderpriority").like("1-%") | (F.col("o_totalprice") > 50000))
-        & F.col("o_orderdate").isNotNull()
-    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-
-
-# ---------------------------------------------------------------- P3
-@register_query(
-    "distinct_projection",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-    tags="P3",
-)
-def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: SELECT DISTINCT — hash-aggregate on the projected key; AQE
-    coalesces the post-shuffle partitions (125 distinct pairs)."""
-    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
-
-
 # ---------------------------------------------------------------- P6
 @register_query(
     "null_three_valued_logic",
@@ -231,55 +154,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- J3
-@register_query(
-    "join_semi",
-    oracle="""
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE EXISTS (
-      SELECT 1 FROM orders
-      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
-    )
-    """,
-    tags="J3",
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: EXISTS as a left-semi join — probe side streams, no row
-    duplication, orders side reduced to its join key (column pruning)."""
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name")
-
-
-# ---------------------------------------------------------------- J4
-@register_query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_mktsegment
-    FROM customer
-    WHERE NOT EXISTS (
-      SELECT 1 FROM orders
-      WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
-    )
-    """,
-    tags="J4",
-)
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: NOT EXISTS as left-anti — customers with no PENDING ('P')
-    order. (Deliberately NOT `NOT IN` — its NULL semantics differ; the
-    oracle pins the EXISTS formulation. The build side carries a status
-    filter because every fixture customer has *some* order — an
-    unfiltered anti join is structurally empty and proves nothing.)"""
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_mktsegment")
-
-
 # ---------------------------------------------------------------- J5
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RETIRED from the driver registry (r10 consolidation): strictly dominated by similarity_topk_bruteforce (J5 cross product as broadcast NLJ — the plan you want at scale). The builder stays for plan/bench/test surfaces.
@@ -320,29 +194,6 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_richer_customers"))
-    )
-
-
-# ---------------------------------------------------------------- O1
-@register_query(
-    "sort_multi_key",
-    oracle="""
-    SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 4) AS acctbal
-    FROM customer
-    ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey ASC
-    LIMIT 50
-    """,
-    tags="O1 O3",
-)
-def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1/O3: multi-key sort + limit → TakeOrderedAndProject (per-
-    partition top-k, then k-way merge on the driver — no global sort).
-    Unique-key tie-break keeps the set deterministic."""
-    return (
-        table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_nationkey", F.round("c_acctbal", 4).alias("acctbal"))
-        .orderBy(F.col("c_nationkey").asc(), F.col("acctbal").desc(), F.col("c_custkey").asc())
-        .limit(50)
     )
 
 

@@ -112,29 +112,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "text_token_counts",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-             AS re_tokens,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
-    FROM documents
-    """,
-    tags="F9",
-)
-def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: token counting — whitespace words, BPE-ish regex pieces,
-    chars/4 estimate."""
-    docs = table(spark, sf_dir, "documents")
-    tc = token_counts(F.col("text"))
-    return docs.select(
-        "doc_id",
-        tc["ws_tokens"].alias("ws_tokens"),
-        tc["re_tokens"].alias("re_tokens"),
-        tc["approx_bpe_tokens"].alias("approx_bpe_tokens"),
-    )
+
+
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,18 +183,10 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_query(
-    "similarity_threshold_search",
-    oracle="""
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
-    FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> 0
-      AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.15
-    """,
-    tags="F8 P2",
-)
+# Retired from the driver registry in r12 (consolidation: dominated
+# by similarity_topk_bruteforce + similarity_lsh_recall, which
+# certify the same scoring with recall gates). Kept as a library
+# surface.
 def similarity_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (radius) search: all corpus vectors with cosine ≥ 0.15 to
     one query vector — the filter-pushdown-friendly form of similarity

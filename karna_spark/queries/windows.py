@@ -17,39 +17,6 @@ from karna_spark.operators.sessionize import session_stats, sessionize_salted
 from karna_spark.queries.registry import register_query, table
 
 
-# ---------------------------------------------------------------- W1
-@register_query(
-    "window_ranking",
-    oracle="""
-    SELECT c_custkey, c_nationkey,
-           row_number()  OVER w AS rn,
-           rank()        OVER w AS rnk,
-           dense_rank()  OVER w AS drnk,
-           ntile(4)      OVER w AS quartile,
-           ROUND(percent_rank() OVER w, 4) AS prank
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
-    """,
-    tags="W1",
-)
-def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: the five ranking functions over one shared window spec (one
-    shuffle + one sort total)."""
-    cust = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
-    )
-    return cust.select(
-        "c_custkey",
-        "c_nationkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("prank"),
-    )
-
-
 # ---------------------------------------------------------------- W2
 @register_query(
     "window_offsets",

@@ -55,7 +55,6 @@ BNLJ_OK = {
     "agg_hll_mergeable_rollup",      # 1-row exact-count comparison side
     "agg_kll_quantile_rollup",       # 1-row exact-quantile comparison side
     "basket_affinity_lift",          # 1-row n_baskets marginal
-    "dedup_semantic_assign",         # K-row centroid table argmax probe
     "dq_k_anonymity",                # 1-row total-rows denominator
     "dq_referential_integrity",      # 1-row totals frame
     "events_funnel_conversion",      # 1-row step-entry denominators
@@ -71,7 +70,6 @@ BNLJ_OK = {
     "sample_weighted_pps",           # 1-row total-weight scalar
     "similarity_ivf_incremental",    # 1-row recall denominator
     "similarity_lsh_recall",         # 1-row recall denominator
-    "similarity_threshold_search",   # 1-row query-vector frame
     "similarity_topk_bruteforce",    # 1-row query-vector frame
     "text_bigram_logprob",           # 1-row corpus-total frame
     "text_lang_id_classifier",       # |langs|x|bigrams| model build +

@@ -40,6 +40,12 @@ from karna_spark.queries.vectors import similarity_topk_lsh as _topk_lsh
 def _builder(name: str):
     if name == "similarity_topk_lsh":
         return _topk_lsh
+    if name == "dedup_semantic_assign":
+        # retired from the driver registry in r12 (certified implicitly
+        # through dedup_semantic_keep); the plan contract stays audited
+        from karna_spark.queries.dedup import dedup_semantic_assign
+
+        return dedup_semantic_assign
     return REGISTRY[name].builder
 
 
