@@ -1504,6 +1504,24 @@ def test_random_schema_evolution_interleavings_match_model(spark, tmp_path):
                 if aux is not None:
                     got_aux = {r["k"]: r["aux"] for r in rows}
                     assert got_aux == aux, f"seed={seed} v={v} aux"
+            # S30b pruning exactness under EVERY interleaving: an
+            # equality read on a spec SOURCE through the latest head
+            # (whose manifest may mix single-col and composite epochs)
+            # must return exactly the model's rows for that key —
+            # pruning may only drop directories, never rows.
+            latest = max(v for v in hist if v in retained)
+            vn, vals, _ = hist[latest]
+            probe_k = (min(vals) if vals else 1)
+            got_eq = sorted(
+                (r["k"], r[vn])
+                for r in store.read(
+                    spark, latest, where_eq=("k", probe_k)
+                ).collect()
+            )
+            want_eq = (
+                [(probe_k, vals[probe_k])] if probe_k in vals else []
+            )
+            assert got_eq == want_eq, f"seed={seed} where_eq v={latest}"
 
         for i_op in range(14):
             op = random.choice(
