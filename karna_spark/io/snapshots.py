@@ -46,6 +46,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from contextlib import contextmanager
+
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -53,6 +55,28 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+@contextmanager
+def _no_partition_inference(spark: "SparkSession"):
+    """Partition-type inference OFF for the enclosed scans (one shared
+    implementation — this save/disable/restore dance used to be
+    copy-pasted per call site): inference re-renders numeric-looking
+    string partition values ('00123' → 123 → '123'), so any path whose
+    values must round-trip the directory layout byte-exactly — which
+    is every snapshot-store scan — reads the RAW directory string and
+    casts to the declared type itself. try/finally: a scan error must
+    not leak the disabled conf session-wide."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -658,6 +682,34 @@ class SnapshotStore:
         retain the old pointer AND add the escaped-name key, serving
         that partition's rows twice)."""
         pc = spec_col if spec_col is not None else self.pc
+        # Partition-column type gate (same reasoning as composite-spec
+        # sources): manifest keys round-trip through Spark's directory
+        # rendering, and the store's own value rendering (str() in
+        # _affected_values / prune_keys) must agree with it byte-for-
+        # byte. That holds for int-like / string / date — NOT for
+        # boolean (str(True)='True' vs dir 'true'), floats (scientific
+        # notation), or timestamps (zone formatting): a mismatch makes
+        # upsert REPLACE instead of merge (silent row loss) and
+        # where_eq prune live partitions. Refuse loudly instead.
+        pfield = next((f for f in df.schema.fields if f.name == pc), None)
+        if pfield is not None:
+            from pyspark.sql.types import (
+                ByteType, DateType, IntegerType, ShortType,
+            )
+
+            if not isinstance(
+                pfield.dataType,
+                (ByteType, ShortType, IntegerType, LongType,
+                 StringType, DateType),
+            ):
+                raise ValueError(
+                    f"partition column {pc!r} has type "
+                    f"{pfield.dataType.simpleString()}; the snapshot "
+                    "store partitions by int-like / string / date "
+                    "columns (their canonical string rendering matches "
+                    "the directory layout — booleans/floats/timestamps "
+                    "do not)"
+                )
         if "_rv" in df.columns or "_rid" in df.columns:
             raise ValueError(
                 "column names _rv/_rid are reserved for the store's "
@@ -948,9 +1000,18 @@ class SnapshotStore:
         KB-scale delete file, no rewrite) — the Iceberg merge-on-read
         MERGE shape. The scan cost shrinks to zero as :meth:`compact`
         migrates the table to the current spec."""
-        v = self._claim_version()
+        # READ the base BEFORE claiming the version number (every
+        # writer's ordering): claiming first opens a window where a
+        # racer can claim+publish a HIGHER number, after which this
+        # write would base on the racer's head yet publish a LOWER
+        # version — passing the CAS pre-check (latest == base) and the
+        # post-check (which scans only w > base), landing durable but
+        # never served: a silently lost update no retry loop catches.
+        # Base-first, the racer's publish makes the CAS check fail
+        # loudly and with_commit_retries does its job.
         prev_v = self.latest_version()
         prev_doc = self._manifest_doc(prev_v)
+        v = self._claim_version()
         prev = prev_doc["partitions"]
         cur_spec = self._doc_specs(prev_doc)[-1]
         cur = cur_spec["col"]
@@ -1010,7 +1071,7 @@ class SnapshotStore:
             manifest,
             schema_json=merged.schema.json(),
             base_version=prev_v,
-            stats=self._inherit_stats(prev_v, manifest, written, v),
+            stats=self._inherit_stats(prev_v, manifest, written, v, prev_doc),
             deletes=deletes or None,
             colmap=cm,
             defaults=prev_doc.get("defaults"),
@@ -1060,29 +1121,22 @@ class SnapshotStore:
             ).first()
             if b["lo"] is not None:
                 where = (key_cols[0], b["lo"], b["hi"])
-        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        infer_old = spark.conf.get(infer_key, None)
-        spark.conf.set(infer_key, "false")
-        try:
-            matched = (
-                self.read(
-                    spark,
-                    version=prev_v,
-                    partition_values=old_keys,
-                    where=where,
-                    _keep_hidden=True,
-                    _with_pkey=True,
-                )
-                .join(F.broadcast(keys), key_cols, "left_semi")
-                .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
+        # read() disables partition-type inference for its own scans
+        # (the _pkey strings below round-trip the raw manifest keys)
+        matched = (
+            self.read(
+                spark,
+                version=prev_v,
+                partition_values=old_keys,
+                where=where,
+                _keep_hidden=True,
+                _with_pkey=True,
             )
-            ddir = self._ddir(v)
-            matched.coalesce(1).write.mode("overwrite").parquet(ddir)
-        finally:
-            if infer_old is None:
-                spark.conf.unset(infer_key)
-            else:
-                spark.conf.set(infer_key, infer_old)
+            .join(F.broadcast(keys), key_cols, "left_semi")
+            .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
+        )
+        ddir = self._ddir(v)
+        matched.coalesce(1).write.mode("overwrite").parquet(ddir)
         touched = sorted(
             r["_pval"]
             for r in spark.read.parquet(ddir)
@@ -1127,9 +1181,18 @@ class SnapshotStore:
         spec-evolved table, change rows whose keys live in OLD-spec
         partitions (including 'D' rows) are retired through a
         merge-on-read delete entry exactly as :meth:`upsert` does."""
-        v = self._claim_version()
+        # READ the base BEFORE claiming the version number (every
+        # writer's ordering): claiming first opens a window where a
+        # racer can claim+publish a HIGHER number, after which this
+        # write would base on the racer's head yet publish a LOWER
+        # version — passing the CAS pre-check (latest == base) and the
+        # post-check (which scans only w > base), landing durable but
+        # never served: a silently lost update no retry loop catches.
+        # Base-first, the racer's publish makes the CAS check fail
+        # loudly and with_commit_retries does its job.
         prev_v = self.latest_version()
         prev_doc = self._manifest_doc(prev_v)
+        v = self._claim_version()
         prev = prev_doc["partitions"]
         cur_spec = self._doc_specs(prev_doc)[-1]
         cur = cur_spec["col"]
@@ -1166,7 +1229,7 @@ class SnapshotStore:
             manifest,
             schema_json=merged.schema.json(),
             base_version=prev_v,
-            stats=self._inherit_stats(prev_v, manifest, written, v),
+            stats=self._inherit_stats(prev_v, manifest, written, v, prev_doc),
             deletes=deletes or None,
             colmap=cm,
             defaults=prev_doc.get("defaults"),
@@ -1313,23 +1376,29 @@ class SnapshotStore:
             .when(matched & update_c, F.lit("U"))
             .when(~matched & insert_c, F.lit("I"))
         )
+        # the CDC op rides a RESERVED name — a source column literally
+        # named 'op' would otherwise collide with the feed's op column
+        # and make every reference ambiguous (the same hazard the
+        # dup-check guards for 'count')
         feed = (
-            j.withColumn("op", op)
-            .filter(F.col("op").isNotNull())
+            j.withColumn("__merge_op", op)
+            .filter(F.col("__merge_op").isNotNull())
             # D rows carry the TARGET image (it holds the live
             # partition value apply_changes prunes by); I/U carry the
             # source image
             .select(
-                "op",
+                "__merge_op",
                 *[
                     F.when(
-                        F.col("op") == "D", F.col(f"__t_{c}")
+                        F.col("__merge_op") == "D", F.col(f"__t_{c}")
                     ).otherwise(F.col(f"__s_{c}")).alias(c)
                     for c in cols
                 ],
             )
         )
-        return self.apply_changes(spark, feed, key_cols, _op="merge")
+        return self.apply_changes(
+            spark, feed, key_cols, op_col="__merge_op", _op="merge"
+        )
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Merge-on-read row delete (S27 — Iceberg v2 position
@@ -1370,27 +1439,18 @@ class SnapshotStore:
         # directory string — exactly the manifest key — and a typed
         # user ``condition`` on it still works (Spark casts the
         # comparison).
-        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        infer_old = spark.conf.get(infer_key, None)
-        spark.conf.set(infer_key, "false")
-        try:
-            matched = (
-                self.read(
-                    spark,
-                    version=prev_v,
-                    _keep_hidden=True,
-                    _with_pkey=True,
-                )
-                .filter(condition)
-                .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
+        matched = (
+            self.read(
+                spark,
+                version=prev_v,
+                _keep_hidden=True,
+                _with_pkey=True,
             )
-            ddir = self._ddir(v)
-            matched.coalesce(1).write.mode("overwrite").parquet(ddir)
-        finally:
-            if infer_old is None:
-                spark.conf.unset(infer_key)
-            else:
-                spark.conf.set(infer_key, infer_old)
+            .filter(condition)
+            .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
+        )
+        ddir = self._ddir(v)
+        matched.coalesce(1).write.mode("overwrite").parquet(ddir)
         touched = sorted(
             r["_pval"]
             for r in spark.read.parquet(ddir).select("_pval").distinct().collect()
@@ -1498,10 +1558,22 @@ class SnapshotStore:
                     "one non-null key became NULL under the cast (it "
                     "would silently never match any row)"
                 )
+            if keys.filter(kc.isNull()).limit(1).count():
+                raise ValueError(
+                    "NULL equality-delete keys never match (the "
+                    "anti-join condition is null-valued); use "
+                    f"delete_where(spark, '{col} IS NULL') instead"
+                )
             kdf = keys.select(
                 kc.try_cast(names[col].dataType).alias(phys)
             ).distinct()
         else:
+            if any(k is None for k in keys):
+                raise ValueError(
+                    "NULL equality-delete keys never match (the "
+                    "anti-join condition is null-valued); use "
+                    f"delete_where(spark, '{col} IS NULL') instead"
+                )
             kdf = spark.createDataFrame(
                 [(k,) for k in keys],
                 StructType([StructField(phys, names[col].dataType, True)]),
@@ -1631,7 +1703,7 @@ class SnapshotStore:
             manifest,
             schema_json=prev_doc.get("schema") or df.schema.json(),
             base_version=prev_v,
-            stats=self._inherit_stats(prev_v, manifest, written, v),
+            stats=self._inherit_stats(prev_v, manifest, written, v, prev_doc),
             deletes=self._carry_deletes(prev_doc, set(vals)),
             colmap=cm,
             defaults=prev_doc.get("defaults"),
@@ -1828,21 +1900,13 @@ class SnapshotStore:
     def history_df(self, spark: SparkSession) -> DataFrame:
         """The :meth:`history` log as a DataFrame (the queryable
         metadata-table form — join it, filter it, feed dashboards)."""
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StringType,
-            StructField as SF_,
-            StructType as ST_,
-        )
-
-        schema = ST_([
-            SF_("version", LongType()),
-            SF_("committed_at", DoubleType()),
-            SF_("operation", StringType()),
-            SF_("n_partitions", LongType()),
-            SF_("n_delete_entries", LongType()),
-            SF_("n_rows", LongType()),
+        schema = StructType([
+            StructField("version", LongType()),
+            StructField("committed_at", DoubleType()),
+            StructField("operation", StringType()),
+            StructField("n_partitions", LongType()),
+            StructField("n_delete_entries", LongType()),
+            StructField("n_rows", LongType()),
         ])
         return spark.createDataFrame(
             [
@@ -2351,12 +2415,15 @@ class SnapshotStore:
         manifest: dict[str, int],
         written: list[str],
         v: int,
+        prev_doc: dict | None = None,
     ) -> dict[str, dict[str, list]]:
         """Manifest stats for an incremental commit: freshly computed
         bounds for the partitions this write produced, inherited
-        bounds for every pointer carried over from ``prev_v``."""
-        prev_stats = self._manifest_doc(prev_v).get("stats", {})
-        doc = self._manifest_doc(prev_v)
+        bounds for every pointer carried over from ``prev_v`` (whose
+        already-parsed manifest the caller passes — no re-read on the
+        commit hot path)."""
+        doc = prev_doc if prev_doc is not None else self._manifest_doc(prev_v)
+        prev_stats = doc.get("stats", {})
         spec_col = self._cur_spec(doc)
         wkeys = {self._mk_key(doc, spec_col, a) for a in written}
         out = {
@@ -2484,7 +2551,6 @@ class SnapshotStore:
         # directory string round-trips exactly through probe, filter,
         # partitionBy rewrite, and manifest repoint. try/finally: a
         # scan error must not leak the disabled conf session-wide.
-        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         kdf = keys.select(*key_cols).distinct()
         # One probe + one rewrite PER SPEC GROUP (S30): dirs written
         # under the same partition column share a layout, so each
@@ -2498,9 +2564,7 @@ class SnapshotStore:
         removed_dirs: list[str] = []
         wide_types: dict[str, object] = {}
         for gcol, gdirs_vals in sorted(groups.items()):
-            infer_old = spark.conf.get(infer_key, None)
-            spark.conf.set(infer_key, "false")
-            try:
+            with _no_partition_inference(spark):
                 union = (
                     spark.read.option("basePath", self.data)
                     .schema(
@@ -2515,11 +2579,6 @@ class SnapshotStore:
                         )
                     )
                 )
-            finally:
-                if infer_old is None:
-                    spark.conf.unset(infer_key)
-                else:
-                    spark.conf.set(infer_key, infer_old)
             # Per-key match expression: coalesce of the present
             # physical variants. A key column none of whose variants
             # exist in any of this group's files can never match here
@@ -3081,7 +3140,12 @@ class SnapshotStore:
         manifest = doc["partitions"]
         cm = doc.get("colmap")
         if partition_values is not None:
-            manifest = {k: manifest[k] for k in partition_values}
+            # tolerant point reads: a spec_key tuple that was never
+            # written (or whose partition was emptied) has ZERO rows —
+            # return the empty frame, don't KeyError on the dict
+            manifest = {
+                k: manifest[k] for k in partition_values if k in manifest
+            }
         if where_eq is not None:
             # S30b automatic equality pruning: evaluate the predicate
             # against every spec epoch's layout (identity / bucket /
@@ -3139,11 +3203,35 @@ class SnapshotStore:
                 # types promote losslessly (S29) — with zero footer
                 # reads and none of mergeSchema's int/bigint refusal.
                 reader = reader.schema(self._physical_read_schema([doc]))
-            out = reader.parquet(*dirs).drop("v")
+            # inference OFF: the partition column comes back as the
+            # RAW directory string and is cast to its DECLARED type —
+            # inference would re-render numeric-looking string values
+            # ('00123' → '123'), silently corrupting them and splitting
+            # one logical partition into two keys on the next upsert
+            with _no_partition_inference(spark):
+                out = reader.parquet(*dirs)
+            out = out.drop("v")
             if _with_pkey:
                 out = out.withColumn(
                     "_pkey", F.col(self.pc).cast("string")
                 )
+            if cm is None and doc.get("schema") is not None:
+                # un-evolved table: no logical projection runs below,
+                # so restore the partition column's declared type here
+                pt = next(
+                    (
+                        f.dataType
+                        for f in StructType.fromJson(
+                            json.loads(doc["schema"])
+                        ).fields
+                        if f.name == self.pc
+                    ),
+                    None,
+                )
+                if pt is not None:
+                    out = out.withColumn(
+                        self.pc, F.col(self.pc).cast(pt)
+                    )
         else:
             # S30 spec-evolved table: pointers span partition specs,
             # so the dirs do NOT share one layout. Scan each spec
@@ -3176,13 +3264,14 @@ class SnapshotStore:
                 gdirs = [
                     self._pdir(val, pv, spec_col=col) for val, pv in items
                 ]
-                g = (
-                    spark.read.option("basePath", self.data)
-                    .schema(
-                        self._physical_read_schema([doc], exclude={col})
+                with _no_partition_inference(spark):
+                    g = (
+                        spark.read.option("basePath", self.data)
+                        .schema(
+                            self._physical_read_schema([doc], exclude={col})
+                        )
+                        .parquet(*gdirs)
                     )
-                    .parquet(*gdirs)
-                )
                 if _with_pkey:
                     # qualified manifest key of the physical partition
                     # this row lives in (raw directory string — the

@@ -1307,10 +1307,11 @@ def test_mor_delete_changelog_with_padded_string_partitions(spark, tmp_path):
     v = store.delete_where(spark, "val = 10")
     doc = store._manifest_doc(v)
     assert doc["deletes"][0]["partitions"] == ["00123"]
-    # (the read-back partition COLUMN renders through Spark's usual
-    # inference — 123/456 — which is vanilla parquet behavior; the
-    # exactness contract is on manifest keys and the changelog)
-    assert _rows(store.read(spark)) == [(2, 123, 20), (3, 456, 30)]
+    # r12: read() itself now runs inference-free and casts to the
+    # declared type, so the read-back COLUMN matches the manifest keys
+    # exactly too (the old 123/456 expectation documented the
+    # vanilla-inference rendering this path no longer has)
+    assert _rows(store.read(spark)) == [(2, "00123", 20), (3, "456", 30)]
     # the change feed between v1 and v2 must carry the deleted row
     feed = store.read_change_feed(spark, 1, v, key_cols=["k"])
     dels = [(r["k"], r["op"]) for r in feed.collect() if r["op"] == "D"]
@@ -1325,7 +1326,10 @@ def test_redact_padded_string_partition_values(spark, tmp_path):
     keys = spark.createDataFrame([Row(k=1)])
     n = store.redact(spark, ["k"], keys)
     assert n == 1
-    assert _rows(store.read(spark)) == [(2, 123, 20), (3, 456, 30)]
+    # r12: read() now disables partition-type inference and casts to
+    # the DECLARED type, so the padded string round-trips exactly (the
+    # old expectation (2, 123, ...) encoded the inference corruption)
+    assert _rows(store.read(spark)) == [(2, "00123", 20), (3, "456", 30)]
     # manifest keys stay raw; no dangling pointers
     doc = store._manifest_doc(store.latest_version())
     assert set(doc["partitions"]) == {"00123", "456"}
@@ -3016,3 +3020,139 @@ def test_where_eq_prunes_through_transform_specs(spark, tmp_path):
     keysc = {f.split("/data/")[1].split("/")[0] for f in dfc.inputFiles()}
     assert all(k.startswith("__sp2=c~") for k in keysc), keysc
     assert _rows(dfc) == [(5, "c", 50), (9, "c", 90)]
+
+
+# -------------------------------------- r12 storage review-fix regressions
+def test_upsert_reads_base_before_claiming(spark, tmp_path):
+    """A racer that claims+publishes between this writer's version
+    claim and its publish must surface as ConcurrentWriteError — never
+    as a silently-lost update. (The old claim-then-read ordering let
+    the writer base on the racer's head yet publish a LOWER version
+    that passed CAS and was never served.)"""
+    import pytest
+
+    root = str(tmp_path / "t")
+    store = SnapshotStore(root, "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    orig_claim = store._claim_version
+    fired = {"done": False}
+
+    def claim_with_racer():
+        v = orig_claim()
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer claims a HIGHER number and publishes first
+            SnapshotStore(root, "p").upsert(
+                spark, _mk(spark, [(2, "a", 20)]), ["k"]
+            )
+        return v
+
+    store._claim_version = claim_with_racer
+    with pytest.raises(ConcurrentWriteError):
+        store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])
+    store._claim_version = orig_claim
+    # the racer's write is at head; a retry lands on top of it
+    store.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])
+    assert _rows(store.read(spark)) == [(1, "a", 11), (2, "a", 20)]
+
+
+def test_partition_column_type_gate(spark, tmp_path):
+    """Boolean/float/timestamp partition columns are refused: their
+    python str() rendering diverges from Spark's directory rendering
+    (str(True)='True' vs dir 'true'), which would make upsert replace
+    instead of merge — silent row loss."""
+    import pytest
+    from pyspark.sql import Row as R
+
+    store = SnapshotStore(str(tmp_path / "t"), "flag")
+    with pytest.raises(ValueError, match="int-like / string / date"):
+        store.commit(spark.createDataFrame([R(k=1, flag=True, val=10)]))
+    store2 = SnapshotStore(str(tmp_path / "t2"), "w")
+    with pytest.raises(ValueError, match="int-like / string / date"):
+        store2.commit(spark.createDataFrame([R(k=1, w=0.5, val=10)]))
+
+
+def test_numeric_looking_string_partition_round_trips(spark, tmp_path):
+    """'00123' must read back as '00123', not inference-re-rendered
+    '123' — and an upsert against it must merge, not split the
+    partition into two keys."""
+    from pyspark.sql import Row as R
+
+    store = SnapshotStore(str(tmp_path / "t"), "code")
+    store.commit(spark.createDataFrame(
+        [R(k=1, code="00123", val=10), R(k=2, code="00123", val=20)]
+    ))
+    got = sorted((r["k"], r["code"]) for r in store.read(spark).collect())
+    assert got == [(1, "00123"), (2, "00123")], got
+    store.upsert(
+        spark,
+        spark.createDataFrame([R(k=1, code="00123", val=11)]),
+        ["k"],
+    )
+    doc = store._manifest_doc(2)
+    assert sorted(doc["partitions"]) == ["00123"], doc["partitions"]
+    got = sorted((r["k"], r["code"], r["val"])
+                 for r in store.read(spark).collect())
+    assert got == [(1, "00123", 11), (2, "00123", 20)], got
+    # where_eq prunes by the RAW value too
+    assert store.prune_keys("code", "00123") == ["00123"]
+    assert sorted(
+        (r["k"], r["val"])
+        for r in store.read(spark, where_eq=("code", "00123")).collect()
+    ) == [(1, 11), (2, 20)]
+
+
+def test_point_read_of_absent_partition_is_empty(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    out = store.read(spark, partition_values=["zzz"])
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "p", "val"}
+
+
+def test_eq_delete_refuses_null_keys(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row as R
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="NULL equality-delete"):
+        store.delete_keys(spark, "k", [None, 1])
+    kdf = spark.createDataFrame(
+        [R(key=None), R(key=1)], "key long"
+    )
+    with pytest.raises(ValueError, match="NULL equality-delete"):
+        store.delete_keys(spark, "k", kdf)
+
+
+def test_merge_source_column_named_op(spark, tmp_path):
+    """The CDC op rides a reserved name, so a source column literally
+    named 'op' merges cleanly."""
+    from pyspark.sql import Row as R
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(spark.createDataFrame([R(k=1, p="a", op="x", val=10)]))
+    store.merge(
+        spark,
+        spark.createDataFrame([R(k=1, p="a", op="y", val=11),
+                               R(k=2, p="b", op="z", val=20)]),
+        ["k"],
+    )
+    got = sorted((r["k"], r["op"], r["val"])
+                 for r in store.read(spark).collect())
+    assert got == [(1, "y", 11), (2, "z", 20)], got
+
+
+def test_del_char_partition_value_round_trips(spark, tmp_path):
+    """chr(0x7F) is in Spark's directory escape set; the store's
+    escape table must match or the directory is never found again."""
+    from pyspark.sql import Row as R
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    val = "a" + chr(0x7F) + "b"
+    store.commit(spark.createDataFrame([R(k=1, p=val, x=10)]))
+    got = [(r["k"], r["p"]) for r in store.read(spark).collect()]
+    assert got == [(1, val)]
+    store.upsert(spark, spark.createDataFrame([R(k=2, p=val, x=20)]), ["k"])
+    assert sorted(r["k"] for r in store.read(spark).collect()) == [1, 2]
+    assert store.vacuum(retain_last=2, orphan_grace_sec=0.0) == []
