@@ -1278,6 +1278,9 @@ class SnapshotStore:
         matched_update_cond: str | None = None,
         matched_delete_cond: str | None = None,
         not_matched_insert_cond: str | None = None,
+        not_matched_by_source_delete: "bool | str" = False,
+        not_matched_by_source_update_set: dict[str, str] | None = None,
+        not_matched_by_source_update_cond: str | None = None,
     ) -> int:
         """S33: MERGE INTO — the Delta/Iceberg writer verb
         (``WHEN MATCHED [AND cond] THEN UPDATE / DELETE, WHEN NOT
@@ -1303,10 +1306,50 @@ class SnapshotStore:
         source rows for one key are REFUSED (Delta's 'multiple source
         rows matched' error): last-writer-wins here would be
         nondeterministic under shuffle order, which would poison both
-        the certification hash and any replay."""
+        the certification hash and any replay.
+
+        WHEN NOT MATCHED BY SOURCE (Delta 2.3+/ANSI full-sync
+        clauses): ``not_matched_by_source_delete`` is ``True``
+        (unconditional) or a SQL condition string; target rows whose
+        key is absent from the source are deleted when it holds.
+        ``not_matched_by_source_update_set`` is a ``{col: sql_expr}``
+        dict (UPDATE SET semantics) applied — under the optional
+        ``not_matched_by_source_update_cond`` — to source-missing
+        target rows the delete clause did not take (delete is tested
+        first, matching the matched-side clause order). Both clause
+        conditions and set expressions may reference only ``t.<col>``
+        (there is no source image by definition; ``s.*`` is all-NULL
+        there, so a condition touching it evaluates NULL = no-match).
+        Set expressions are cast back to the target column's type, and
+        may not assign key columns or any spec-protected column
+        (partition values are immutable per key — same rule as
+        upsert). Scale note: any NMBS clause turns the join FULL-outer
+        — the clause's semantics inspect every target row, so the cost
+        bound is target-scale, not delta-scale; that is inherent to
+        the verb (Delta's docs carry the same warning), and partition
+        rewrite cost is still ∝ partitions the feed touches."""
         prev_v = self.latest_version()
         if prev_v == 0:
             raise ValueError("nothing to merge into: no published version")
+        nmbs_set = not_matched_by_source_update_set
+        nmbs = bool(not_matched_by_source_delete) or nmbs_set is not None
+        if nmbs_set:
+            doc = self._manifest_doc(prev_v)
+            protected = {
+                self._logical_of(doc, p)
+                for p in self._spec_protected_cols(doc)
+            }
+            bad = set(nmbs_set) & (set(key_cols) | protected)
+            if bad:
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE SET may not assign "
+                    f"key or partition-spec columns: {sorted(bad)}"
+                )
+            unknown = set(nmbs_set) - set(source.columns)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets unknown columns: {sorted(unknown)}"
+                )
         # Pin ONE materialization of the source before anything reads
         # it twice: the dup check below and the clause join/feed are
         # separate actions, and a non-deterministic source (sampled,
@@ -1334,7 +1377,8 @@ class SnapshotStore:
         cols = source.columns
         tgt = self.read(spark, version=prev_v)
         s = source.select(
-            *[F.col(c).alias(f"__s_{c}") for c in cols]
+            *[F.col(c).alias(f"__s_{c}") for c in cols],
+            F.lit(True).alias("__s_present"),
         )
         t = tgt.select(
             *[F.col(c).alias(f"__t_{c}") for c in cols],
@@ -1344,7 +1388,11 @@ class SnapshotStore:
         for k in key_cols:
             c = F.col(f"__s_{k}") == F.col(f"__t_{k}")
             cond = c if cond is None else (cond & c)
-        j = s.join(t, cond, "left_outer")
+        # an NMBS clause must SEE source-missing target rows, so the
+        # join widens to full-outer; without one the left join keeps
+        # the delta-scale bound (unmatched target rows never leave the
+        # manifest-pruned scan)
+        j = s.join(t, cond, "full_outer" if nmbs else "left_outer")
         # expose s.* / t.* for the user's clause conditions
         j = j.select(
             "*",
@@ -1355,7 +1403,9 @@ class SnapshotStore:
                 *[F.col(f"__t_{c}").alias(c) for c in cols]
             ).alias("t"),
         )
-        matched = F.col("__t_present").isNotNull()
+        t_present = F.col("__t_present").isNotNull()
+        s_present = F.col("__s_present").isNotNull()
+        matched = s_present & t_present
         delete_c = (
             F.expr(matched_delete_cond)
             if matched_delete_cond is not None
@@ -1371,29 +1421,68 @@ class SnapshotStore:
             if not_matched_insert_cond is not None
             else F.lit(True)
         )
+        nmbs_delete_c = (
+            F.lit(True)
+            if not_matched_by_source_delete is True
+            else F.expr(not_matched_by_source_delete)
+            if not_matched_by_source_delete
+            else F.lit(False)
+        )
+        nmbs_update_c = (
+            F.lit(False)
+            if nmbs_set is None
+            else F.expr(not_matched_by_source_update_cond)
+            if not_matched_by_source_update_cond is not None
+            else F.lit(True)
+        )
+        # 'S' is an internal marker for a source-missing UPDATE: it
+        # needs the TARGET image with the SET expressions applied —
+        # neither the D branch (plain target image) nor the default
+        # branch (source image, all-NULL here) — and is folded back
+        # to 'U' once the image is built.
         op = (
             F.when(matched & delete_c, F.lit("D"))
             .when(matched & update_c, F.lit("U"))
-            .when(~matched & insert_c, F.lit("I"))
+            .when(~t_present & s_present & insert_c, F.lit("I"))
+            .when(t_present & ~s_present & nmbs_delete_c, F.lit("D"))
+            .when(t_present & ~s_present & nmbs_update_c, F.lit("S"))
         )
         # the CDC op rides a RESERVED name — a source column literally
         # named 'op' would otherwise collide with the feed's op column
         # and make every reference ambiguous (the same hazard the
         # dup-check guards for 'count')
+        t_types = dict(tgt.dtypes)
+
+        def _img(c: str):
+            timg = F.col(f"__t_{c}")
+            simg = F.col(f"__s_{c}")
+            if nmbs_set and c in nmbs_set:
+                # cast back to the target column's type: a SET
+                # expression must not silently widen the column (the
+                # union with kept rows would otherwise diverge by
+                # shuffle order of whichever image unionByName saw
+                # first)
+                uimg = F.expr(nmbs_set[c]).cast(t_types[c])
+            else:
+                uimg = timg
+            return (
+                F.when(F.col("__merge_op") == "D", timg)
+                .when(F.col("__merge_op") == "S", uimg)
+                .otherwise(simg)
+                .alias(c)
+            )
+
         feed = (
             j.withColumn("__merge_op", op)
             .filter(F.col("__merge_op").isNotNull())
             # D rows carry the TARGET image (it holds the live
-            # partition value apply_changes prunes by); I/U carry the
-            # source image
+            # partition value apply_changes prunes by); S rows the
+            # target image with SET applied; I/U the source image
             .select(
-                "__merge_op",
-                *[
-                    F.when(
-                        F.col("__merge_op") == "D", F.col(f"__t_{c}")
-                    ).otherwise(F.col(f"__s_{c}")).alias(c)
-                    for c in cols
-                ],
+                F.when(F.col("__merge_op") == "S", F.lit("U"))
+                .otherwise(F.col("__merge_op"))
+                .alias("__merge_op"),
+                *[_img(c) for c in cols],
             )
         )
         return self.apply_changes(

@@ -77,7 +77,7 @@ _PRIORITY: tuple[str, ...] = (
     "snapshot_multifield_spec", "snapshot_branch_wap",
     "snapshot_rollback_read", "snapshot_history_audit",
     "source_avro_roundtrip", "frontend_nl_boolean_search",
-    "frontend_nl_funnel",
+    "frontend_nl_funnel", "snapshot_merge_full_sync",
     # (b) materially changed this round (io/snapshots.py r11 ADVICE
     # fixes + composite-spec generalization of the write/read paths;
     # text_boolean_search refactored onto the shared F33 operator):
@@ -99,11 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     "orders_backlog_timeline", "events_dau_wau",
     "dq_referential_integrity", "events_winsorized_stats",
     "dq_k_anonymity",
-    # (c) the first 7 r8 rows fill the remaining slots; the r8
+    # (c) the first 6 r8 rows fill the remaining slots; the r8
     # remainder leads r13's (c) head:
     "q11_important_parts", "sample_systematic", "agg_grouping_sets",
     "agg_listagg", "agg_count_if_bool", "unpivot_melt",
-    "explode_posexplode",
 )
 
 # r12 CONSOLIDATION (policy rule 4, pre-emptive — N was 226/240 with

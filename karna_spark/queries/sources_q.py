@@ -1561,6 +1561,90 @@ def snapshot_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_query(
+    "snapshot_merge_full_sync",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    m AS (  -- matched: unconditional UPDATE SET * (source image)
+      SELECT k, o_year, val + 1000 AS val FROM base WHERE k % 3 = 0
+    ),
+    miss AS (SELECT k, o_year, val FROM base WHERE k % 3 <> 0),
+    kept_miss AS (  -- NMBS: DELETE val<30 first, else UPDATE +10000
+      SELECT k, o_year, val + 10000 AS val FROM miss WHERE val >= 30
+    ),
+    ins AS (
+      SELECT k + 30000000 AS k, o_year, (k + 30000000) % 97 AS val
+      FROM base WHERE k % 400 = 0
+    ),
+    final AS (
+      SELECT * FROM m
+      UNION ALL SELECT * FROM kept_miss
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM final GROUP BY o_year ORDER BY o_year
+    """,
+    tags="S33",
+)
+def snapshot_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33: MERGE with WHEN NOT MATCHED BY SOURCE (Delta 2.3+/ANSI
+    full-sync clauses; io/snapshots.py:merge). v1 commits orders keyed
+    by year; the source carries every 3rd key (val+1000) plus
+    synthetic new keys. Clauses: WHEN MATCHED THEN UPDATE SET *, WHEN
+    NOT MATCHED THEN INSERT, WHEN NOT MATCHED BY SOURCE AND t.val < 30
+    THEN DELETE, WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+    val = t.val + 10000. The oracle re-derives every row's fate from
+    the base table and the clause predicates alone, certifying the
+    full-outer widening, NMBS clause order (DELETE before UPDATE), the
+    t.*-only condition scope, and the SET-image type cast end to end.
+    Scale note: an NMBS clause is inherently target-scale (every
+    target row must be inspected — same bound Delta documents); the
+    write cost stays ∝ touched partitions."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_merge_full_sync")
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                            # v1
+    matched_src = base.filter(F.col("k") % 3 == 0).select(
+        "k", "o_year", (F.col("val") + 1000).alias("val")
+    )
+    new_src = base.filter(F.col("k") % 400 == 0).select(
+        (F.col("k") + 30000000).alias("k"),
+        "o_year",
+        ((F.col("k") + 30000000) % 97).alias("val"),
+    )
+    store.merge(
+        spark,
+        matched_src.unionByName(new_src),
+        ["k"],
+        not_matched_by_source_delete="t.val < 30",
+        not_matched_by_source_update_set={"val": "t.val + 10000"},
+    )                                                             # v2
+    return (
+        store.read(spark)
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .orderBy("o_year")
+    )
+
+
 # ---------------------------------------------------------------- S30b
 # bucket(8, prio) component constants, precomputed once so the DuckDB
 # oracle can name them: the transform is crc32(canonical-string) mod n
