@@ -117,6 +117,13 @@ HEADLINE = [
     # cost anchor, dominated like the other snapshot lifecycles by
     # many small commits (local fixed cost, not data-scale work)
     "snapshot_multifield_spec",
+    # r12 batch-2: the NOT-MATCHED-BY-SOURCE merge (full-outer clause
+    # join — inherently target-scale; watch it against
+    # snapshot_merge_into's delta-scale left join) and the hybrid
+    # RRF retrieval (BM25 scan + brute cosine, both truncated to
+    # top-100 before fusion — cost should track text_bm25_scores)
+    "snapshot_merge_full_sync",
+    "retrieval_rrf_fusion",
 ]
 
 

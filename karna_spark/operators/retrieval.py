@@ -172,3 +172,72 @@ def boolean_search(
     )
     out = out.orderBy(F.col("score").desc(), F.col(id_col))
     return out.limit(k) if k is not None else out
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_a: str,
+    rank_b: str,
+    k: int = 60,
+    top_k: int | None = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of two
+    ranked candidate lists — the standard lexical+dense hybrid scorer
+    (Elasticsearch/Vespa use exactly this form): each list contributes
+    ``1/(k + rank)`` and a document missing from a list contributes
+    nothing. Returns (id, rank_a, rank_b, rrf, fused_rank) ordered by
+    fused score descending, id ascending.
+
+    Scale: the inputs are already-truncated top-N lists (the expensive
+    part — BM25 scan, ANN probe — happens upstream and is bounded
+    there), so the fusion itself is a full-outer join of two k-row
+    frames plus one ordered limit: driver-trivial at any corpus size.
+    Ranks ride as exact ints and 1/(k+rank) is two IEEE double ops
+    written identically on both certification sides, so the fused
+    score is hash-exact without rounding tricks."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_a))
+    b = ranked_b.select(F.col(id_col), F.col(rank_b))
+    j = a.join(b, id_col, "full_outer")
+    contrib_a = F.lit(1.0) / (F.lit(k) + F.col(rank_a))
+    contrib_b = F.lit(1.0) / (F.lit(k) + F.col(rank_b))
+    fused = j.select(
+        id_col,
+        F.col(rank_a),
+        F.col(rank_b),
+        (
+            F.coalesce(contrib_a, F.lit(0.0))
+            + F.coalesce(contrib_b, F.lit(0.0))
+        ).alias("rrf"),
+    ).orderBy(F.col("rrf").desc(), F.col(id_col))
+    if top_k is not None:
+        fused = fused.limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("int")
+    )
+
+
+def topn_ranks(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    rank_name: str,
+    n: int,
+) -> DataFrame:
+    """Truncate a scored frame to its top-``n`` rows and attach a
+    dense 1-based rank — the candidate-list normal form rrf_fuse
+    consumes. The truncation is orderBy+limit (TakeOrdered: per
+    partition heaps + a k-row driver merge, never a global sort), and
+    the row_number window runs over ≤ n rows AFTER the limit, so the
+    single-partition window is bounded by n, not the corpus."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(n)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return top.select(
+        id_col, F.row_number().over(w).cast("int").alias(rank_name)
+    )

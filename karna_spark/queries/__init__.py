@@ -69,15 +69,18 @@ from karna_spark.queries import (  # noqa: F401,E402
 # result schema, merge source pinning + reserved count alias, and the
 # S30 machinery generalized to composite specs), then (c) the
 # EDF-obligatory stale cohorts: all 32 r7 rows (deadline r12) followed
-# by the first 8 r8 rows in registry order; the r8 remainder leads
-# r13's (c) head. rotation_check.py verifies floor + EDF feasibility
-# against this order.
+# by the first 5 r8 rows in registry order (two late-r12 rows — the
+# NOT-MATCHED-BY-SOURCE merge and RRF fusion — took head slots from
+# the r8 fill); the r8 remainder leads r13's (c) head.
+# rotation_check.py verifies floor + EDF feasibility against this
+# order.
 _PRIORITY: tuple[str, ...] = (
     # (a) the r12-born rows:
     "snapshot_multifield_spec", "snapshot_branch_wap",
     "snapshot_rollback_read", "snapshot_history_audit",
     "source_avro_roundtrip", "frontend_nl_boolean_search",
     "frontend_nl_funnel", "snapshot_merge_full_sync",
+    "retrieval_rrf_fusion",
     # (b) materially changed this round (io/snapshots.py r11 ADVICE
     # fixes + composite-spec generalization of the write/read paths;
     # text_boolean_search refactored onto the shared F33 operator):
@@ -99,10 +102,10 @@ _PRIORITY: tuple[str, ...] = (
     "orders_backlog_timeline", "events_dau_wau",
     "dq_referential_integrity", "events_winsorized_stats",
     "dq_k_anonymity",
-    # (c) the first 6 r8 rows fill the remaining slots; the r8
+    # (c) the first 5 r8 rows fill the remaining slots; the r8
     # remainder leads r13's (c) head:
     "q11_important_parts", "sample_systematic", "agg_grouping_sets",
-    "agg_listagg", "agg_count_if_bool", "unpivot_melt",
+    "agg_listagg", "agg_count_if_bool",
 )
 
 # r12 CONSOLIDATION (policy rule 4, pre-emptive — N was 226/240 with

@@ -701,3 +701,105 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, "vec_id", "embedding",
         k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE, offset=_KM_OFF,
     )
+
+
+# --------------------------------------------------------- RRF fusion
+@register_query(
+    "retrieval_rrf_fusion",
+    oracle="""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+      WHERE term IN ('query', 'join', 'shuffle')
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             ln(1 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
+                    / (count(DISTINCT doc_id) + 0.5)) AS idf
+      FROM tf, stats s GROUP BY term, s.n_docs
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(idf.idf * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4)
+               AS bm25
+      FROM tf JOIN idf USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY tf.doc_id
+    ),
+    lexk AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS r_lex
+      FROM bm QUALIFY r_lex <= 100
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    dn AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          q.qv), 4) AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    densek AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+               AS r_dense
+      FROM dn QUALIFY r_dense <= 100
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id, l.r_lex, de.r_dense,
+             COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0)
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + de.r_dense), 0) AS rrf
+      FROM lexk l FULL OUTER JOIN densek de ON l.doc_id = de.doc_id
+    ),
+    top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+    SELECT doc_id, r_lex, r_dense, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+             AS fused_rank
+    FROM top
+    """,
+    tags="F35 F11 J5",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via reciprocal-rank fusion
+    (operators/retrieval.py:rrf_fuse) — the RAG-stack scorer that
+    combines a BM25 candidate list (terms {query, join, shuffle} over
+    documents.text, the F11 operator unchanged) with a dense cosine
+    list (corpus embeddings vs the vec_id=0 query vector) as
+    sum of 1/(60+rank), union semantics: a doc missing from one list
+    keeps only the other list's contribution. Each list is truncated
+    to its top-100 by TakeOrdered BEFORE any window (topn_ranks: the
+    row_number runs over ≤100 rows, never the corpus), so at 100 TB
+    the fusion cost is two bounded lists + a 100-row full-outer join,
+    independent of corpus size. Ranks are exact ints and the fused
+    score is two IEEE double ops written identically in the oracle, so
+    the row set is hash-exact WITHOUT rounding the fused score."""
+    from karna_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        topn_ranks,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lexk = topn_ranks(
+        bm25_scores(docs, "doc_id", "text", ["query", "join", "shuffle"]),
+        "doc_id", "bm25", "r_lex", 100,
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.lit(True))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
+        )
+    )
+    densek = topn_ranks(dense, "doc_id", "cos", "r_dense", 100)
+    return rrf_fuse(lexk, densek, "doc_id", "r_lex", "r_dense", k=60, top_k=10)

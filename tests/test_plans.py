@@ -717,3 +717,41 @@ def test_boolean_search_term_filter_under_shuffle(spark):
     # (printed after it in simple mode's top-down rendering)
     exch = plan.index("Exchange")
     assert "vector" in plan[exch:], plan
+
+
+def test_rrf_candidate_lists_take_ordered(spark):
+    """r12: each RRF candidate list truncates via TakeOrderedAndProject
+    (per-partition heaps, k-row driver merge) BEFORE its rank window —
+    a global Sort for the top-100 would be the 100TB anti-pattern."""
+    from karna_spark.operators.retrieval import topn_ranks
+    from karna_spark.queries.registry import table
+
+    scored = table(spark, SF, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") % 7).cast("double").alias("s"),
+    )
+    df = topn_ranks(scored, "doc_id", "s", "r", 100)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rrf_fuse_union_semantics(spark):
+    """rrf_fuse: a doc missing from one list keeps only the other
+    list's contribution; ties break by id; ranks survive as ints."""
+    from karna_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id long, r_a int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "id long, r_b int")
+    out = rrf_fuse(a, b, "id", "r_a", "r_b", k=60, top_k=10).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[2].rrf == 1.0 / 62 + 1.0 / 61          # both lists
+    assert by_id[1].rrf == 1.0 / 61                      # a only
+    assert by_id[3].rrf == 1.0 / 62                      # b only
+    assert by_id[3].r_a is None and by_id[1].r_b is None
+    # doc 2 (two contributions) outranks the single-list docs; the
+    # 1/61 vs 1/62 ordering puts 1 before 3
+    assert [r.id for r in out] == [2, 1, 3]
+    assert [r.fused_rank for r in out] == [1, 2, 3]
