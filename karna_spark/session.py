@@ -45,6 +45,17 @@ _SCALE_CONFS: dict[str, str] = {
     # makes tune_session reset them for every subsequent query.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+    # File-listing posture: Spark launches a DISTRIBUTED listing job
+    # (one task per path) whenever a read plans more than this many
+    # paths. The snapshot store reads hand Spark an explicit leaf-dir
+    # list from the manifest — there is nothing to discover, and on a
+    # many-partition table the default (32) turns every read/write
+    # planning pass into a hundreds-of-tasks no-op job (measured: a
+    # 373-dir scan spent its first stage on 373 listing tasks before
+    # a 32-task data scan). Driver-side listing of ≤4096 known paths
+    # is milliseconds on any filesystem; past that the distributed
+    # path takes over (genuinely unknown trees, e.g. glob sources).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "4096",
 }
 
 
