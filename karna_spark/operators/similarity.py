@@ -580,3 +580,102 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+# ------------------------------------------------- binary sign sketch
+def sign_sketch_words(vec_col: str, dim: int) -> "list[Column]":
+    """Pack the SIGN BITS of a float vector into 32-bit words riding
+    in BIGINT columns (``w0``, ``w1``, ...): bit ``i`` of word ``j`` is
+    1 iff ``vec[32j + i] > 0``. This is the binary-embedding sketch
+    (FAISS ``IndexBinaryFlat`` / SimHash-on-axes): 64 dims collapse
+    from 256 float bytes to 8 sketch bytes — a 32× scan-size reduction
+    for the candidate pass — and Hamming distance on the sketch is a
+    monotone proxy for angular distance. 32 bits per word (not 64)
+    keeps every packed value positive, so the DuckDB oracle's
+    ``1::BIGINT << i`` arithmetic is portable with no sign-bit edge.
+    Pure JVM expression (zip_with/aggregate/shiftleft) — no UDF."""
+    out = []
+    for j in range(0, dim, 32):
+        w = min(32, dim - j)
+        expr = (
+            f"aggregate(zip_with(slice({vec_col}, {j + 1}, {w}), "
+            f"sequence(0, {w - 1}), "
+            "(v, i) -> IF(v > CAST(0 AS DOUBLE), "
+            "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+        out.append(F.expr(expr).alias(f"w{j // 32}"))
+    return out
+
+
+def ann_hamming_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int = 10,
+    rerank: int = 50,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN via binary sketch + exact rerank, the two-stage form every
+    binary index runs: (1) CANDIDATES — scan only the packed sign
+    sketches, rank by Hamming distance to each query's sketch, keep
+    the top ``rerank`` per query; (2) RERANK — join just those
+    candidates back to the float vectors and order by exact cosine.
+    Returns (query_id, neighbor_id, hamming, cos, rank) with rank ≤ k.
+
+    Scale: stage 1 is exhaustive but touches 8 sketch bytes per row
+    instead of 4·dim vector bytes (the sketch table persists like the
+    IVF assignment table, so steady-state queries never re-derive it);
+    the per-query top-R is a WindowGroupLimit (per-partition heads,
+    no global sort), and stage 2's exact-vector read is bounded at
+    |queries|·rerank rows. Ties break on neighbor id at both stages,
+    so the result is deterministic at any parallelism."""
+    dim = dim if dim is not None else _resolve_dim(corpus, vec_col)
+    n_words = (dim + 31) // 32
+    wnames = [f"w{j}" for j in range(n_words)]
+    c_sk = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        *sign_sketch_words(vec_col, dim),
+    )
+    q_sk = queries.select(
+        F.col(query_id).alias("query_id"),
+        *[w.alias(f"q{n}") for w, n in zip(sign_sketch_words(vec_col, dim), wnames)],
+    )
+    ham = None
+    for n in wnames:
+        t = F.bit_count(F.col(n).bitwiseXOR(F.col(f"q{n}")))
+        ham = t if ham is None else ham + t
+    scored = (
+        c_sk.join(F.broadcast(q_sk), F.lit(True))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham.cast("int").alias("hamming"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") <= rerank)
+        .drop("r")
+    )
+    cvec = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cos", F.round(cosine(F.col("__cv"), F.col("__qv")), 4)
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cos", "rank")
+    )

@@ -803,3 +803,71 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     densek = topn_ranks(dense, "doc_id", "cos", "r_dense", 100)
     return rrf_fuse(lexk, densek, "doc_id", "r_lex", "r_dense", k=60, top_k=10)
+
+
+# ------------------------------------------- binary Hamming ANN (J21)
+@register_query(
+    "similarity_hamming_rerank",
+    oracle="""
+    WITH sk AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                            FOR i IN range(0, 32)]) AS BIGINT) AS w0,
+             CAST(list_sum([CASE WHEN embedding[i+33] > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                            FOR i IN range(0, 32)]) AS BIGINT) AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM sk WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.w0, q.w0))
+                  + bit_count(xor(c.w1, q.w1)) AS INT) AS hamming
+      FROM sk c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS r
+      FROM scored QUALIFY r <= 50
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+             ROUND(list_cosine_similarity(
+               CAST(ce.embedding AS DOUBLE[]),
+               CAST(qe.embedding AS DOUBLE[])), 4) AS cos
+      FROM cand
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INT)
+             AS rank
+    FROM rer QUALIFY rank <= 10
+    """,
+    tags="J21 J5 F8",
+)
+def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J21: binary-embedding ANN (operators/similarity.py:
+    ann_hamming_rerank) — pack each 64-dim vector's SIGN BITS into two
+    32-bit words, rank candidates by Hamming distance on the 8-byte
+    sketch (a 32× scan-size reduction vs the float vectors — FAISS's
+    IndexBinaryFlat pattern), keep the top-50 per query, then rerank
+    exactly those candidates by exact cosine and keep the top-10. The
+    packing, the xor/bit_count distance, both tie-broken rank stages,
+    and the rerank join are all replayed closed-form by the oracle, so
+    the hash certifies the bit math itself. All JVM expressions
+    (zip_with/aggregate/shiftleft/bit_count) — no UDF anywhere; the
+    candidate stage's top-R is a WindowGroupLimit, and the exact-
+    vector read in stage 2 touches |queries|·50 rows regardless of
+    corpus size."""
+    from karna_spark.operators.similarity import ann_hamming_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_hamming_rerank(
+        emb, queries, "vec_id", "vec_id", "embedding",
+        k=10, rerank=50, dim=EMB_DIM,
+    )

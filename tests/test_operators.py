@@ -1315,3 +1315,42 @@ def test_hard_sigmoid_probability_clamps_and_floors(spark):
     assert got[2] == 1000000      # clamped high
     assert got[3] == 0            # clamped low
     assert got[4] == 500001       # floor(5/4) = 1
+
+
+def test_ann_hamming_rerank_recall_vs_bruteforce(spark):
+    from karna_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_hamming_rerank,
+    )
+    from karna_spark.queries.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = ann_bruteforce_topk(emb, q, "vec_id", "vec_id", "embedding", k=5)
+    approx = ann_hamming_rerank(
+        emb, q, "vec_id", "vec_id", "embedding", k=5, rerank=30, dim=64
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows = approx.collect()
+    approx_set = {(r.query_id, r.neighbor_id) for r in rows}
+    # a 64-bit sign sketch over 64 dims preserves angular order well;
+    # with rerank depth 30 of ~100 corpus vectors, recall of the exact
+    # top-5 should be high on the clustered fixture
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"suspiciously low hamming-rerank recall: {recall}"
+    # ranks are contiguous 1..k per query and hamming is a real count
+    assert all(1 <= r.rank <= 5 for r in rows)
+    assert all(0 <= r.hamming <= 64 for r in rows)
+
+
+def test_sign_sketch_words_bit_exact(spark):
+    # closed-form check: a vector with known sign pattern packs to the
+    # exact expected words (bit i of word j == vec[32j+i] > 0)
+    from karna_spark.operators.similarity import sign_sketch_words
+
+    vec = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    row = df.select(*sign_sketch_words("v", 64)).collect()[0]
+    w0 = sum(1 << i for i in range(32) if i % 3 == 0)
+    w1 = sum(1 << i for i in range(32) if (i + 32) % 3 == 0)
+    assert (row.w0, row.w1) == (w0, w1)

@@ -755,3 +755,24 @@ def test_rrf_fuse_union_semantics(spark):
     # 1/61 vs 1/62 ordering puts 1 before 3
     assert [r.id for r in out] == [2, 1, 3]
     assert [r.fused_rank for r in out] == [1, 2, 3]
+
+
+def test_hamming_rerank_no_python_and_group_limit(spark):
+    """r12: the binary-sketch ANN stays fully JVM-side (the packing is
+    zip_with/aggregate, never BatchEvalPython) and its per-query top-R
+    candidate stage plans as a WindowGroupLimit, not a global sort."""
+    from karna_spark.operators.similarity import ann_hamming_rerank
+    from karna_spark.queries.registry import table
+
+    emb = table(spark, SF, "embeddings")
+    df = ann_hamming_rerank(
+        emb, emb.filter(F.col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k=5, rerank=30, dim=64,
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
