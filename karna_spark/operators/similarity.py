@@ -617,6 +617,7 @@ def ann_hamming_rerank(
     k: int = 10,
     rerank: int = 50,
     dim: int | None = None,
+    corpus_sketches: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via binary sketch + exact rerank, the two-stage form every
     binary index runs: (1) CANDIDATES — scan only the packed sign
@@ -625,20 +626,30 @@ def ann_hamming_rerank(
     candidates back to the float vectors and order by exact cosine.
     Returns (query_id, neighbor_id, hamming, cos, rank) with rank ≤ k.
 
+    ``corpus_sketches`` (columns ``neighbor_id``, ``w0``, ``w1``, ...)
+    is the steady-state form: a sketch table persisted once at ingest
+    (build it with :func:`sign_sketch_words`) and probed by every
+    arriving query batch WITHOUT re-deriving the corpus sketches —
+    the same contract as :func:`ann_ivf_topk`'s
+    ``corpus_assignments``. It must cover exactly the corpus rows, or
+    candidates will be missed/phantom.
+
     Scale: stage 1 is exhaustive but touches 8 sketch bytes per row
-    instead of 4·dim vector bytes (the sketch table persists like the
-    IVF assignment table, so steady-state queries never re-derive it);
-    the per-query top-R is a WindowGroupLimit (per-partition heads,
+    instead of 4·dim vector bytes (32× less scan I/O at dim=64); the
+    per-query top-R is a WindowGroupLimit (per-partition heads,
     no global sort), and stage 2's exact-vector read is bounded at
     |queries|·rerank rows. Ties break on neighbor id at both stages,
     so the result is deterministic at any parallelism."""
     dim = dim if dim is not None else _resolve_dim(corpus, vec_col)
     n_words = (dim + 31) // 32
     wnames = [f"w{j}" for j in range(n_words)]
-    c_sk = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        *sign_sketch_words(vec_col, dim),
-    )
+    if corpus_sketches is not None:
+        c_sk = corpus_sketches.select("neighbor_id", *wnames)
+    else:
+        c_sk = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            *sign_sketch_words(vec_col, dim),
+        )
     q_sk = queries.select(
         F.col(query_id).alias("query_id"),
         *[w.alias(f"q{n}") for w, n in zip(sign_sketch_words(vec_col, dim), wnames)],

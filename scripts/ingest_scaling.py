@@ -132,8 +132,8 @@ def main() -> None:
     ap.add_argument(
         "--ops",
         nargs="+",
-        choices=["minhash", "ivf", "image"],
-        default=["minhash", "ivf", "image"],
+        choices=["minhash", "ivf", "image", "hamming"],
+        default=["minhash", "ivf", "image", "hamming"],
     )
     ap.add_argument(
         "--nlist-rule",
@@ -164,8 +164,11 @@ def main() -> None:
         release_intermediates,
     )
     from karna_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_hamming_rerank,
         ann_ivf_topk,
         ivf_assignment_table,
+        sign_sketch_words,
     )
     from karna_spark.session import get_spark
 
@@ -274,83 +277,135 @@ def main() -> None:
                     hash_build_once_s=hash_build,
                 )
 
-            if "ivf" not in args.ops:
+            if "ivf" not in args.ops and "hamming" not in args.ops:
                 rows.append(row)
                 print(f"done corpus={n}: {row}", file=sys.stderr)
                 spark.catalog.clearCache()
                 continue
 
-            # ---- J19: IVF ANN ingest --------------------------------
-            nlist = 8 if args.nlist_rule == "fixed8" else max(8, int(math.isqrt(n)))
+            # shared vector corpus for the ANN legs
             vec_path = os.path.join(work, f"vecs_{n}.parquet")
             synth_vecs(spark, n, salt=3).write.mode("overwrite").parquet(vec_path)
             vecs = spark.read.parquet(vec_path)
             vbatch = synth_vecs(spark, BATCH, salt=4, start=n).localCheckpoint()
-            cents = (
-                vecs.filter(F.col("vec_id") % (n // nlist) == 0)
-                .limit(nlist)
-                .select(
-                    "vec_id",
-                    F.transform("embedding", lambda x: x.cast("double")).alias(
-                        "centroid"
-                    ),
-                )
-                .withColumn(
-                    "cluster_id", F.row_number().over(W.orderBy("vec_id")) - 1
-                )
-                .select("cluster_id", "centroid")
-                .localCheckpoint()
-            )
-            asg_path = os.path.join(work, f"asg_{n}.parquet")
-            t0 = time.perf_counter()
-            ivf_assignment_table(vecs, cents, "vec_id", "embedding").write.mode(
-                "overwrite"
-            ).parquet(asg_path)
-            asg_build = round(time.perf_counter() - t0, 3)
-            stored_asg = spark.read.parquet(asg_path)
 
-            def ann_stored():
-                delta_asg = ivf_assignment_table(
-                    vbatch, cents, "vec_id", "embedding"
-                )
-                noop(
-                    ann_ivf_topk(
-                        vecs.unionByName(vbatch),
-                        vbatch,
-                        cents,
+            if "ivf" in args.ops:
+                # ---- J19: IVF ANN ingest --------------------------------
+                nlist = 8 if args.nlist_rule == "fixed8" else max(8, int(math.isqrt(n)))
+                cents = (
+                    vecs.filter(F.col("vec_id") % (n // nlist) == 0)
+                    .limit(nlist)
+                    .select(
                         "vec_id",
-                        "vec_id",
-                        "embedding",
-                        k=10,
-                        nprobe=3,
-                        corpus_assignments=stored_asg.unionByName(delta_asg),
+                        F.transform("embedding", lambda x: x.cast("double")).alias(
+                            "centroid"
+                        ),
                     )
-                )
-
-            def ann_naive():
-                noop(
-                    ann_ivf_topk(
-                        vecs.unionByName(vbatch),
-                        vbatch,
-                        cents,
-                        "vec_id",
-                        "vec_id",
-                        "embedding",
-                        k=10,
-                        nprobe=3,
+                    .withColumn(
+                        "cluster_id", F.row_number().over(W.orderBy("vec_id")) - 1
                     )
+                    .select("cluster_id", "centroid")
+                    .localCheckpoint()
+                )
+                asg_path = os.path.join(work, f"asg_{n}.parquet")
+                t0 = time.perf_counter()
+                ivf_assignment_table(vecs, cents, "vec_id", "embedding").write.mode(
+                    "overwrite"
+                ).parquet(asg_path)
+                asg_build = round(time.perf_counter() - t0, 3)
+                stored_asg = spark.read.parquet(asg_path)
+
+                def ann_stored():
+                    delta_asg = ivf_assignment_table(
+                        vbatch, cents, "vec_id", "embedding"
+                    )
+                    noop(
+                        ann_ivf_topk(
+                            vecs.unionByName(vbatch),
+                            vbatch,
+                            cents,
+                            "vec_id",
+                            "vec_id",
+                            "embedding",
+                            k=10,
+                            nprobe=3,
+                            corpus_assignments=stored_asg.unionByName(delta_asg),
+                        )
+                    )
+
+                def ann_naive():
+                    noop(
+                        ann_ivf_topk(
+                            vecs.unionByName(vbatch),
+                            vbatch,
+                            cents,
+                            "vec_id",
+                            "vec_id",
+                            "embedding",
+                            k=10,
+                            nprobe=3,
+                        )
+                    )
+
+                ann_stored_s = timed(ann_stored, args.reps)
+                ann_naive_s = timed(ann_naive, args.reps)
+
+                row.update(
+                    ivf_nlist=nlist,
+                    ivf_stored_s=ann_stored_s,
+                    ivf_naive_s=ann_naive_s,
+                    ivf_speedup=round(ann_naive_s / ann_stored_s, 1),
+                    ivf_build_once_s=asg_build,
                 )
 
-            ann_stored_s = timed(ann_stored, args.reps)
-            ann_naive_s = timed(ann_naive, args.reps)
+            if "hamming" in args.ops:
+                # ---- J21: binary-sketch ANN vs float brute force ----
+                # steady state: the 8-byte/row sketch table persists at
+                # ingest; each query batch scans sketches + reranks a
+                # bounded candidate set. Naive: exact cosine over the
+                # full float corpus for the same queries. Speedup is
+                # the scan-size story (16 sketch bytes vs 256 float
+                # bytes per 64-dim row) plus the cheaper distance op.
+                _next_group(f"hamming corpus={n}")
+                nq = 50
+                qvecs = synth_vecs(
+                    spark, nq, salt=5, start=n + BATCH
+                ).localCheckpoint()
+                sk_path = os.path.join(work, f"sketch_{n}.parquet")
+                t0 = time.perf_counter()
+                vecs.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    *sign_sketch_words("embedding", DIM),
+                ).write.mode("overwrite").parquet(sk_path)
+                sk_build = round(time.perf_counter() - t0, 3)
+                stored_sk = spark.read.parquet(sk_path)
 
-            row.update(
-                ivf_nlist=nlist,
-                ivf_stored_s=ann_stored_s,
-                ivf_naive_s=ann_naive_s,
-                ivf_speedup=round(ann_naive_s / ann_stored_s, 1),
-                ivf_build_once_s=asg_build,
-            )
+                def ham_stored():
+                    noop(
+                        ann_hamming_rerank(
+                            vecs, qvecs, "vec_id", "vec_id", "embedding",
+                            k=10, rerank=50, dim=DIM,
+                            corpus_sketches=stored_sk,
+                        )
+                    )
+
+                def ham_naive():
+                    noop(
+                        ann_bruteforce_topk(
+                            vecs, qvecs, "vec_id", "vec_id", "embedding",
+                            k=10,
+                        )
+                    )
+
+                ham_stored_s = timed(ham_stored, args.reps, label="ham-stored")
+                ham_naive_s = timed(ham_naive, args.reps, label="ham-naive")
+                row.update(
+                    hamming_stored_s=ham_stored_s,
+                    hamming_bruteforce_s=ham_naive_s,
+                    hamming_speedup=round(ham_naive_s / ham_stored_s, 1),
+                    sketch_build_once_s=sk_build,
+                )
+
             rows.append(row)
             print(f"done corpus={n}: {row}", file=sys.stderr)
             spark.catalog.clearCache()
@@ -367,6 +422,9 @@ def main() -> None:
     if "ivf" in args.ops:
         cols += ["ivf_nlist", "ivf_stored_s", "ivf_naive_s", "ivf_speedup",
                  "ivf_build_once_s"]
+    if "hamming" in args.ops:
+        cols += ["hamming_stored_s", "hamming_bruteforce_s",
+                 "hamming_speedup", "sketch_build_once_s"]
     print("\n| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
     for r in rows:
