@@ -498,6 +498,13 @@ _BOOL_RE = re.compile(
     r"(?: (?:but not|without|excluding) (?P<neg>[a-z0-9_' ]+?))?$"
 )
 
+_HYBRID_RE = re.compile(
+    r"(?i)^(?:show |list |find )?top (?P<k>\d+) (?P<table>[a-z_ ]+?) "
+    r"hybrid (?:matching|search(?:ing)?(?: for)?) "
+    r"(?P<terms>[a-z0-9_' ]+?) "
+    r"near (?:doc(?:ument)?|vector|item) (?P<id>\d+)$"
+)
+
 _FUNNEL_RE = re.compile(
     r"(?i)^(?:how many|count(?: of)?) (?P<entity>users|customers) "
     r"(?:did|who did|completed|who completed) "
@@ -603,6 +610,58 @@ def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
 
         pk = vocab.table_columns[table][0]
         return stratified_quota(spark.table(table), col, pk, pct / 100.0)
+    # hybrid retrieval: 'top K <table> hybrid matching <terms> near
+    # document <id>' — RRF fusion (F35) of the BM25 lexical list with
+    # a dense cosine list anchored at <id>'s embedding. Tried BEFORE
+    # the plain bm25 form (both start 'top K <table>'; 'hybrid' is
+    # the discriminating keyword and _BM25_RE's table group would
+    # otherwise swallow it).
+    m = _HYBRID_RE.match(q)
+    if m:
+        table, id_col, text_col = _text_table(m.group("table"), vocab)
+        emb_table = resolve_table("embeddings", vocab)
+        ecols = vocab.table_columns[emb_table]
+        if "embedding" not in ecols:
+            raise NLError(
+                f"the hybrid intent needs an 'embedding' column on "
+                f"{emb_table} (found {ecols})"
+            )
+        eid = ecols[0]
+        from pyspark.sql import functions as F
+
+        from karna_spark.functions.vector import cosine
+        from karna_spark.operators.retrieval import (
+            bm25_scores,
+            rrf_fuse,
+            topn_ranks,
+        )
+
+        qid = int(m.group("id"))
+        lexk = topn_ranks(
+            bm25_scores(
+                spark.table(table), id_col, text_col,
+                _split_terms(m.group("terms")),
+            ),
+            id_col, "bm25", "r_lex", 100,
+        )
+        emb = spark.table(emb_table)
+        qv = emb.filter(F.col(eid) == qid).select(
+            F.col("embedding").alias("qv")
+        )
+        dense = (
+            emb.filter(F.col(eid) != qid)
+            .join(F.broadcast(qv), F.lit(True))
+            .select(
+                F.col(eid).alias(id_col),
+                F.round(cosine(F.col("embedding"), F.col("qv")), 4)
+                .alias("cos"),
+            )
+        )
+        densek = topn_ranks(dense, id_col, "cos", "r_dense", 100)
+        return rrf_fuse(
+            lexk, densek, id_col, "r_lex", "r_dense",
+            k=60, top_k=int(m.group("k")),
+        )
     m = _BM25_RE.match(q)
     if m:
         table, id_col, text_col = _text_table(m.group("table"), vocab)

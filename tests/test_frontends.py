@@ -811,3 +811,36 @@ def test_http_graphql_mutation_is_durable(fixtures, tmp_path):
     ).collect()
     assert ms.get_query("hq").text == "SELECT 2 AS two"
     fixtures.catalog.dropTempView("httpds")
+
+
+def test_nl_hybrid_search_intent(fixtures):
+    # 'hybrid matching ... near document N' fuses the BM25 list with a
+    # dense cosine list anchored at N's embedding (RRF, F35); the plain
+    # 'matching' form must still route to BM25 (intent precedence).
+    from karna_spark.frontends.nl import ask
+
+    fixtures.createDataFrame(
+        [(1, "fast vector stream"), (2, "vector db joins"),
+         (3, "nothing relevant here")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("notes")
+    fixtures.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [0.8, 0.2])],
+        "vec_id long, embedding array<float>",
+    ).createOrReplaceTempView("embeddings")
+    try:
+        rows = ask(
+            fixtures, "top 2 notes hybrid matching vector near document 0"
+        ).collect()
+        # doc 1 is in both lists (lex rank 1 by id tiebreak, dense rank
+        # 1); doc 2 is lex rank 2 + dense rank 3; doc 3 dense-only
+        assert [r["doc_id"] for r in rows] == [1, 2]
+        assert [r["fused_rank"] for r in rows] == [1, 2]
+        assert rows[0]["r_lex"] == 1 and rows[0]["r_dense"] == 1
+        # precedence: without 'hybrid ... near' the bm25 intent matches
+        bm = ask(fixtures, "top 2 notes matching vector").collect()
+        assert {c for c in bm[0].asDict()} >= {"doc_id", "bm25"}
+    finally:
+        fixtures.catalog.dropTempView("notes")
+        fixtures.catalog.dropTempView("embeddings")
