@@ -124,6 +124,12 @@ HEADLINE = [
     # top-100 before fusion — cost should track text_bm25_scores)
     "snapshot_merge_full_sync",
     "retrieval_rrf_fusion",
+    # r12 batch-3: binary-sketch ANN (8-byte Hamming candidates +
+    # bounded exact rerank — watch against similarity_topk_lsh) and
+    # the BPE tokenizer APPLY (map-only nested-replace encode; its
+    # per-row cost is the token-counting cost of the whole pipeline)
+    "similarity_hamming_rerank",
+    "text_bpe_encode",
 ]
 
 

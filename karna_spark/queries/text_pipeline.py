@@ -3036,3 +3036,76 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wrows.unionByName(cm).orderBy("item")
+
+
+# ------------------------------------------------- BPE apply (F36)
+# The certification merge list is FIXED so the DuckDB oracle can spell
+# the identical nested-replace chain; a learned list from learn_bpe
+# (F22) drops into the same operator unchanged.
+_BPE_APPLY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("s", "t"), ("in", "g"),
+]
+
+
+def _bpe_apply_sql_chain(expr: str) -> str:
+    """Nested DuckDB replace() calls mirroring _apply_merges."""
+    out = expr
+    for a, b in _BPE_APPLY_MERGES:
+        out = f"replace({out}, '{a} {b}', '{a}{b}')"
+    return out
+
+
+_BPE_APPLY_CHAIN_SQL = _bpe_apply_sql_chain(
+    "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+)
+
+
+@register_query(
+    "text_bpe_encode",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, ws,
+             list_transform(ws, w ->
+               {_BPE_APPLY_CHAIN_SQL}
+             ) AS toks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(toks,
+                  t -> len(string_split(t, ' ')))), 0) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(toks, ' | ')) AS enc_md5
+    FROM enc
+    """,
+    tags="F36 F22 F9",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F36: BPE tokenizer APPLY (operators/bpe_apply.py:bpe_encode) —
+    encode every document with a merge table, the other half of the
+    tokenizer lifecycle F22 trains. Each word explodes to
+    space-separated symbols and one ``replace('a b','ab')`` per rule
+    rewrites it in priority order (left-to-right non-overlapping ==
+    BPE's per-rule merge pass), all inside ONE transform() lambda —
+    a map-only projection with zero shuffles and zero Python, so
+    token counting at 100 TB costs one pass over the text. The
+    oracle replays the identical chain with DuckDB's replace(),
+    certifying per-doc word counts, token counts, and the md5 of the
+    full token stream."""
+    from karna_spark.operators.bpe_apply import bpe_encode
+
+    enc = bpe_encode(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        _BPE_APPLY_MERGES,
+    )
+    return enc.select(
+        "doc_id", "n_words", "n_tokens",
+        F.md5(F.col("encoded").cast("binary")).alias("enc_md5"),
+    )

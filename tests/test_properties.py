@@ -560,3 +560,44 @@ def test_ewma_fold_matches_python(spark, rows):
             s = c if s is None else (s + c) // 2
         want[k] = s
     assert got == want
+
+
+# ------------------------------------------------- BPE apply (F36)
+# random ASCII words + random merge lists: the Spark transform/replace
+# chain must agree exactly with the pure-Python reference tokenizer
+# (same left-to-right non-overlapping per-rule semantics).
+_BPE_WORD = st.text(
+    alphabet="abcdefgh", min_size=0, max_size=10
+)
+_BPE_MERGE_SYM = st.text(alphabet="abcdefgh", min_size=1, max_size=2)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_BPE_WORD, min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=4,
+    ),
+    merges=st.lists(
+        st.tuples(_BPE_MERGE_SYM, _BPE_MERGE_SYM),
+        min_size=0,
+        max_size=6,
+        unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_bpe_encode_matches_reference(spark, docs, merges):
+    from karna_spark.operators.bpe_apply import (
+        bpe_encode,
+        reference_bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.encoded)
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == reference_bpe_encode(t, merges), (t, merges)
