@@ -629,38 +629,22 @@ def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
         eid = ecols[0]
         from pyspark.sql import functions as F
 
-        from karna_spark.functions.vector import cosine
-        from karna_spark.operators.retrieval import (
-            bm25_scores,
-            rrf_fuse,
-            topn_ranks,
-        )
+        from karna_spark.operators.retrieval import hybrid_rrf
 
         qid = int(m.group("id"))
-        lexk = topn_ranks(
-            bm25_scores(
-                spark.table(table), id_col, text_col,
-                _split_terms(m.group("terms")),
-            ),
-            id_col, "bm25", "r_lex", 100,
-        )
         emb = spark.table(emb_table)
-        qv = emb.filter(F.col(eid) == qid).select(
-            F.col("embedding").alias("qv")
-        )
-        dense = (
-            emb.filter(F.col(eid) != qid)
-            .join(F.broadcast(qv), F.lit(True))
-            .select(
-                F.col(eid).alias(id_col),
-                F.round(cosine(F.col("embedding"), F.col("qv")), 4)
-                .alias("cos"),
+        # a typo'd anchor id would silently degrade to lexical-only
+        # results (empty dense list) — fail loudly like every other
+        # NL resolution error instead
+        if emb.filter(F.col(eid) == qid).limit(1).count() == 0:
+            raise NLError(
+                f"no {emb_table} row with {eid} = {qid} to anchor "
+                "the dense list"
             )
-        )
-        densek = topn_ranks(dense, id_col, "cos", "r_dense", 100)
-        return rrf_fuse(
-            lexk, densek, id_col, "r_lex", "r_dense",
-            k=60, top_k=int(m.group("k")),
+        return hybrid_rrf(
+            spark.table(table), emb, id_col, text_col, eid, "embedding",
+            _split_terms(m.group("terms")), anchor_id=qid,
+            k=int(m.group("k")),
         )
     m = _BM25_RE.match(q)
     if m:

@@ -1162,6 +1162,7 @@ class SnapshotStore:
         key_cols: list[str],
         op_col: str = "op",
         _op: str = "cdc",
+        _expect_base: int | None = None,
     ) -> int:
         """CDC apply: merge a change feed carrying an op column
         ('I'/'U' upsert, 'D' delete) into a new snapshot. Rows whose
@@ -1191,6 +1192,18 @@ class SnapshotStore:
         # Base-first, the racer's publish makes the CAS check fail
         # loudly and with_commit_retries does its job.
         prev_v = self.latest_version()
+        if _expect_base is not None and prev_v != _expect_base:
+            # a composite verb (merge) derived this feed against an
+            # EARLIER head: basing the apply on the racer's newer head
+            # would pass CAS while carrying clause decisions made
+            # against stale rows — the same lost-update class as the
+            # claim-before-read race, one level up. Fail loudly; the
+            # caller re-derives its feed from the new head and
+            # retries.
+            raise ConcurrentWriteError(
+                f"base moved under the change feed: derived against "
+                f"v{_expect_base}, head is now v{prev_v}"
+            )
         prev_doc = self._manifest_doc(prev_v)
         v = self._claim_version()
         prev = prev_doc["partitions"]
@@ -1333,6 +1346,21 @@ class SnapshotStore:
             raise ValueError("nothing to merge into: no published version")
         nmbs_set = not_matched_by_source_update_set
         nmbs = bool(not_matched_by_source_delete) or nmbs_set is not None
+        if nmbs_set is not None and not nmbs_set:
+            # an empty SET dict would still widen the join to
+            # full-outer and feed every source-missing target row as
+            # a no-op U — a silent full-table rewrite of an identical
+            # table. Refuse before any version claim.
+            raise ValueError(
+                "NOT MATCHED BY SOURCE UPDATE SET is empty; pass "
+                "column expressions or omit the clause"
+            )
+        if not_matched_by_source_update_cond is not None and nmbs_set is None:
+            raise ValueError(
+                "not_matched_by_source_update_cond without "
+                "not_matched_by_source_update_set would be silently "
+                "ignored; pass the SET dict or drop the condition"
+            )
         if nmbs_set:
             doc = self._manifest_doc(prev_v)
             protected = {
@@ -1486,7 +1514,11 @@ class SnapshotStore:
             )
         )
         return self.apply_changes(
-            spark, feed, key_cols, op_col="__merge_op", _op="merge"
+            spark, feed, key_cols, op_col="__merge_op", _op="merge",
+            # the feed's clause decisions were evaluated against
+            # prev_v's rows; a racer publishing in between must fail
+            # the apply loudly, not be silently overwritten
+            _expect_base=prev_v,
         )
 
     def delete_where(self, spark: SparkSession, condition) -> int:

@@ -90,8 +90,20 @@ def reference_bpe_encode(
     text: str, merges: list[tuple[str, str]]
 ) -> tuple[int, int, str]:
     """Pure-Python twin of :func:`bpe_encode` for property tests:
-    returns (n_words, n_tokens, encoded) for one document."""
-    words = text.strip().split()
+    returns (n_words, n_tokens, encoded) for one document.
+
+    Scope note (applies to both sides): word splitting is ASCII
+    ``\\s+`` (Java and RE2 agree; Python's ``str.split()`` would also
+    split U+2028-class Unicode whitespace, so the twin uses the regex
+    form), and symbol splitting is per UTF-16 code unit in Spark —
+    identical to per-codepoint for the Basic Multilingual Plane, but
+    an astral character (emoji) splits into two surrogate symbols.
+    Corpora with astral text should pre-normalize or treat such words
+    as opaque; the certification fixture and the property alphabet
+    stay within the BMP."""
+    import re
+
+    words = [w for w in re.split(r"\s+", text.strip()) if w]
     out_words = []
     n_tokens = 0
     for w in words:

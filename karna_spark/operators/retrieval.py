@@ -241,3 +241,47 @@ def topn_ranks(
     return top.select(
         id_col, F.row_number().over(w).cast("int").alias(rank_name)
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    emb_id_col: str,
+    vec_col: str,
+    terms: list[str],
+    anchor_id: int,
+    k: int = 10,
+    list_n: int = 100,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """The full hybrid-retrieval pipeline (F35): BM25 lexical list over
+    ``docs`` fused with a dense cosine list over ``emb`` anchored at
+    ``anchor_id``'s vector. ONE implementation behind both certified
+    surfaces — the `retrieval_rrf_fusion` driver query and the NL
+    front-end's 'hybrid matching ... near document N' intent — so the
+    list depth, rounding, and fusion constant cannot drift apart.
+    Each list truncates to ``list_n`` via :func:`topn_ranks` before
+    any rank window; see :func:`rrf_fuse` for the fusion contract."""
+    from karna_spark.functions.vector import cosine
+
+    lexk = topn_ranks(
+        bm25_scores(docs, doc_id_col, text_col, terms),
+        doc_id_col, "bm25", "r_lex", list_n,
+    )
+    qv = emb.filter(F.col(emb_id_col) == anchor_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    dense = (
+        emb.filter(F.col(emb_id_col) != anchor_id)
+        .join(F.broadcast(qv), F.lit(True))
+        .select(
+            F.col(emb_id_col).alias(doc_id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 4).alias("cos"),
+        )
+    )
+    densek = topn_ranks(dense, doc_id_col, "cos", "r_dense", list_n)
+    return rrf_fuse(
+        lexk, densek, doc_id_col, "r_lex", "r_dense", k=rrf_k, top_k=k
+    )

@@ -640,7 +640,7 @@ def ann_hamming_rerank(
     no global sort), and stage 2's exact-vector read is bounded at
     |queries|·rerank rows. Ties break on neighbor id at both stages,
     so the result is deterministic at any parallelism."""
-    dim = dim if dim is not None else _resolve_dim(corpus, vec_col)
+    dim = _resolve_dim(corpus, vec_col, dim)
     n_words = (dim + 31) // 32
     wnames = [f"w{j}" for j in range(n_words)]
     if corpus_sketches is not None:

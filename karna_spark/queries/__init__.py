@@ -69,11 +69,12 @@ from karna_spark.queries import (  # noqa: F401,E402
 # result schema, merge source pinning + reserved count alias, and the
 # S30 machinery generalized to composite specs), then (c) the
 # EDF-obligatory stale cohorts: all 32 r7 rows (deadline r12) followed
-# by the first 5 r8 rows in registry order (two late-r12 rows — the
-# NOT-MATCHED-BY-SOURCE merge and RRF fusion — took head slots from
-# the r8 fill); the r8 remainder leads r13's (c) head.
-# rotation_check.py verifies floor + EDF feasibility against this
-# order.
+# by the first 2 r8 rows in registry order (five late-r12 rows — the
+# NOT-MATCHED-BY-SOURCE merge, RRF fusion, binary-sketch ANN, the NL
+# hybrid intent, and the BPE encode — took head slots from the r8
+# fill); the r8 remainder (agg_grouping_sets onward) leads r13's (c)
+# head. rotation_check.py verifies floor + EDF feasibility against
+# this order.
 _PRIORITY: tuple[str, ...] = (
     # (a) the r12-born rows:
     "snapshot_multifield_spec", "snapshot_branch_wap",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from karna_spark.catalog import load_fixture_tables
+from karna_spark.queries.vectors import RRF_ORACLE_SQL as _RRF_ORACLE
 from karna_spark.queries.registry import register_query
 
 _NON_EVENT_TABLES = (
@@ -649,64 +650,9 @@ def frontend_nl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_query(
     "frontend_nl_hybrid_search",
-    oracle="""
-    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-               FROM documents),
-    dl AS (SELECT doc_id, len(ws) AS dl FROM d),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    tf AS (
-      SELECT doc_id, term, count(*) AS tf
-      FROM (SELECT doc_id, unnest(ws) AS term FROM d)
-      WHERE term IN ('query', 'join', 'shuffle')
-      GROUP BY doc_id, term
-    ),
-    idf AS (
-      SELECT term,
-             ln(1 + (s.n_docs - count(DISTINCT doc_id) + 0.5)
-                    / (count(DISTINCT doc_id) + 0.5)) AS idf
-      FROM tf, stats s GROUP BY term, s.n_docs
-    ),
-    bm AS (
-      SELECT tf.doc_id,
-             ROUND(SUM(idf.idf * tf.tf * 2.2
-                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4)
-               AS bm25
-      FROM tf JOIN idf USING (term)
-      JOIN dl ON dl.doc_id = tf.doc_id, stats s
-      GROUP BY tf.doc_id
-    ),
-    lexk AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
-               AS r_lex
-      FROM bm QUALIFY r_lex <= 100
-    ),
-    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id = 0),
-    dn AS (
-      SELECT e.vec_id AS doc_id,
-             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                          q.qv), 4) AS cos
-      FROM embeddings e, q WHERE e.vec_id <> 0
-    ),
-    densek AS (
-      SELECT doc_id,
-             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
-               AS r_dense
-      FROM dn QUALIFY r_dense <= 100
-    ),
-    fused AS (
-      SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id, l.r_lex, de.r_dense,
-             COALESCE(CAST(1 AS DOUBLE) / (60 + l.r_lex), 0)
-               + COALESCE(CAST(1 AS DOUBLE) / (60 + de.r_dense), 0) AS rrf
-      FROM lexk l FULL OUTER JOIN densek de ON l.doc_id = de.doc_id
-    ),
-    top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
-    SELECT doc_id, r_lex, r_dense, rrf,
-           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
-             AS fused_rank
-    FROM top
-    """,
+    # same oracle text as retrieval_rrf_fusion — ONE operator
+    # implementation (hybrid_rrf), one oracle, two surfaces
+    oracle=_RRF_ORACLE,
     tags="V1 F35",
 )
 def frontend_nl_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -704,9 +704,10 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- RRF fusion
-@register_query(
-    "retrieval_rrf_fusion",
-    oracle="""
+# Shared with the NL front-end's hybrid intent row
+# (frontends_q.frontend_nl_hybrid_search): one oracle text for the one
+# operator implementation (operators/retrieval.py:hybrid_rrf).
+RRF_ORACLE_SQL = """
     WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
                FROM documents),
     dl AS (SELECT doc_id, len(ws) AS dl FROM d),
@@ -763,7 +764,12 @@ def vector_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
              AS fused_rank
     FROM top
-    """,
+    """
+
+
+@register_query(
+    "retrieval_rrf_fusion",
+    oracle=RRF_ORACLE_SQL,
     tags="F35 F11 J5",
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,29 +786,14 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size. Ranks are exact ints and the fused
     score is two IEEE double ops written identically in the oracle, so
     the row set is hash-exact WITHOUT rounding the fused score."""
-    from karna_spark.operators.retrieval import (
-        bm25_scores,
-        rrf_fuse,
-        topn_ranks,
-    )
+    from karna_spark.operators.retrieval import hybrid_rrf
 
-    docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
-    lexk = topn_ranks(
-        bm25_scores(docs, "doc_id", "text", ["query", "join", "shuffle"]),
-        "doc_id", "bm25", "r_lex", 100,
+    return hybrid_rrf(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        ["query", "join", "shuffle"], anchor_id=0, k=10,
     )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    dense = (
-        emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.lit(True))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos"),
-        )
-    )
-    densek = topn_ranks(dense, "doc_id", "cos", "r_dense", 100)
-    return rrf_fuse(lexk, densek, "doc_id", "r_lex", "r_dense", k=60, top_k=10)
 
 
 # ------------------------------------------- binary Hamming ANN (J21)

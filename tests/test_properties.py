@@ -567,9 +567,11 @@ def test_ewma_fold_matches_python(spark, rows):
 # chain must agree exactly with the pure-Python reference tokenizer
 # (same left-to-right non-overlapping per-rule semantics).
 _BPE_WORD = st.text(
-    alphabet="abcdefgh", min_size=0, max_size=10
+    alphabet="abcdefghéß中", min_size=0, max_size=10
 )
-_BPE_MERGE_SYM = st.text(alphabet="abcdefgh", min_size=1, max_size=2)
+_BPE_MERGE_SYM = st.text(
+    alphabet="abcdefghéß中", min_size=1, max_size=2
+)
 
 
 @given(

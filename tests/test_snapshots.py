@@ -3234,3 +3234,69 @@ def test_del_char_partition_value_round_trips(spark, tmp_path):
     store.upsert(spark, spark.createDataFrame([R(k=2, p=val, x=20)]), ["k"])
     assert sorted(r["k"] for r in store.read(spark).collect()) == [1, 2]
     assert store.vacuum(retain_last=2, orphan_grace_sec=0.0) == []
+
+
+def test_merge_detects_base_move_between_read_and_apply(spark, tmp_path):
+    """merge() evaluates its clause conditions against the head it
+    read; a racer publishing before the feed is applied must surface
+    as ConcurrentWriteError — never as clause decisions made against
+    stale rows silently clobbering the racer's commit."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    store = SnapshotStore(root, "p")
+    store.commit(_mk(spark, [(1, "a", 10), (2, "a", 20)]))
+    orig_apply = store.apply_changes
+    fired = {"done": False}
+
+    def apply_with_racer(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer lands a commit between merge's base read and
+            # the feed apply
+            SnapshotStore(root, "p").upsert(
+                spark, _mk(spark, [(2, "a", 99)]), ["k"]
+            )
+        return orig_apply(*a, **kw)
+
+    store.apply_changes = apply_with_racer
+    with pytest.raises(ConcurrentWriteError, match="base moved"):
+        store.merge(
+            spark,
+            _mk(spark, [(1, "a", 11)]),
+            ["k"],
+            not_matched_by_source_delete="t.val < 50",
+        )
+    store.apply_changes = orig_apply
+    # the racer's write survived; a retry sees the new head, where
+    # val=99 FAILS the delete condition — the racer's row lives on
+    # (under the old silent-overwrite behavior the stale val=20
+    # evaluation would have deleted it)
+    store.merge(
+        spark,
+        _mk(spark, [(1, "a", 11)]),
+        ["k"],
+        not_matched_by_source_delete="t.val < 50",
+    )
+    assert _rows(store.read(spark)) == [(1, "a", 11), (2, "a", 99)]
+
+
+def test_merge_nmbs_degenerate_clause_refusals(spark, tmp_path):
+    """An empty SET dict (would full-outer-rewrite an identical table)
+    and a dangling update condition (would be silently ignored) are
+    refused before any version claim."""
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(_mk(spark, [(1, "a", 10)]))
+    src = _mk(spark, [(1, "a", 11)])
+    with pytest.raises(ValueError, match="UPDATE SET is empty"):
+        store.merge(
+            spark, src, ["k"], not_matched_by_source_update_set={}
+        )
+    with pytest.raises(ValueError, match="silently ignored"):
+        store.merge(
+            spark, src, ["k"],
+            not_matched_by_source_update_cond="t.val < 5",
+        )
+    assert store.latest_version() == 1
