@@ -3300,3 +3300,61 @@ def test_merge_nmbs_degenerate_clause_refusals(spark, tmp_path):
             not_matched_by_source_update_cond="t.val < 5",
         )
     assert store.latest_version() == 1
+
+
+def test_merge_random_nmbs_clauses_match_model(spark, tmp_path):
+    """Full five-clause sweep: the NMBS DELETE/UPDATE-SET pair joins
+    the random-program gate (delete tested before update on BOTH the
+    matched and the source-missing side; conditions over t.*; SET
+    applies an expression to surviving source-missing rows)."""
+    import random
+
+    for seed in (11, 23):
+        random.seed(seed)
+        root = str(tmp_path / f"nm{seed}")
+        store = SnapshotStore(root, "p")
+        part = {k: "abc"[k % 3] for k in range(1, 13)}
+        state = {
+            k: random.randrange(100)
+            for k in random.sample(range(1, 13), 8)
+        }
+        store.commit(_mk(spark, [(k, part[k], v) for k, v in state.items()]))
+        for _ in range(3):
+            src = {
+                k: random.randrange(100)
+                for k in random.sample(range(1, 13), random.randint(1, 6))
+            }
+            ut, dt, it, ndt, nut = (random.randrange(100) for _ in range(5))
+            add = random.randrange(1000, 9000)
+            v = store.merge(
+                spark,
+                _mk(spark, [(k, part[k], val) for k, val in src.items()]),
+                ["k"],
+                matched_update_cond=f"s.val >= {ut}",
+                matched_delete_cond=f"t.val < {dt}",
+                not_matched_insert_cond=f"s.val >= {it}",
+                not_matched_by_source_delete=f"t.val < {ndt}",
+                not_matched_by_source_update_set={"val": f"t.val + {add}"},
+                not_matched_by_source_update_cond=f"t.val >= {nut}",
+            )
+            for k in list(state):
+                if k in src:
+                    continue
+                if state[k] < ndt:
+                    state.pop(k)
+                elif state[k] >= nut:
+                    state[k] = state[k] + add
+            for k, sval in src.items():
+                if k in state:
+                    if state[k] < dt:
+                        state.pop(k)
+                    elif sval >= ut:
+                        state[k] = sval
+                elif sval >= it:
+                    state[k] = sval
+            got = _rows(store.read(spark, version=v))
+            want = sorted((k, part[k], val) for k, val in state.items())
+            assert got == want, (
+                f"seed={seed} v={v} ut={ut} dt={dt} it={it} "
+                f"ndt={ndt} nut={nut} add={add}"
+            )
