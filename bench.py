@@ -130,6 +130,10 @@ HEADLINE = [
     # per-row cost is the token-counting cost of the whole pipeline)
     "similarity_hamming_rerank",
     "text_bpe_encode",
+    # r12 batch-4: the RAG ingest+retrieve pipeline (map-only
+    # chunk+embed, bounded TakeOrdered top-k — the embed-side cost
+    # anchor complementing pipeline_training_corpus)
+    "pipeline_rag_index",
 ]
 
 

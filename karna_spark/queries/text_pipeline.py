@@ -3109,3 +3109,161 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_tokens",
         F.md5(F.col("encoded").cast("binary")).alias("enc_md5"),
     )
+
+
+# --------------------------------------------- RAG index pipeline
+# Fixed-window chunker: W words per chunk, stride S (W-S overlap).
+_RAG_W, _RAG_S, _RAG_DIMS, _RAG_K = 32, 24, 8, 5
+_RAG_QUERY = "distributed query engines shuffle data between stages"
+
+
+def _rag_qvec() -> list[float]:
+    """The query string's hash embedding, computed driver-side once —
+    the same per-byte md5 construction the chunk expressions use, so
+    it is a plain literal vector in BOTH certification engines."""
+    import hashlib
+
+    h = hashlib.md5(_RAG_QUERY.encode()).hexdigest()
+    return [
+        (int(h[2 * j: 2 * j + 2], 16) - 127.5) / 127.5
+        for j in range(_RAG_DIMS)
+    ]
+
+
+def _rag_dim_sql(j: int) -> str:
+    """DuckDB: byte j of md5(chunk text), scaled to [-1, 1]."""
+    hx = "0123456789abcdef"
+    hi = f"(strpos('{hx}', substr(md5(t), {2 * j + 1}, 1)) - 1)"
+    lo = f"(strpos('{hx}', substr(md5(t), {2 * j + 2}, 1)) - 1)"
+    return f"((({hi}) * 16 + ({lo}) - 127.5) / 127.5)"
+
+
+def _rag_oracle() -> str:
+    import math
+
+    q = _rag_qvec()
+    qnorm = math.sqrt(sum(x * x for x in q))
+    num = " + ".join(
+        f"({_rag_dim_sql(j)}) * ({q[j]!r})" for j in range(_RAG_DIMS)
+    )
+    sq = " + ".join(
+        f"({_rag_dim_sql(j)}) * ({_rag_dim_sql(j)})"
+        for j in range(_RAG_DIMS)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i,
+             doc_id * 1000 + i AS chunk_id,
+             array_to_string(
+               ws[i * {_RAG_S} + 1 : i * {_RAG_S} + {_RAG_W}], ' ') AS t
+      FROM w, LATERAL unnest(range(0,
+        CAST(1 + ceil(greatest(0, len(ws) - {_RAG_W}) / {_RAG_S}.0)
+             AS BIGINT))) u(i)
+    ),
+    scored AS (
+      SELECT chunk_id, doc_id,
+             ROUND(({num}) / (sqrt({sq}) * {qnorm!r}), 4) AS cos
+      FROM c
+    )
+    SELECT chunk_id, doc_id, cos,
+           CAST(row_number() OVER (ORDER BY cos DESC, chunk_id) AS INT)
+             AS rank
+    FROM scored ORDER BY cos DESC, chunk_id LIMIT {_RAG_K}
+    """
+
+
+@register_query(
+    "pipeline_rag_index",
+    oracle=_rag_oracle(),
+    tags="PIPE F4 J5 F8",
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingest+retrieve pipeline: documents → fixed-
+    window word chunks (32-word windows, stride 24 — the overlap
+    variant of F4's certified chunker) → per-chunk deterministic hash
+    embedding (8 dims from md5 bytes, the sandbox stand-in for a real
+    encoder — the Spark-side plumbing is what's certified: schema,
+    map-only embed pass, normalized cosine) → top-5 chunks for a fixed
+    query string by exact cosine. Chunking and embedding are one
+    map-only projection (posexplode of a per-doc window count — no
+    shuffle until the final bounded TakeOrdered top-k). The oracle
+    replays chunk windows, md5-byte embeddings, and the cosine with
+    the SAME literal query vector, so the hash certifies the whole
+    pipeline's arithmetic. At 100 TB: embed is embarrassingly
+    parallel; retrieval would ride the J21/U3 index paths (this row
+    certifies the exact baseline they recall-gate against)."""
+    import math
+
+    q = _rag_qvec()
+    qnorm = math.sqrt(sum(x * x for x in q))
+    docs = table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.lit(0), F.size(words) - F.lit(_RAG_W))
+            / F.lit(float(_RAG_S))
+        )
+    ).cast("int")
+    chunks = (
+        docs.select("doc_id", words.alias("ws"), n_chunks.alias("nc"))
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(0), F.col("nc") - 1)).alias(
+                "pos", "i"
+            ),
+            "ws",
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("i")).alias("chunk_id"),
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("i") * _RAG_S + 1,
+                    F.lit(_RAG_W),
+                ),
+                " ",
+            ).alias("t"),
+        )
+    )
+
+    def dim(j: int):
+        return (
+            F.conv(F.substring(F.md5(F.col("t")), 2 * j + 1, 2), 16, 10)
+            .cast("double")
+            - 127.5
+        ) / 127.5
+
+    num = None
+    sq = None
+    for j in range(_RAG_DIMS):
+        term = dim(j) * F.lit(q[j])
+        s2 = dim(j) * dim(j)
+        num = term if num is None else num + term
+        sq = s2 if sq is None else sq + s2
+    scored = chunks.select(
+        "chunk_id",
+        "doc_id",
+        F.round(num / (F.sqrt(sq) * F.lit(qnorm)), 4).alias("cos"),
+    )
+    from pyspark.sql import Window as W
+
+    top = scored.orderBy(F.col("cos").desc(), F.col("chunk_id")).limit(
+        _RAG_K
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("cos").desc(), F.col("chunk_id")))
+        .cast("int"),
+    )

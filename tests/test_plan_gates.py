@@ -53,6 +53,9 @@ EXPAND_OK = {
 # in the r10 consolidation — no registered query plans a Cartesian.)
 BNLJ_OK = {
     "agg_hll_mergeable_rollup",      # 1-row exact-count comparison side
+    "frontend_nl_hybrid_search",     # 1-row anchor query-vector frame
+    "retrieval_rrf_fusion",          # 1-row dense query-vector frame
+    "similarity_hamming_rerank",     # |queries|-row sketch+vector frames
     "agg_kll_quantile_rollup",       # 1-row exact-quantile comparison side
     "basket_affinity_lift",          # 1-row n_baskets marginal
     "dq_k_anonymity",                # 1-row total-rows denominator
@@ -87,6 +90,11 @@ BNLJ_OK = {
 # (tests/test_prefix.py).
 UNPARTITIONED_WINDOW_OK = {
     "agg_abc_pareto",               # |brands| cumulative share
+    "frontend_nl_hybrid_search",    # rank windows AFTER top-100/limit-k
+                                    # truncation (topn_ranks/rrf_fuse)
+    "pipeline_rag_index",           # fused rank over <= k rows post-limit
+    "retrieval_rrf_fusion",         # rank windows AFTER top-100/limit-k
+                                    # truncation (topn_ranks/rrf_fuse)
     "agg_equidepth_histogram",      # |distinct values| cumulative counts
     "agg_yoy_growth",               # |years| lag frame
     "events_attribution_last_touch",  # |channels| share-of-total

@@ -776,3 +776,23 @@ def test_hamming_rerank_no_python_and_group_limit(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_rag_index_pipeline_map_only_until_topk(spark):
+    """r12: chunk+embed is a map-only projection — the only ordering
+    op in the plan is the bounded TakeOrderedAndProject; no shuffle
+    exchange anywhere, no Python in the hot path."""
+    from karna_spark.queries.registry import REGISTRY
+
+    df = REGISTRY["pipeline_rag_index"].builder(spark, SF)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    # the final row_number window runs over <= k rows AFTER the limit;
+    # everything below the TakeOrdered is exchange-free
+    below = plan[plan.index("TakeOrderedAndProject"):]
+    assert "Exchange" not in below, plan
