@@ -83,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "frontend_nl_funnel", "snapshot_merge_full_sync",
     "retrieval_rrf_fusion", "similarity_hamming_rerank",
     "frontend_nl_hybrid_search", "text_bpe_encode",
-    "pipeline_rag_index",
+    "pipeline_rag_index", "frontend_sql_time_travel",
     # (b) materially changed this round (io/snapshots.py r11 ADVICE
     # fixes + composite-spec generalization of the write/read paths;
     # text_boolean_search refactored onto the shared F33 operator):
@@ -105,9 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "orders_backlog_timeline", "events_dau_wau",
     "dq_referential_integrity", "events_winsorized_stats",
     "dq_k_anonymity",
-    # (c) the first r8 row fills the remaining slot; the r8
-    # remainder leads r13's (c) head:
-    "q11_important_parts",
+    # the 14 r12-born + 4 changed + 32 r7 rows fill all 50 slots;
+    # the whole r8 cohort leads r13's (c) head:
 )
 
 # r12 CONSOLIDATION (policy rule 4, pre-emptive — N was 226/240 with

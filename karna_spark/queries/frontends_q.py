@@ -672,3 +672,78 @@ def frontend_nl_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top 10 documents hybrid matching query and join and shuffle "
         "near document 0",
     )
+
+
+@register_query(
+    "frontend_sql_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_changed,
+           CAST(SUM(val + 1000) AS BIGINT) AS sum_new_val
+    FROM base WHERE k % 7 = 0
+    GROUP BY o_year ORDER BY o_year
+    """,
+    tags="S6 S12 S14",
+)
+def frontend_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface time travel (frontends/sql.py): Iceberg's
+    ``VERSION AS OF`` syntax over a snapshot-store table, with TWO
+    pinned versions of the same table in ONE statement — the SQL form
+    of a snapshot diff. v1 commits orders keyed by year, v2 upserts
+    every 7th key (+1000); the statement EXCEPTs v1 from v2 and
+    aggregates the changed rows per year, which the oracle re-derives
+    from the base table and the upsert predicate alone. Version
+    resolution is manifest-only (driver-side JSON), and each pinned
+    reference is partition-pruned exactly like store.read. At 100 TB:
+    time travel costs nothing at query time beyond reading the pinned
+    manifest — the engine's cross-version analytics (S14 changelog,
+    S19 corpus diff) become ad-hoc SQL."""
+    import shutil
+
+    from karna_spark.frontends.sql import execute
+    from karna_spark.io.snapshots import SnapshotStore
+    from karna_spark.queries.registry import table
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".io_cache",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+        "orders_sql_tt",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                            # v1
+    store.upsert(
+        spark,
+        base.filter(F.col("k") % 7 == 0)
+        .withColumn("val", F.col("val") + 1000),
+        key_cols=["k"],
+    )                                                             # v2
+    return execute(
+        spark,
+        """
+        SELECT o_year,
+               CAST(COUNT(*) AS BIGINT) AS n_changed,
+               CAST(SUM(val) AS BIGINT) AS sum_new_val
+        FROM (
+          SELECT * FROM ott VERSION AS OF 2
+          EXCEPT
+          SELECT * FROM ott VERSION AS OF 1
+        )
+        GROUP BY o_year ORDER BY o_year
+        """,
+        snapshots={"ott": store},
+    )

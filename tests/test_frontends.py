@@ -844,3 +844,57 @@ def test_nl_hybrid_search_intent(fixtures):
     finally:
         fixtures.catalog.dropTempView("notes")
         fixtures.catalog.dropTempView("embeddings")
+
+
+def test_sql_time_travel_versions_and_timestamp(fixtures, tmp_path):
+    from karna_spark.frontends.sql import SQLFrontendError, execute
+    from karna_spark.io.snapshots import SnapshotStore
+
+    clock = iter([1000.0, 2000.0, 3000.0]).__next__
+    store = SnapshotStore(str(tmp_path / "t"), "p", clock=clock)
+    from pyspark.sql import Row
+
+    store.commit(fixtures.createDataFrame(
+        [Row(k=1, p="a", val=10), Row(k=2, p="b", val=20)]))
+    store.upsert(
+        fixtures,
+        fixtures.createDataFrame([Row(k=1, p="a", val=11)]), ["k"],
+    )
+    # two pinned versions of ONE table in one statement: the SQL diff
+    rows = execute(
+        fixtures,
+        "SELECT k, val FROM (SELECT * FROM tt VERSION AS OF 2 "
+        "EXCEPT SELECT * FROM tt VERSION AS OF 1) ORDER BY k",
+        snapshots={"tt": store},
+    ).collect()
+    assert [(r.k, r.val) for r in rows] == [(1, 11)]
+    # bare name reads latest
+    rows = execute(
+        fixtures, "SELECT SUM(val) AS s FROM tt", snapshots={"tt": store}
+    ).collect()
+    assert rows[0].s == 31
+    # timestamp travel resolves by commit stamps (injected clock:
+    # v1@1000, v2@2000) — epoch 1500 pins v1
+    import datetime
+
+    ts = datetime.datetime.fromtimestamp(
+        1500.0, tz=datetime.timezone.utc
+    ).isoformat()
+    rows = execute(
+        fixtures,
+        f"SELECT SUM(val) AS s FROM tt TIMESTAMP AS OF '{ts}'",
+        snapshots={"tt": store},
+    ).collect()
+    assert rows[0].s == 30
+    # unregistered snapshot name fails loudly
+    import pytest
+
+    with pytest.raises(SQLFrontendError, match="unregistered"):
+        execute(
+            fixtures,
+            "SELECT * FROM nope VERSION AS OF 1",
+            snapshots={"tt": store},
+        )
+    # the read-only guard still applies with snapshots attached
+    with pytest.raises(SQLFrontendError, match="read-only"):
+        execute(fixtures, "DROP TABLE tt", snapshots={"tt": store})
