@@ -708,21 +708,14 @@ def frontend_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karna_spark.frontends.sql import execute
     from karna_spark.io.snapshots import SnapshotStore
     from karna_spark.queries.registry import table
+    from karna_spark.queries.sources_q import _export_dir
 
     base = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.year("o_orderdate").cast("int").alias("o_year"),
         (F.col("o_orderkey") % 97).alias("val"),
     )
-    import os
-
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        ".io_cache",
-        os.path.basename(os.path.normpath(sf_dir)) or "sf",
-        "orders_sql_tt",
-    )
+    root = _export_dir(sf_dir, "orders_sql_tt")
     shutil.rmtree(root, ignore_errors=True)
     store = SnapshotStore(root, "o_year")
     store.commit(base)                                            # v1

@@ -3169,7 +3169,7 @@ def _rag_oracle() -> str:
     scored AS (
       SELECT chunk_id, doc_id,
              ROUND(({num}) / (sqrt({sq}) * {qnorm!r}), 4) AS cos
-      FROM c
+      FROM c WHERE t IS NOT NULL AND t <> ''
     )
     SELECT chunk_id, doc_id, cos,
            CAST(row_number() OVER (ORDER BY cos DESC, chunk_id) AS INT)
@@ -3251,7 +3251,10 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2 = dim(j) * dim(j)
         num = term if num is None else num + term
         sq = s2 if sq is None else sq + s2
-    scored = chunks.select(
+    # a zero-word document yields one EMPTY chunk window; drop it on
+    # both certification sides (the oracle's array_to_string over an
+    # empty slice is NULL there) instead of scoring md5('')
+    scored = chunks.filter(F.col("t") != "").select(
         "chunk_id",
         "doc_id",
         F.round(num / (F.sqrt(sq) * F.lit(qnorm)), 4).alias("cos"),

@@ -898,3 +898,70 @@ def test_sql_time_travel_versions_and_timestamp(fixtures, tmp_path):
     # the read-only guard still applies with snapshots attached
     with pytest.raises(SQLFrontendError, match="read-only"):
         execute(fixtures, "DROP TABLE tt", snapshots={"tt": store})
+
+
+def test_sql_guard_rejects_smuggled_dml_and_protects_literals(
+    fixtures, tmp_path
+):
+    import pytest
+
+    from karna_spark.frontends.sql import SQLFrontendError, execute
+    from karna_spark.io.snapshots import SnapshotStore
+    from pyspark.sql import Row
+
+    store = SnapshotStore(str(tmp_path / "t"), "p")
+    store.commit(fixtures.createDataFrame([Row(k=1, p="a", val=10)]))
+    # a leading WITH clause must not smuggle DML past the guard
+    with pytest.raises(SQLFrontendError, match="read-only"):
+        execute(
+            fixtures,
+            "WITH x AS (SELECT 1 AS a) INSERT OVERWRITE DIRECTORY "
+            f"'{tmp_path}/out' USING parquet SELECT * FROM x",
+        )
+    # a literal containing the clause text is data, not syntax
+    rows = execute(
+        fixtures,
+        "SELECT 'tt VERSION AS OF 1' AS s",
+        snapshots={"tt": store},
+    ).collect()
+    assert rows[0].s == "tt VERSION AS OF 1"
+    # ...and an unknown table name inside a literal must not raise
+    rows = execute(
+        fixtures,
+        "SELECT 'orders VERSION AS OF 3 broke' AS s",
+        snapshots={"tt": store},
+    ).collect()
+    assert rows[0].s == "orders VERSION AS OF 3 broke"
+    # qualified column references keep working (the pinned view is
+    # aliased back to the table name)...
+    rows = execute(
+        fixtures,
+        "SELECT tt.k, tt.val FROM tt VERSION AS OF 1 WHERE tt.k = 1",
+        snapshots={"tt": store},
+    ).collect()
+    assert (rows[0].k, rows[0].val) == (1, 10)
+    # ...and a user-written alias is preserved
+    rows = execute(
+        fixtures,
+        "SELECT x.val FROM tt VERSION AS OF 1 AS x",
+        snapshots={"tt": store},
+    ).collect()
+    assert rows[0].val == 10
+    # bare-name resolution happens only in FROM/JOIN position: a
+    # same-named COLUMN must not clobber an existing session view
+    fixtures.createDataFrame([Row(tt=5)]).createOrReplaceTempView(
+        "summary_tbl"
+    )
+    fixtures.createDataFrame([Row(z=1)]).createOrReplaceTempView("tt")
+    try:
+        rows = execute(
+            fixtures,
+            "SELECT tt FROM summary_tbl",
+            snapshots={"tt": store},
+        ).collect()
+        assert rows[0].tt == 5
+        # the session view named tt was NOT overwritten
+        assert fixtures.table("tt").columns == ["z"]
+    finally:
+        fixtures.catalog.dropTempView("summary_tbl")
+        fixtures.catalog.dropTempView("tt")

@@ -22,10 +22,20 @@ def _stage(spark, tmp_path):
     os.makedirs(land, exist_ok=True)
     b1 = [(1, "view"), (1, "click"), (2, "view")]
     b2 = [(1, "purchase"), (2, "click"), (2, "view"), (3, "view")]
+    import glob
+    import time
+
     for i, rows in enumerate((b1, b2)):
         spark.createDataFrame(
             rows, "user_id long, event_type string"
         ).coalesce(1).write.mode("overwrite").parquet(f"{land}/b{i}")
+        # FileStreamSource orders by modification time; two writes
+        # milliseconds apart can land on the same mtime tick, making
+        # batch order nondeterministic — pin strictly increasing
+        # mtimes so batch 0 always precedes batch 1
+        t = time.time() + i * 10
+        for f in glob.glob(f"{land}/b{i}/*.parquet"):
+            os.utime(f, (t, t))
     return land, b1, b2
 
 
