@@ -1,0 +1,130 @@
+"""Broadcast Bloom-filter n-gram decontamination.
+
+The exact decontamination operator (``operators/contamination.py``)
+broadcasts the benchmark's distinct n-gram *strings* and joins. That is
+the right call when the benchmark set fits a string broadcast; when the
+held-out suite grows to hundreds of millions of n-grams (a full eval
+stack against a 100 TB corpus), the broadcast side is the bottleneck.
+The standard fix is the CCNet/Dolma-style Bloom membership probe: the
+benchmark n-grams are folded into an m-bit Bloom filter (k hash
+probes per n-gram) and every training document is tested against the
+bit array — a *map-only* pass with zero shuffle and zero explode: the
+per-document flag count is computed inside the projection itself
+(``size(filter(ngrams, g -> bloom_hit(g)))``), so the 100 TB cost is
+one corpus scan. False positives exist by construction (that is the
+size trade); callers either over-remove (the common policy — removal
+is cheap, leakage is not) or confirm flagged docs with the exact join,
+which then runs on the tiny flagged subset only.
+
+Determinism: positions come from md5 (both engines compute it
+bit-for-bit), so a driver oracle can replay the EXACT bit array —
+false positives included — making the whole probabilistic operator
+hash-certifiable (same convention as the md5 SimHash gate,
+``queries/dedup.py:dedup_simhash_md5_pairs``).
+
+In this sandbox the bit array rides the plan as one array<boolean>
+literal (m/8 bytes — a 65,536-bit filter is 8 KB of plan); on a real
+cluster the same bits travel as a broadcast variable feeding the same
+expression. Reference surface: elliot14A/karna README.md:2 (corpus
+curation verbs implied by the analytics surface); the algorithmic shape
+is the public Bloom-1970 / GPT-3-appendix-C decontamination design.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from karna_spark.operators.text import word_ngrams
+
+# Defaults sized for the fixture corpus: ~1.4k benchmark 4-grams at
+# sf0.01 (6% fill — FP ~2e-4) and ~12.5k at sf0.1 (43% fill — FP ~8%,
+# deliberately demonstrating the false-positive regime the size trade
+# buys). Production sizing is m ≈ -k·n / ln(1 - p^(1/k)).
+M_BITS = 65_536
+K_HASHES = 3
+
+
+def _position(value: Column, seed: int, m_bits: int) -> Column:
+    """Bloom position ``seed`` of a string value: the first 8 hex
+    digits of md5("<seed>:<value>") mod ``m_bits``. Pure JVM
+    (md5 + conv), replayed digit-by-digit by the DuckDB oracle."""
+    hx = F.md5(F.concat(F.lit(f"{seed}:"), value).cast("binary"))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m_bits
+
+
+def bloom_position_sql(value_expr: str, seed: int, m_bits: int) -> str:
+    """The DuckDB spelling of :func:`_position` (no conv() there — the
+    8-digit hex prefix is folded positionally)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5('{seed}:' || {value_expr}),"
+        f" {d}, 1)) - 1) * {16 ** (8 - d)}"
+        for d in range(1, 9)
+    ]
+    return "((" + " + ".join(terms) + f") % {m_bits})"
+
+
+def bloom_bits(
+    df: DataFrame, col: str, m_bits: int = M_BITS, k: int = K_HASHES
+) -> list[bool]:
+    """Build the filter: distinct set bit positions of every value in
+    ``df[col]``, collected to an ``m_bits``-long boolean list. The
+    collect is bounded by ``min(k·|values|, m_bits)`` ints — filter
+    metadata, never data-scale (the benchmark side of decontamination
+    is small by definition; the corpus side never enters this job)."""
+    pos = (
+        df.select(
+            F.explode(
+                F.array(*[_position(F.col(col), i, m_bits) for i in range(k)])
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = [False] * m_bits
+    for row in pos:
+        bits[row["p"]] = True
+    return bits
+
+
+def bloom_hit(value: Column, bits: Column, m_bits: int, k: int) -> Column:
+    """Membership probe: all ``k`` positions set in ``bits`` (an
+    array<boolean> column/literal). element_at is 1-based."""
+    return reduce(
+        Column.__and__,
+        [
+            F.element_at(bits, (_position(value, i, m_bits) + 1).cast("int"))
+            for i in range(k)
+        ],
+    )
+
+
+def bloom_flag_ngrams(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    m_bits: int = M_BITS,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """Per-doc count of distinct word ``n``-grams whose Bloom probe
+    hits (docs with ≥1 hit only): ``(id_col, n_flagged)``.
+
+    Two jobs: a benchmark-scale build (bounded collect), then the
+    map-only corpus probe — no join, no explode; the only shuffle in
+    the plan is whatever the caller does with the result.
+    """
+    bench_ngrams = bench.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    bits = F.lit(bloom_bits(bench_ngrams, "g", m_bits, k))
+    grams = F.array_distinct(word_ngrams(F.col(text_col), n))
+    n_flagged = F.size(F.filter(grams, lambda g: bloom_hit(g, bits, m_bits, k)))
+    return (
+        train.select(F.col(id_col), n_flagged.alias("n_flagged"))
+        .filter(F.col("n_flagged") >= 1)
+        .select(id_col, F.col("n_flagged").cast("long").alias("n_flagged"))
+    )

@@ -316,6 +316,68 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(train, bench, "doc_id", "text", n=4)
 
 
+def _bloom_oracle() -> str:
+    """The DuckDB replay of the Bloom probe: position sets instead of a
+    bit array (membership in the distinct-position set ≡ the bit being
+    set), with the identical md5 position math — so the oracle
+    reproduces the filter's false positives bit-for-bit."""
+    from karna_spark.operators.bloom import K_HASHES, M_BITS, bloom_position_sql
+
+    build = "\n        UNION ALL SELECT ".join(
+        f"{bloom_position_sql('ngram', i, M_BITS)} FROM bench"
+        for i in range(K_HASHES)
+    )
+    probe = "\n        AND ".join(
+        f"{bloom_position_sql('ngram', i, M_BITS)} IN (SELECT p FROM pos)"
+        for i in range(K_HASHES)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, source,
+                      regexp_split_to_array(trim(text), '\\s+') AS ws
+               FROM documents),
+    g AS (
+      SELECT doc_id, source, array_to_string(list_slice(ws, i, i + 3), ' ') AS ngram
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i) t
+    ),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE source = 'src0'),
+    pos AS (
+      SELECT DISTINCT p FROM (SELECT {build}) t(p)
+    ),
+    train AS (SELECT DISTINCT doc_id, ngram FROM g WHERE source <> 'src0'),
+    hits AS (
+      SELECT doc_id FROM train
+      WHERE {probe}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+    FROM hits GROUP BY doc_id
+    """
+
+
+@register_query(
+    "dedup_bloom_decontaminate",
+    oracle=_bloom_oracle(),
+    tags="F9 J9 F37",
+)
+def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/bloom.py): the 'src0'
+    benchmark's distinct word 4-grams fold into a 65,536-bit / 3-hash
+    Bloom filter; every training doc reports how many of its distinct
+    4-grams the filter flags. Unlike the exact broadcast join
+    (text_contamination_ngram), the probe is MAP-ONLY — no join, no
+    explode, no shuffle: the flag count is computed inside the
+    projection (size(filter(ngrams, bloom_hit))), so a 100 TB corpus
+    costs one scan against an 8 KB bit array however large the
+    benchmark suite grows. md5-derived positions make the filter —
+    false positives included — replayable by the oracle, so the row
+    hash-certifies the probabilistic operator exactly."""
+    from karna_spark.operators.bloom import bloom_flag_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return bloom_flag_ngrams(train, bench, "doc_id", "text", n=4)
+
+
 # ---------------------------------------------------------------- BM25
 @register_query(
     "text_bm25_scores",

@@ -276,6 +276,20 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", original)
 
 
+def test_bloom_decontaminate_map_only(spark):
+    """The Bloom probe is the operator's whole point: the PROBE plan
+    (what runs over the 100 TB corpus) must be a pure map — no
+    Exchange, no Generate (the n-grams fold inside the projection),
+    no Python — and the train-side source filter must reach the scan.
+    The benchmark-side build job (bounded collect) runs at builder
+    time and is not part of this plan."""
+    plan = plan_of(spark, "dedup_bloom_decontaminate")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Not(EqualTo(source,src0))" in plan or "IsNotNull(source)" in plan, plan
+
+
 def test_repetition_filter_single_shuffle(spark):
     """The Gopher repetition features are pure column folds — the ONLY
     Exchange in the plan is the final 5-key language aggregate (no
