@@ -3173,6 +3173,105 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_oracle() -> str:
+    """DuckDB replay of the unigram Viterbi: the identical 16-level
+    unrolled DP as a CTE column chain, the vocab as one scalar MAP
+    (duckdb map_extract ≡ Spark element_at: missing key → NULL →
+    coalesce to the same sentinel)."""
+    from karna_spark.operators.unigram_tok import (
+        _SENTINEL,
+        MAX_PIECE,
+        MAX_WORD,
+        TOP_MULTI,
+    )
+
+    levels = []
+    for i in range(1, MAX_WORD + 1):
+        cands = []
+        for j in range(max(0, i - MAX_PIECE), i):
+            vj = "0" if j == 0 else f"v{j}"
+            look = f"list_extract(map_extract(m, substr(w, {j + 1}, {i - j})), 1)"
+            cands.append(f"coalesce({vj} + {look} * 128 - 1, {_SENTINEL})")
+        best = f"greatest({', '.join(cands)})" if len(cands) > 1 else cands[0]
+        prev = "CAST(0 AS BIGINT)" if i == 1 else f"v{i - 1}"
+        levels.append(
+            f"d{i} AS (SELECT *, CASE WHEN length(w) >= {i} THEN {best} "
+            f"ELSE {prev} END AS v{i} FROM d{i - 1})"
+        )
+    chain = ",\n    ".join(levels)
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, substr(w, 1, {MAX_WORD}) AS w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents) t
+      WHERE w <> ''
+    ),
+    wf AS (SELECT w, count(*)::BIGINT AS cnt FROM occ GROUP BY w),
+    pieces AS (
+      SELECT substr(w, s, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM wf,
+           LATERAL (SELECT unnest(range(1, length(w) + 1)) AS s) ts,
+           LATERAL (SELECT unnest(range(1, least({MAX_PIECE}, length(w) - s + 1) + 1)) AS l) tl
+      GROUP BY piece
+    ),
+    vocab0 AS (
+      SELECT piece, cnt FROM pieces WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM pieces WHERE length(piece) >= 2) q
+      WHERE rk <= {TOP_MULTI}
+    ),
+    vocab AS (
+      SELECT piece,
+             CAST(round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM vocab0)) * 1000000)
+                  AS BIGINT) AS s
+      FROM vocab0
+    ),
+    vm AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m
+           FROM vocab),
+    w0 AS (SELECT DISTINCT w FROM occ),
+    d0 AS (SELECT w, m FROM w0 CROSS JOIN vm),
+    {chain},
+    wd AS (
+      SELECT w, (-v{MAX_WORD}) % 128 AS n_pieces,
+             CAST(-(((-v{MAX_WORD}) - ((-v{MAX_WORD}) % 128)) / 128) AS BIGINT)
+               AS score_e6
+      FROM d{MAX_WORD}
+    )
+    SELECT occ.doc_id,
+           CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+           CAST(sum(score_e6) AS BIGINT) AS score_e6
+    FROM occ JOIN wd USING (w)
+    GROUP BY occ.doc_id
+    """
+
+
+@register_query(
+    "text_unigram_tokenize",
+    oracle=_unigram_oracle(),
+    tags="F38",
+)
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38: unigram-LM (SentencePiece-style, Kudo 2018) tokenizer —
+    the tokenizer family's third member next to BPE train (F22) and
+    BPE encode (F36). Vocab = every single char + top-500 substrings
+    (len ≤ 4) of the distinct-word frame by frequency, scores =
+    micro-nat-quantized ln(count/total); encode = exact Viterbi
+    best-segmentation per DISTINCT word via a 16-level unrolled
+    integer DP whose value packs (score, piece count) into one BIGINT
+    (128·score − pieces — max ⇒ best score, then fewest pieces), with
+    the vocab constant-folded into the plan as a map literal. The
+    corpus-scale pass is explode → distinct-word join → per-doc sum:
+    no Python, no transcendental outside the |vocab|-row frame. The
+    oracle replays the identical DP as a CTE chain, so the row
+    hash-certifies the full train+encode lifecycle."""
+    from karna_spark.operators.unigram_tok import unigram_tokenize_docs
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_tokenize_docs(docs, "doc_id", "text")
+
+
 # --------------------------------------------- RAG index pipeline
 # Fixed-window chunker: W words per chunk, stride S (W-S overlap).
 _RAG_W, _RAG_S, _RAG_DIMS, _RAG_K = 32, 24, 8, 5

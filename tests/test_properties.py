@@ -603,3 +603,33 @@ def test_bpe_encode_matches_reference(spark, docs, merges):
     }
     for i, t in enumerate(docs):
         assert got[i] == reference_bpe_encode(t, merges), (t, merges)
+
+
+# ------------------------------------------- unigram tokenizer (F38)
+# random words (unicode included): the Spark vocab-seed + packed
+# Viterbi DP must agree exactly with the pure-Python reference —
+# same truncation, same micro-nat quantization, same tie-breaks.
+_UNI_WORD = st.text(alphabet="abcdeéß中", min_size=1, max_size=20)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_UNI_WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_tokenize_matches_reference(spark, docs):
+    from karna_spark.operators.unigram_tok import (
+        reference_unigram_tokenize,
+        unigram_tokenize_docs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.score_e6)
+        for r in unigram_tokenize_docs(df, "doc_id", "text").collect()
+    }
+    assert got == reference_unigram_tokenize(rows)
