@@ -98,6 +98,19 @@ def _escape_partition(val: str) -> str:
     )
 
 
+def _remove_leaf_dir(path: str, ignore_errors: bool = False) -> None:
+    """Remove a data leaf dir (``<col>=<val>/v=<N>`` or a delete-set
+    dir). A SYMLINKED leaf — shallow-clone inheritance
+    (:meth:`SnapshotStore.clone`) — is unlinked instead: the clone's
+    reference drops, the source table's bytes are never touched."""
+    import shutil
+
+    if os.path.islink(path):
+        os.unlink(path)
+    else:
+        shutil.rmtree(path, ignore_errors=ignore_errors)
+
+
 def _unescape_partition(name: str) -> str:
     """Directory-name form -> raw partition value (%XX decoding)."""
     out, i = [], 0
@@ -2875,10 +2888,8 @@ class SnapshotStore:
             with open(tmp, "w") as fh:
                 json.dump(doc, fh, sort_keys=True)
             os.replace(tmp, st._mpath(v))  # in-place swap, atomic
-        import shutil
-
         for src in removed_dirs:
-            shutil.rmtree(src, ignore_errors=True)
+            _remove_leaf_dir(src, ignore_errors=True)
         return len(removed_dirs)
 
 
@@ -3047,6 +3058,82 @@ class SnapshotStore:
             raise ValueError(f"no such branch: {name!r}")
         shutil.rmtree(self._bdir(name))
 
+    # ------------------------------------------------------- clone
+    def clone(
+        self, dest_root: str, version: int | None = None, clock=None
+    ) -> "SnapshotStore":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+        a NEW independent table at ``dest_root`` whose first manifest
+        is a pointer copy of this table's ``version`` (default
+        latest). Zero data is copied — every inherited leaf dir (and
+        merge-on-read delete set) is a SYMLINK into the source's data
+        dir, the local-filesystem realization of Iceberg's
+        absolute-URI manifests (on an object store the manifest would
+        simply record the source's URIs; symlinks keep every certified
+        read/write path here single-rooted and untouched).
+
+        Unlike a branch, the clone is a full store of its own: its own
+        version claims, tags, branches, history, vacuum and schema
+        lifecycle, and the source never learns of it. The clone's
+        first version number CONTINUES the source lineage (= the
+        cloned version), so inherited pointer versions can never
+        collide with the clone's own claims (which start one above).
+        Divergence is copy-on-write: each clone-side write replaces
+        whole-partition pointers with locally-written dirs, gradually
+        privatizing the table.
+
+        Shared-data caveats (exactly Delta's documented shallow-clone
+        semantics):
+        - ``vacuum``/``redact`` on the CLONE drop its references
+          (symlinks) only — they never delete the source's bytes
+          (which other tables may serve). A right-to-be-forgotten
+          erase of rows still served by inherited pointers must also
+          run on the source table.
+        - ``vacuum`` on the SOURCE does not know about clones; if it
+          expires a version the clone still references, the clone's
+          reads of those partitions fail loudly (dangling symlink).
+          Pin the cloned version with a source-side :meth:`tag` for
+          the clone's intended lifetime.
+        """
+        if self._branch_meta is not None:
+            raise ValueError("clone the parent store, not a branch")
+        v = self.latest_version() if version is None else version
+        if v not in self._published_versions():
+            raise ValueError(f"cannot clone unpublished version v{v}")
+        if os.path.exists(dest_root) and os.listdir(dest_root):
+            raise ValueError(f"clone destination {dest_root!r} not empty")
+        doc = self._manifest_doc(v)
+        cl = SnapshotStore(dest_root, self.pc, clock=clock)
+        os.makedirs(cl.data, exist_ok=True)
+        for key, pv in doc["partitions"].items():
+            src = os.path.abspath(self._kdir(doc, key, pv))
+            dst = cl._kdir(doc, key, pv)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.symlink(src, dst)
+        for e in doc.get("deletes", []):
+            src = os.path.abspath(self._ddir(e["id"]))
+            dst = cl._ddir(e["id"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.lexists(dst):  # entries may share an id dir
+                os.symlink(src, dst)
+        with open(os.path.join(dest_root, "clone.json"), "w") as fh:
+            json.dump(
+                {"source_root": os.path.abspath(self.root), "source_version": v},
+                fh,
+            )
+        cl._publish(
+            v,
+            dict(doc["partitions"]),
+            schema_json=doc.get("schema"),
+            stats=doc.get("stats"),
+            deletes=doc.get("deletes"),
+            colmap=doc.get("colmap"),
+            defaults=doc.get("defaults"),
+            specs=doc.get("specs"),
+            op="clone",
+        )
+        return cl
+
     # ------------------------------------------------------ vacuum
     def vacuum(
         self,
@@ -3076,8 +3163,6 @@ class SnapshotStore:
         expired version fails loudly rather than reading half a
         snapshot. Claim markers are kept — version numbers must never
         be reused even after a vacuum."""
-        import shutil
-
         if self._branch_meta is not None:
             # A branch shares the parent's data dir but sees only its
             # own manifests — collecting from its narrow view would
@@ -3155,7 +3240,7 @@ class SnapshotStore:
                     continue
                 ver = int(vd[2:])
                 if (col, val, ver) not in live and ver not in in_flight:
-                    shutil.rmtree(os.path.join(pdir, vd))
+                    _remove_leaf_dir(os.path.join(pdir, vd))
                     deleted.append(os.path.join(d, vd))
         # Merge-on-read delete sets: GC those no retained manifest
         # (parent or branch) lists, same in-flight grace as data dirs
@@ -3167,7 +3252,7 @@ class SnapshotStore:
                     continue
                 dv = int(dd[2:])
                 if dv not in live_dels and dv not in in_flight:
-                    shutil.rmtree(os.path.join(droot, dd))
+                    _remove_leaf_dir(os.path.join(droot, dd))
                     deleted.append(os.path.join("_deletes", dd))
         for f in os.listdir(self.mdir):
             if (

@@ -1693,24 +1693,24 @@ def _prio_bucket_case(expr: str) -> str:
           FROM final),
     dparts AS (SELECT CAST(COUNT(DISTINCT
                  {_prio_bucket_case("prio")} || '~' ||
-                 CAST(k - (k % 4096) AS VARCHAR)) AS BIGINT) AS np
+                 CAST(k - (k % 32768) AS VARCHAR)) AS BIGINT) AS np
                FROM delta),
     fparts AS (SELECT CAST(COUNT(DISTINCT
                  {_prio_bucket_case("prio")} || '~' ||
-                 CAST(k - (k % 4096) AS VARCHAR)) AS BIGINT) AS np
+                 CAST(k - (k % 32768) AS VARCHAR)) AS BIGINT) AS np
                FROM final),
     pruned AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                       CAST(SUM(k) AS BIGINT) AS sk,
                       CAST(SUM(val) AS BIGINT) AS sv
                FROM final
-               WHERE k - (k % 4096) =
-                     (SELECT k - (k % 4096) FROM probe)),
+               WHERE k - (k % 32768) =
+                     (SELECT k - (k % 32768) FROM probe)),
     point AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(k) AS BIGINT) AS sk,
                      CAST(SUM(val) AS BIGINT) AS sv
               FROM final
-              WHERE k - (k % 4096) =
-                    (SELECT k - (k % 4096) FROM probe)
+              WHERE k - (k % 32768) =
+                    (SELECT k - (k % 32768) FROM probe)
                 AND {_prio_bucket_case("prio")} =
                     (SELECT {_prio_bucket_case("prio")} FROM probe))
     SELECT 'v1_by_prio' AS snapshot, b.n AS n_rows, b.sk AS sum_keys,
@@ -1732,7 +1732,7 @@ def snapshot_multifield_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec with bucket/truncate transforms
     (io/snapshots.py:repartition_spec(list), spec_key, prune_keys).
     v1 commits orders partitioned by priority; v2 flips the spec to
-    ``[bucket(8, prio), truncate(4096, k)]`` metadata-only (the
+    ``[bucket(8, prio), truncate(32768, k)]`` metadata-only (the
     composite tuple is reified as ONE derived string column, rendered
     identically by the Spark write expression and the pure-python
     driver twin); v3 upserts against the mixed table — the delta lands
@@ -1763,7 +1763,7 @@ def snapshot_multifield_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     store = SnapshotStore(root, "prio")
     v1 = store.commit(base)                               # v1: by prio
-    v2 = store.repartition_spec(["bucket(8, prio)", "truncate(4096, k)"])
+    v2 = store.repartition_spec(["bucket(8, prio)", "truncate(32768, k)"])
     repl = base.filter(F.col("k") % 10 == 0).withColumn(
         "val", F.col("val") + 1000
     )
@@ -2131,3 +2131,116 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _export_dir(sf_dir, "nation_avro")
     write_avro(table(spark, sf_dir, "nation"), out)
     return read_avro(spark, out)
+
+
+# ---------------------------------------------------------------- S36
+@register_query(
+    "snapshot_clone_divergence",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, year(o_orderdate) AS o_year,
+             o_orderkey % 97 AS val
+      FROM orders
+    ),
+    v2 AS (
+      SELECT k, o_year, CASE WHEN k % 7 = 0 THEN val + 500 ELSE val END AS val
+      FROM base
+    ),
+    clone_div AS (
+      SELECT k, o_year, CASE WHEN k % 5 = 0 THEN val + 9 ELSE val END AS val
+      FROM v2
+    ),
+    src_div AS (
+      SELECT k, o_year, CASE WHEN k % 3 = 0 THEN val + 1000 ELSE val END AS val
+      FROM v2
+    ),
+    f2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk,
+                  CAST(SUM(val) AS BIGINT) AS sv FROM v2),
+    fc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk,
+                  CAST(SUM(val) AS BIGINT) AS sv FROM clone_div),
+    fs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sk,
+                  CAST(SUM(val) AS BIGINT) AS sv FROM src_div)
+    SELECT 'source_v2' AS stage, 'upsert' AS operation,
+           n AS n_rows, sk AS sum_keys, sv AS sum_val FROM f2
+    UNION ALL SELECT 'clone_at_fork', 'clone', n, sk, sv FROM f2
+    UNION ALL SELECT 'clone_diverged', 'upsert', n, sk, sv FROM fc
+    UNION ALL SELECT 'source_diverged', 'upsert', n, sk, sv FROM fs
+    UNION ALL SELECT 'clone_fork_time_travel', 'clone', n, sk, sv FROM f2
+    """,
+    tags="S36",
+)
+def snapshot_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S36: SHALLOW CLONE lifecycle (io/snapshots.py:clone — Delta's
+    ``CREATE TABLE ... SHALLOW CLONE``): v1 commits orders, v2 upserts
+    every 7th key (so the fork inherits a mixed-version pointer set);
+    ``clone()`` forks a fully independent table by POINTER COPY —
+    every inherited leaf a symlink (the local-FS form of Iceberg's
+    absolute-URI manifests), zero bytes moved, first clone version
+    CONTINUING the source lineage so claims never collide. Both
+    tables then diverge (clone upserts every 5th key, source every
+    3rd); each side's writes are invisible to the other, and the
+    clone still time-travels to its fork snapshot afterwards. Each
+    stage row carries the operation label the store's history()
+    recorded, so the hash also certifies the audit log ('clone', not
+    a masked commit). At 100 TB: a full writable dev/test copy of a
+    governed table costs one manifest write + |partitions| symlinks."""
+    import shutil
+
+    from karna_spark.io.snapshots import SnapshotStore
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        (F.col("o_orderkey") % 97).alias("val"),
+    )
+    root = _export_dir(sf_dir, "orders_clone_src")
+    clroot = _export_dir(sf_dir, "orders_clone_dst")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(clroot, ignore_errors=True)
+    store = SnapshotStore(root, "o_year")
+    store.commit(base)                                    # v1
+    v2 = store.upsert(
+        spark,
+        base.filter(F.col("k") % 7 == 0).withColumn(
+            "val", F.col("val") + 500
+        ),
+        ["k"],
+    )
+    cl = store.clone(clroot)                              # fork at v2
+    vc = cl.upsert(
+        spark,
+        cl.read(spark).filter(F.col("k") % 5 == 0).withColumn(
+            "val", F.col("val") + 9
+        ),
+        ["k"],
+    )
+    vs = store.upsert(
+        spark,
+        store.read(spark).filter(F.col("k") % 3 == 0).withColumn(
+            "val", F.col("val") + 1000
+        ),
+        ["k"],
+    )
+
+    def op_of(st, v):
+        return next(
+            h["operation"] for h in st.history() if h["version"] == v
+        )
+
+    def fp(stage, st, v):
+        return st.read(spark, version=v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(op_of(st, v)).alias("operation"),
+            "n_rows", "sum_keys", "sum_val",
+        )
+
+    out = fp("source_v2", store, v2)
+    out = out.unionByName(fp("clone_at_fork", cl, v2))
+    out = out.unionByName(fp("clone_diverged", cl, vc))
+    out = out.unionByName(fp("source_diverged", store, vs))
+    out = out.unionByName(fp("clone_fork_time_travel", cl, v2))
+    return out

@@ -3358,3 +3358,82 @@ def test_merge_random_nmbs_clauses_match_model(spark, tmp_path):
                 f"seed={seed} v={v} ut={ut} dt={dt} it={it} "
                 f"ndt={ndt} nut={nut} add={add}"
             )
+
+
+# ----------------------------------------------------- shallow clone
+def test_clone_zero_copy_and_divergence(spark, tmp_path):
+    """Clone is a pointer copy (every inherited leaf a symlink, no
+    bytes duplicated) and the two tables diverge independently."""
+    src = SnapshotStore(str(tmp_path / "src"), "p")
+    src.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    src.upsert(spark, _mk(spark, [(1, "a", 11)]), ["k"])
+
+    cl = src.clone(str(tmp_path / "cl"))
+    # first clone version CONTINUES the source lineage (v2 here)
+    assert cl.latest_version() == 2
+    assert _rows(cl.read(spark)) == _rows(src.read(spark))
+    # zero copy: every leaf dir under the clone's data is a symlink
+    leaves = glob.glob(os.path.join(str(tmp_path / "cl"), "data", "*", "v=*"))
+    assert leaves and all(os.path.islink(d) for d in leaves)
+    # divergence: clone write invisible to source and vice versa
+    cl.upsert(spark, _mk(spark, [(2, "a", 99)]), ["k"])
+    src.upsert(spark, _mk(spark, [(3, "b", 77)]), ["k"])
+    assert _rows(cl.read(spark)) == [(1, "a", 11), (2, "a", 99), (3, "b", 30)]
+    assert _rows(src.read(spark)) == [(1, "a", 11), (2, "a", 20), (3, "b", 77)]
+    # the clone's own write claimed a version ABOVE the inherited ones
+    assert cl.latest_version() == 3
+    assert cl.history()[-1]["operation"] == "upsert"
+    assert cl.history()[0]["operation"] == "clone"
+    # clone-side write landed locally, not in the source's data dir
+    local = os.path.join(str(tmp_path / "cl"), "data", "p=a", "v=3")
+    assert os.path.isdir(local) and not os.path.islink(local)
+
+
+def test_clone_vacuum_drops_references_not_source_bytes(spark, tmp_path):
+    src = SnapshotStore(str(tmp_path / "src"), "p")
+    src.commit(_mk(spark, [(1, "a", 10), (3, "b", 30)]))
+    cl = src.clone(str(tmp_path / "cl"))
+    # privatize everything, then vacuum the clone down to its head
+    cl.commit(_mk(spark, [(1, "a", 1), (3, "b", 3)]))
+    deleted = cl.vacuum(retain_last=1, orphan_grace_sec=0)
+    assert deleted  # the inherited symlinks were collected
+    # source data untouched, source still reads fine
+    assert os.path.isdir(os.path.join(str(tmp_path / "src"), "data", "p=a", "v=1"))
+    assert _rows(src.read(spark)) == [(1, "a", 10), (3, "b", 30)]
+    assert _rows(cl.read(spark)) == [(1, "a", 1), (3, "b", 3)]
+
+
+def test_clone_carries_mor_deletes_and_guards(spark, tmp_path):
+    src = SnapshotStore(str(tmp_path / "src"), "p")
+    src.commit(_mk(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    src.delete_where(spark, F.col("k") == 2)  # pending MOR delete set
+    cl = src.clone(str(tmp_path / "cl"))
+    assert _rows(cl.read(spark)) == [(1, "a", 10), (3, "b", 30)]
+    ddir = os.path.join(str(tmp_path / "cl"), "data", "_deletes", "d=2")
+    assert os.path.islink(ddir)
+    # guards: no clone of a branch, no clone onto a non-empty dir,
+    # no clone of an unpublished version
+    br = src.create_branch("wap")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        br.clone(str(tmp_path / "x"))
+    with _pytest.raises(ValueError):
+        src.clone(str(tmp_path / "cl"))
+    with _pytest.raises(ValueError):
+        src.clone(str(tmp_path / "y"), version=99)
+
+
+def test_clone_breaks_loudly_after_source_vacuum(spark, tmp_path):
+    """The documented Delta caveat: source-side vacuum does not know
+    about clones; expired shared dirs leave the clone's inherited
+    pointers dangling — reads fail loudly, never silently wrong."""
+    import pytest as _pytest
+
+    src = SnapshotStore(str(tmp_path / "src"), "p")
+    src.commit(_mk(spark, [(1, "a", 10)]))
+    cl = src.clone(str(tmp_path / "cl"))
+    src.commit(_mk(spark, [(1, "a", 11)]))  # v2 rewrites partition a
+    src.vacuum(retain_last=1, orphan_grace_sec=0)  # expires v1 dirs
+    with _pytest.raises(Exception):
+        cl.read(spark).collect()
