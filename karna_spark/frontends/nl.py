@@ -467,7 +467,8 @@ def to_sql(question: str, vocab: Vocabulary = DEFAULT_VOCAB) -> str:
         "(operator-backed, via ask(): 'find near-duplicates in T', "
         "'deduplicate T exactly', 'sample N% of T stratified by C', "
         "'top K T matching <terms>', '[top K] T containing X and Y "
-        "[but not Z]', 'how many users did A then B then C [in T]')"
+        "[but not Z]', 'how many users did A then B then C [in T]', "
+        "'flag contaminated T against <source>')"
     )
 
 
@@ -503,6 +504,11 @@ _HYBRID_RE = re.compile(
     r"hybrid (?:matching|search(?:ing)?(?: for)?) "
     r"(?P<terms>[a-z0-9_' ]+?) "
     r"near (?:doc(?:ument)?|vector|item) (?P<id>\d+)$"
+)
+
+_DECON_RE = re.compile(
+    r"(?i)^(?:flag |find |list )?contaminated (?P<table>[a-z_ ]+?) "
+    r"(?:against|versus|vs) (?:benchmark |source )?(?P<src>[a-z0-9_]+)$"
 )
 
 _FUNNEL_RE = re.compile(
@@ -559,7 +565,11 @@ def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
     - 'sample N% of <table> stratified by <col>' → deterministic
       stratified quota sampler (operators/sampling.py);
     - 'top K <table> matching <terms>' → BM25 top-k retrieval
-      (operators/retrieval.py).
+      (operators/retrieval.py);
+    - 'flag contaminated <table> against <source>' → broadcast-Bloom
+      n-gram decontamination (operators/bloom.py, F37): the named
+      source is the benchmark side, every other doc reports its
+      flagged 4-gram count.
 
     Every intent resolves tables/columns through the same live
     vocabulary as grammar questions — any registered table with an
@@ -672,6 +682,38 @@ def ask(spark: SparkSession, question: str, metastore=None) -> DataFrame:
             _split_terms(m.group("pos")),
             _split_terms(m.group("neg")) if m.group("neg") else [],
             k=int(m.group("k")) if m.group("k") else None,
+        )
+    # decontamination: 'flag contaminated <table> against <source>' —
+    # the F37 broadcast-Bloom n-gram probe (operators/bloom.py): the
+    # named source's docs are the held-out benchmark, every other doc
+    # reports its count of flagged 4-grams. The map-only scale path a
+    # curator reaches by naming the eval suite's source tag.
+    m = _DECON_RE.match(q)
+    if m:
+        table, id_col, text_col = _text_table(m.group("table"), vocab)
+        cols = vocab.table_columns[table]
+        if "source" not in cols:
+            raise NLError(
+                f"the contamination intent needs a 'source' column on "
+                f"{table} (found {cols})"
+            )
+        src = m.group("src")
+        from pyspark.sql import functions as F
+
+        from karna_spark.operators.bloom import bloom_flag_ngrams
+
+        df = spark.table(table)
+        if df.filter(F.col("source") == src).limit(1).count() == 0:
+            raise NLError(
+                f"no {table} rows with source = {src!r} to act as the "
+                "benchmark side"
+            )
+        return bloom_flag_ngrams(
+            df.filter(F.col("source") != src),
+            df.filter(F.col("source") == src),
+            id_col,
+            text_col,
+            n=4,
         )
     # funnel / row-pattern: 'how many users did view then click then
     # purchase [in events]' — the T19 family's skip-to subsequence

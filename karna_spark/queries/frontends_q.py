@@ -740,3 +740,31 @@ def frontend_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         snapshots={"ott": store},
     )
+
+
+# ------------------------------------------- NL: Bloom decontamination
+def _nl_decon_oracle() -> str:
+    from karna_spark.queries.text_pipeline import _bloom_oracle
+
+    return _bloom_oracle()
+
+
+@register_query(
+    "frontend_nl_decontaminate",
+    oracle=_nl_decon_oracle(),
+    tags="V1 F37",
+)
+def frontend_nl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL front-end, OPERATOR-BACKED intent: 'flag contaminated
+    documents against src0' dispatches to the F37 broadcast-Bloom
+    n-gram decontamination operator (operators/bloom.py) — the named
+    source's docs become the held-out benchmark, every other doc
+    reports its count of Bloom-flagged distinct 4-grams via the
+    map-only probe. Same oracle as `dedup_bloom_decontaminate`, now
+    reached through the question a curator actually asks; a table
+    without a 'source' column, or a source tag with no rows, refuses
+    loudly instead of returning an empty frame."""
+    from karna_spark.frontends.nl import ask
+
+    _fixtures(spark, sf_dir)
+    return ask(spark, "flag contaminated documents against src0")

@@ -965,3 +965,23 @@ def test_sql_guard_rejects_smuggled_dml_and_protects_literals(
     finally:
         fixtures.catalog.dropTempView("summary_tbl")
         fixtures.catalog.dropTempView("tt")
+
+
+def test_nl_decontaminate_intent(fixtures):
+    from karna_spark.frontends.nl import NLError, ask
+
+    out = ask(fixtures, "Flag contaminated documents against src0")
+    rows = {r["doc_id"]: r["n_flagged"] for r in out.collect()}
+    assert rows and all(v >= 1 for v in rows.values())
+    # phrasing-invariant dispatch
+    alt = ask(fixtures, "contaminated documents vs source src0?")
+    assert {r["doc_id"]: r["n_flagged"] for r in alt.collect()} == rows
+    # guards: a text table without a source column, and an unknown
+    # tag, both refuse loudly
+    fixtures.createDataFrame(
+        [(1, "alpha beta gamma delta")], "id long, text string"
+    ).createOrReplaceTempView("notes")
+    with pytest.raises(NLError, match="'source' column"):
+        ask(fixtures, "flag contaminated notes against src0")
+    with pytest.raises(NLError, match="benchmark side"):
+        ask(fixtures, "flag contaminated documents against nope99")
