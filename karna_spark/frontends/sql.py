@@ -158,7 +158,19 @@ def execute(
     need explicit aliases, exactly as in Iceberg.) Rewrites skip
     string literals. Resolution is manifest-only (driver-side JSON
     reads); the scan itself stays partition-pruned exactly like
-    ``store.read``."""
+    ``store.read``.
+
+    ``DESCRIBE HISTORY <t>`` (Delta's audit verb) returns the bound
+    store's operation log as a DataFrame (:meth:`SnapshotStore.
+    history_df`) — driver-side manifest reads only, zero data I/O."""
+    m = re.match(r"(?i)^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", sql_text)
+    if m:
+        name = m.group(1)
+        if not snapshots or name not in snapshots:
+            raise SQLFrontendError(
+                f"DESCRIBE HISTORY on unregistered snapshot table {name!r}"
+            )
+        return snapshots[name].history_df(spark)
     _read_only_guard(spark, sql_text)
     if snapshots:
         def _resolve_ts_version(store, ts: str) -> int:

@@ -985,3 +985,29 @@ def test_nl_decontaminate_intent(fixtures):
         ask(fixtures, "flag contaminated notes against src0")
     with pytest.raises(NLError, match="benchmark side"):
         ask(fixtures, "flag contaminated documents against nope99")
+
+
+def test_sql_describe_history(fixtures, tmp_path):
+    from karna_spark.frontends.sql import SQLFrontendError, execute
+    from karna_spark.io.snapshots import SnapshotStore
+
+    clock = iter([1000.0, 2000.0]).__next__
+    store = SnapshotStore(str(tmp_path / "t"), "p", clock=clock)
+    from pyspark.sql import Row
+
+    store.commit(fixtures.createDataFrame([Row(k=1, p="a", val=10)]))
+    store.upsert(
+        fixtures, fixtures.createDataFrame([Row(k=1, p="a", val=11)]), ["k"]
+    )
+    rows = execute(
+        fixtures, "DESCRIBE HISTORY tt", snapshots={"tt": store}
+    ).orderBy("version").collect()
+    assert [(r.version, r.operation) for r in rows] == [
+        (1, "commit"), (2, "upsert")]
+    assert [r.committed_at for r in rows] == [1000.0, 2000.0]
+    import pytest
+
+    with pytest.raises(SQLFrontendError, match="unregistered"):
+        execute(fixtures, "describe history nope", snapshots={"tt": store})
+    with pytest.raises(SQLFrontendError, match="unregistered"):
+        execute(fixtures, "DESCRIBE HISTORY tt")
