@@ -134,6 +134,15 @@ HEADLINE = [
     # chunk+embed, bounded TakeOrdered top-k — the embed-side cost
     # anchor complementing pipeline_training_corpus)
     "pipeline_rag_index",
+    # r12 batch-5 (extension): broadcast-Bloom decontamination (the
+    # map-only probe — watch it against text_contamination_ngram's
+    # exact join), the unigram Viterbi tokenizer (distinct-word DP +
+    # join-back; its cost anchors the third tokenizer), and the
+    # shallow-clone lifecycle (symlink fork + both divergence writes —
+    # like the other snapshot lifecycles, small-commit fixed cost)
+    "dedup_bloom_decontaminate",
+    "text_unigram_tokenize",
+    "snapshot_clone_divergence",
 ]
 
 

@@ -76,7 +76,13 @@ from karna_spark.queries import (  # noqa: F401,E402
 # head. rotation_check.py verifies floor + EDF feasibility against
 # this order.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the r12-born rows:
+    # (a) the r12-born rows (the four extension-session rows first:
+    # broadcast-Bloom decontamination F37, the unigram tokenizer F38,
+    # the shallow-clone lifecycle S36, and the decontamination NL
+    # intent — they took the last four r7 head slots; those four r7
+    # rows lead r13's (c) head with the r8 cohort):
+    "dedup_bloom_decontaminate", "text_unigram_tokenize",
+    "snapshot_clone_divergence", "frontend_nl_decontaminate",
     "snapshot_multifield_spec", "snapshot_branch_wap",
     "snapshot_rollback_read", "snapshot_history_audit",
     "source_avro_roundtrip", "frontend_nl_boolean_search",
@@ -102,11 +108,11 @@ _PRIORITY: tuple[str, ...] = (
     "basket_affinity_lift", "profile_table_stats",
     "events_longest_streak", "events_attribution_last_touch",
     "events_path_mining", "agg_yoy_growth", "agg_abc_pareto",
-    "orders_backlog_timeline", "events_dau_wau",
-    "dq_referential_integrity", "events_winsorized_stats",
-    "dq_k_anonymity",
-    # the 14 r12-born + 4 changed + 32 r7 rows fill all 50 slots;
-    # the whole r8 cohort leads r13's (c) head:
+    "orders_backlog_timeline",
+    # the 18 r12-born + 4 changed + 28 r7 rows fill all 50 slots;
+    # the displaced r7 tail (events_dau_wau, dq_referential_integrity,
+    # events_winsorized_stats, dq_k_anonymity) + the whole r8 cohort
+    # lead r13's (c) head:
 )
 
 # r12 CONSOLIDATION (policy rule 4, pre-emptive — N was 226/240 with

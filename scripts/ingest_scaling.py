@@ -132,8 +132,8 @@ def main() -> None:
     ap.add_argument(
         "--ops",
         nargs="+",
-        choices=["minhash", "ivf", "image", "hamming"],
-        default=["minhash", "ivf", "image", "hamming"],
+        choices=["minhash", "ivf", "image", "hamming", "bloom"],
+        default=["minhash", "ivf", "image", "hamming", "bloom"],
     )
     ap.add_argument(
         "--nlist-rule",
@@ -275,6 +275,50 @@ def main() -> None:
                     image_naive_s=img_naive_s,
                     image_speedup=round(img_naive_s / img_stored_s, 1),
                     hash_build_once_s=hash_build,
+                )
+
+            if "bloom" in args.ops:
+                # F37 decontamination: the broadcast-Bloom MAP-ONLY
+                # probe vs the exact broadcast string join. Both scale
+                # linearly in the corpus; the Bloom side has NO
+                # explode/distinct/shuffle — the exact side shuffles
+                # every distinct (doc, ngram) pair (~|words| rows/doc),
+                # which is the cost the filter exists to delete.
+                bl_path = os.path.join(work, f"bloom_docs_{n}.parquet")
+                synth_docs(spark, n, salt=1).write.mode("overwrite").parquet(
+                    bl_path
+                )
+                bl_corpus = spark.read.parquet(bl_path)
+                bench = synth_docs(
+                    spark, 200, salt=7, start=10_000_000
+                ).localCheckpoint()
+
+                from karna_spark.operators.bloom import bloom_flag_ngrams
+                from karna_spark.operators.contamination import (
+                    contaminated_docs,
+                )
+
+                def decon_bloom():
+                    noop(
+                        bloom_flag_ngrams(
+                            bl_corpus, bench, "doc_id", "text", n=4,
+                            m_bits=1 << 19,
+                        )
+                    )
+
+                def decon_exact():
+                    noop(
+                        contaminated_docs(
+                            bl_corpus, bench, "doc_id", "text", n=4
+                        )
+                    )
+
+                bloom_s = timed(decon_bloom, args.reps, label="bloom-probe")
+                exact_s = timed(decon_exact, args.reps, label="bloom-exact")
+                row.update(
+                    bloom_probe_s=bloom_s,
+                    exact_join_s=exact_s,
+                    bloom_speedup=round(exact_s / bloom_s, 1),
                 )
 
             if "ivf" not in args.ops and "hamming" not in args.ops:
@@ -425,6 +469,8 @@ def main() -> None:
     if "hamming" in args.ops:
         cols += ["hamming_stored_s", "hamming_bruteforce_s",
                  "hamming_speedup", "sketch_build_once_s"]
+    if "bloom" in args.ops:
+        cols += ["bloom_probe_s", "exact_join_s", "bloom_speedup"]
     print("\n| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
     for r in rows:
