@@ -50,7 +50,15 @@ K_HASHES = 3
 def _position(value: Column, seed: int, m_bits: int) -> Column:
     """Bloom position ``seed`` of a string value: the first 8 hex
     digits of md5("<seed>:<value>") mod ``m_bits``. Pure JVM
-    (md5 + conv), replayed digit-by-digit by the DuckDB oracle."""
+    (md5 + conv), replayed digit-by-digit by the DuckDB oracle.
+
+    One md5 PER PROBE, not one sliced digest per value: the probe
+    conjunction short-circuits (interpreted And skips the right side
+    on a false left), so against a sparse filter the average gram
+    costs ~1 + fill + fill² probes ≈ 1 hash — while the
+    share-one-digest form pays a per-gram digest-array
+    materialization that measured ~2× slower than the hashes it
+    saved."""
     hx = F.md5(F.concat(F.lit(f"{seed}:"), value).cast("binary"))
     return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m_bits
 
@@ -105,7 +113,8 @@ def bloom_bits(
 def bloom_hit(value: Column, words: Column, m_bits: int, k: int) -> Column:
     """Membership probe: all ``k`` positions set in ``words`` (the
     packed array<long> column/literal). element_at is 1-based; getbit
-    indexes the two's-complement word from bit 0."""
+    indexes the two's-complement word from bit 0. The conjunction is
+    ordered so it short-circuits on the first unset bit."""
     probes = []
     for i in range(k):
         p = _position(value, i, m_bits)
@@ -124,20 +133,29 @@ def bloom_flag_ngrams(
     k: int = K_HASHES,
 ) -> DataFrame:
     """Per-doc count of distinct word ``n``-grams whose Bloom probe
-    hits (docs with ≥1 hit only): ``(id_col, n_flagged)``.
+    hits — EVERY train doc, zero included: ``(id_col, n_flagged)``.
 
     Two jobs: a benchmark-scale build (bounded collect), then the
-    map-only corpus probe — no join, no explode; the only shuffle in
-    the plan is whatever the caller does with the result.
+    map-only corpus probe — no join, no explode, and deliberately no
+    ``n_flagged >= 1`` filter here: Catalyst substitutes a predicate
+    on a projected alias into the Filter node, so thresholding in the
+    same plan evaluates the whole probe TWICE per row (measured 2×).
+    Callers threshold downstream of whatever boundary follows.
     """
+    import numpy as np
+
     bench_ngrams = bench.select(
         F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     ).distinct()
-    bits = F.lit(bloom_bits(bench_ngrams, "g", m_bits, k))
+    # numpy-backed lit → ONE ArrayType Literal (a Java long[]); a
+    # plain python list becomes a CreateArray with m/64 child
+    # expressions, measured 2× slower per probe in the interpreted
+    # HOF path.
+    bits = F.lit(np.array(bloom_bits(bench_ngrams, "g", m_bits, k), np.int64))
     grams = F.array_distinct(word_ngrams(F.col(text_col), n))
-    n_flagged = F.size(F.filter(grams, lambda g: bloom_hit(g, bits, m_bits, k)))
-    return (
-        train.select(F.col(id_col), n_flagged.alias("n_flagged"))
-        .filter(F.col("n_flagged") >= 1)
-        .select(id_col, F.col("n_flagged").cast("long").alias("n_flagged"))
+    n_flagged = F.size(
+        F.filter(grams, lambda g: bloom_hit(g, bits, m_bits, k))
+    )
+    return train.select(
+        F.col(id_col), n_flagged.cast("long").alias("n_flagged")
     )

@@ -345,11 +345,13 @@ def _bloom_oracle() -> str:
     ),
     train AS (SELECT DISTINCT doc_id, ngram FROM g WHERE source <> 'src0'),
     hits AS (
-      SELECT doc_id FROM train
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged FROM train
       WHERE {probe}
+      GROUP BY doc_id
     )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
-    FROM hits GROUP BY doc_id
+    SELECT d.doc_id, COALESCE(h.n_flagged, 0) AS n_flagged
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN hits h USING (doc_id)
     """
 
 

@@ -972,7 +972,9 @@ def test_nl_decontaminate_intent(fixtures):
 
     out = ask(fixtures, "Flag contaminated documents against src0")
     rows = {r["doc_id"]: r["n_flagged"] for r in out.collect()}
-    assert rows and all(v >= 1 for v in rows.values())
+    # every train doc reports a count — some flagged, the rest zero
+    assert rows and any(v >= 1 for v in rows.values())
+    assert any(v == 0 for v in rows.values())
     # phrasing-invariant dispatch
     alt = ask(fixtures, "contaminated documents vs source src0?")
     assert {r["doc_id"]: r["n_flagged"] for r in alt.collect()} == rows

@@ -288,6 +288,13 @@ def test_bloom_decontaminate_map_only(spark):
     assert "Generate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Not(EqualTo(source,src0))" in plan or "IsNotNull(source)" in plan, plan
+    # the probe must be evaluated ONCE per row: thresholding on the
+    # projected count in the same plan makes Catalyst substitute the
+    # alias into a Filter and run the whole HOF twice (measured 2×) —
+    # exactly 2 lambdas (n-gram transform + probe filter), no more
+    df = _builder("dedup_bloom_decontaminate")(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("lambdafunction") == 2, opt
 
 
 def test_repetition_filter_single_shuffle(spark):
