@@ -102,11 +102,17 @@ def _remove_leaf_dir(path: str, ignore_errors: bool = False) -> None:
     """Remove a data leaf dir (``<col>=<val>/v=<N>`` or a delete-set
     dir). A SYMLINKED leaf — shallow-clone inheritance
     (:meth:`SnapshotStore.clone`) — is unlinked instead: the clone's
-    reference drops, the source table's bytes are never touched."""
+    reference drops, the source table's bytes are never touched.
+    ``ignore_errors`` applies to both branches (redact's best-effort
+    cleanup must stay non-throwing on a racing unlink)."""
     import shutil
 
     if os.path.islink(path):
-        os.unlink(path)
+        try:
+            os.unlink(path)
+        except OSError:
+            if not ignore_errors:
+                raise
     else:
         shutil.rmtree(path, ignore_errors=ignore_errors)
 
@@ -3103,35 +3109,50 @@ class SnapshotStore:
         if os.path.exists(dest_root) and os.listdir(dest_root):
             raise ValueError(f"clone destination {dest_root!r} not empty")
         doc = self._manifest_doc(v)
-        cl = SnapshotStore(dest_root, self.pc, clock=clock)
-        os.makedirs(cl.data, exist_ok=True)
-        for key, pv in doc["partitions"].items():
-            src = os.path.abspath(self._kdir(doc, key, pv))
-            dst = cl._kdir(doc, key, pv)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.symlink(src, dst)
-        for e in doc.get("deletes", []):
-            src = os.path.abspath(self._ddir(e["id"]))
-            dst = cl._ddir(e["id"])
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if not os.path.lexists(dst):  # entries may share an id dir
+        made_root = not os.path.exists(dest_root)
+        try:
+            cl = SnapshotStore(dest_root, self.pc, clock=clock)
+            os.makedirs(cl.data, exist_ok=True)
+            for key, pv in doc["partitions"].items():
+                src = os.path.abspath(self._kdir(doc, key, pv))
+                dst = cl._kdir(doc, key, pv)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.symlink(src, dst)
-        with open(os.path.join(dest_root, "clone.json"), "w") as fh:
-            json.dump(
-                {"source_root": os.path.abspath(self.root), "source_version": v},
-                fh,
+            for e in doc.get("deletes", []):
+                src = os.path.abspath(self._ddir(e["id"]))
+                dst = cl._ddir(e["id"])
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if not os.path.lexists(dst):  # entries may share an id dir
+                    os.symlink(src, dst)
+            with open(os.path.join(dest_root, "clone.json"), "w") as fh:
+                json.dump(
+                    {
+                        "source_root": os.path.abspath(self.root),
+                        "source_version": v,
+                    },
+                    fh,
+                )
+            cl._publish(
+                v,
+                dict(doc["partitions"]),
+                schema_json=doc.get("schema"),
+                stats=doc.get("stats"),
+                deletes=doc.get("deletes"),
+                colmap=doc.get("colmap"),
+                defaults=doc.get("defaults"),
+                specs=doc.get("specs"),
+                op="clone",
             )
-        cl._publish(
-            v,
-            dict(doc["partitions"]),
-            schema_json=doc.get("schema"),
-            stats=doc.get("stats"),
-            deletes=doc.get("deletes"),
-            colmap=doc.get("colmap"),
-            defaults=doc.get("defaults"),
-            specs=doc.get("specs"),
-            op="clone",
-        )
+        except BaseException:
+            # a half-built clone would trip the not-empty guard on
+            # every retry; nothing here is shared with the source
+            # (symlinks drop references, never bytes), so a failed
+            # build is safe to remove wholesale
+            import shutil
+
+            if made_root:
+                shutil.rmtree(dest_root, ignore_errors=True)
+            raise
         return cl
 
     # ------------------------------------------------------ vacuum

@@ -87,16 +87,13 @@ def unigram_vocab_scores(
         .agg(F.sum("cnt").alias("cnt"))
     )
     singles = pieces.filter(F.length("piece") == 1)
-    from pyspark.sql import Window
-
-    rk = F.row_number().over(
-        Window.orderBy(F.col("cnt").desc(), F.col("piece"))
-    )
+    # global top-N via orderBy+limit → TakeOrdered (per-partition
+    # heaps + a driver merge of top_multi rows), never a partition-
+    # less rank window single-sorting the whole substring frame
     multi = (
         pieces.filter(F.length("piece") >= 2)
-        .withColumn("rk", rk)
-        .filter(F.col("rk") <= top_multi)
-        .drop("rk")
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(top_multi)
     )
     vocab = singles.unionByName(multi)
     total = vocab.agg(F.sum("cnt").alias("total"))
