@@ -400,7 +400,7 @@ def test_prefix_sum_equals_single_window(spark, rows, nparts):
 def _lifecycle_ops():
     return st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=4),       # op kind
+            st.integers(min_value=0, max_value=5),       # op kind
             st.integers(min_value=1, max_value=6),       # key
             st.sampled_from(["a", "b"]),                  # partition
             st.integers(min_value=0, max_value=99),       # value
@@ -428,8 +428,12 @@ def test_snapshot_lifecycle_redact_vacuum_model(spark, tmp_path_factory, ops):
     model = {k: (p, v) for k, p, v in seed}
     history = {1: dict(model)}   # version -> model state (readable set)
     expired: set[int] = set()
+    clone = None          # (store, expected content) once kind-5 fires
+    clone_clean = True    # no parent redact/vacuum since the fork
     for kind, key, part, val in ops:
         if kind == 2:  # redact: key vanishes from every version
+            if clone is not None:
+                clone_clean = False  # parent rewrite may orphan links
             store.redact(
                 spark, ["k"], spark.createDataFrame([Row(k=key)])
             )
@@ -437,6 +441,8 @@ def test_snapshot_lifecycle_redact_vacuum_model(spark, tmp_path_factory, ops):
                 snap.pop(key, None)
             model.pop(key, None)
         elif kind == 3:  # vacuum: all but the last two versions expire
+            if clone is not None:
+                clone_clean = False  # may expire dirs the clone links
             store.vacuum(retain_last=2, orphan_grace_sec=0.0)
             keep = sorted(history)[-2:]
             for v in [v for v in history if v not in keep]:
@@ -447,6 +453,21 @@ def test_snapshot_lifecycle_redact_vacuum_model(spark, tmp_path_factory, ops):
                 continue  # empty table has nothing to compact
             v = store.compact(spark)
             history[v] = dict(model)
+        elif kind == 5:  # shallow clone (S36): one independent fork
+            if clone is not None or not model:
+                continue  # one clone per sequence bounds the run
+            croot = str(tmp_path_factory.mktemp("snapclone"))
+            cl = store.clone(croot)
+            # immediate divergence: a clone-side upsert the parent
+            # must never see (the parent model is verified untouched
+            # by the end-of-sequence version sweep)
+            cl.upsert(
+                spark,
+                spark.createDataFrame([Row(k=99, p="a", val=1)]),
+                ["k"],
+            )
+            clone = (cl, {**model, 99: ("a", 1)})
+            clone_clean = True
         else:
             if kind == 1 and key in model:
                 part = model[key][0]   # CDC delete carries the row's part
@@ -470,6 +491,27 @@ def test_snapshot_lifecycle_redact_vacuum_model(spark, tmp_path_factory, ops):
     for v in expired:
         with pytest.raises(FileNotFoundError):
             store.read(spark, version=v)
+    if clone is not None:
+        cl, want = clone
+        if clone_clean:
+            got = {
+                r["k"]: (r["p"], r["val"]) for r in cl.read(spark).collect()
+            }
+            assert got == want, "clone diverged from its fork model"
+        else:
+            # parent redact/vacuum after the fork is the documented
+            # shallow-clone hazard: the clone must either still read
+            # its exact fork-model content or fail LOUDLY (dangling
+            # symlink) — silently-wrong rows are the only failure
+            try:
+                got = {
+                    r["k"]: (r["p"], r["val"])
+                    for r in cl.read(spark).collect()
+                }
+            except Exception:
+                pass
+            else:
+                assert got == want, "clone read silently wrong rows"
 
 
 @given(
