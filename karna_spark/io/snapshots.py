@@ -3081,9 +3081,11 @@ class SnapshotStore:
         Unlike a branch, the clone is a full store of its own: its own
         version claims, tags, branches, history, vacuum and schema
         lifecycle, and the source never learns of it. The clone's
-        first version number CONTINUES the source lineage (= the
-        cloned version), so inherited pointer versions can never
-        collide with the clone's own claims (which start one above).
+        first version number CONTINUES the source lineage — it equals
+        the source's highest CLAIMED version — so inherited pointer
+        versions (which can exceed their manifest's version after a
+        redact rewrite) can never collide with the clone's own claims
+        (which start one above).
         Divergence is copy-on-write: each clone-side write replaces
         whole-partition pointers with locally-written dirs, gradually
         privatizing the table.
@@ -3109,6 +3111,24 @@ class SnapshotStore:
         if os.path.exists(dest_root) and os.listdir(dest_root):
             raise ValueError(f"clone destination {dest_root!r} not empty")
         doc = self._manifest_doc(v)
+        # The clone's first version number: the source's highest
+        # CLAIMED version (not the manifest version — a redact rewrite
+        # claims fresh dir versions ABOVE the manifests it republishes,
+        # so pointer versions can exceed their manifest's). Publishing
+        # at the claim ceiling makes every future clone-side claim
+        # strictly greater than any inherited (symlinked) dir version;
+        # otherwise a clone upsert could claim a number equal to an
+        # inherited pointer and write THROUGH the symlink into the
+        # source's data (caught by the lifecycle model check).
+        claimed = [
+            int(f[1:-11])
+            for f in os.listdir(self.cdir)
+            if f.startswith("v") and f.endswith(".json.claim")
+        ]
+        base = max(
+            [v, *claimed, *doc["partitions"].values()]
+            + [e["id"] for e in doc.get("deletes", [])]
+        )
         made_root = not os.path.exists(dest_root)
         try:
             cl = SnapshotStore(dest_root, self.pc, clock=clock)
@@ -3133,7 +3153,7 @@ class SnapshotStore:
                     fh,
                 )
             cl._publish(
-                v,
+                base,
                 dict(doc["partitions"]),
                 schema_json=doc.get("schema"),
                 stats=doc.get("stats"),
