@@ -567,3 +567,96 @@ def profile_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return stacked.select("p.x", "p.y", "p.pearson_r")
+
+
+# ---------------------------------------------------------------- A38
+# Width 128 (not the operator's 1024 default) puts the fixture's 150
+# users into the visible-collision regime: most probes estimate exact,
+# a few carry the one-sided overcount the sketch's error bound is
+# about — both replayed exactly by the oracle.
+_CM_W = 128
+
+
+def _cm_oracle() -> str:
+    from karna_spark.operators.countmin import DEPTH, cm_position_sql
+
+    item = "CAST(user_id AS VARCHAR)"
+    build = "\n      UNION ALL ".join(
+        f"SELECT {i} AS seed, {cm_position_sql(item, i, _CM_W)} AS pos FROM events"
+        for i in range(DEPTH)
+    )
+    probe = "\n      UNION ALL ".join(
+        f"SELECT user_id, {i} AS seed, "
+        f"{cm_position_sql(item, i, _CM_W)} AS pos FROM probes"
+        for i in range(DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT seed, pos, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      {build}
+      ) GROUP BY seed, pos
+    ),
+    probes AS (SELECT unnest(range(0, 20)) AS user_id),
+    pc AS (
+      {probe}
+    ),
+    est AS (
+      SELECT pc.user_id,
+             CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_est
+      FROM pc LEFT JOIN cells c USING (seed, pos)
+      GROUP BY pc.user_id
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT e.user_id, e.cm_est,
+           COALESCE(x.n_exact, 0) AS n_exact,
+           e.cm_est - COALESCE(x.n_exact, 0) AS overcount
+    FROM est e LEFT JOIN exact x USING (user_id)
+    """
+
+
+@register_query(
+    "agg_countmin_merge_estimate",
+    oracle=_cm_oracle(),
+    tags="A38 A4",
+)
+def agg_countmin_merge_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: Count-Min sketch (operators/countmin.py — Cormode &
+    Muthukrishnan 2005), completing the mergeable-sketch quartet next
+    to HLL/KLL/top-k: per-DAY sparse sketches over event user_ids
+    (≤ depth×width cells per day via one map-side-combinable groupBy),
+    cell-wise MERGED across all days (the stored-rollup contract —
+    any date range is a sum of stored cells, never a raw re-scan),
+    then point-estimated for a fixed 20-user probe set against the
+    exact counts computed in the same job. One-sided error by
+    construction (overcount ≥ 0); md5-derived positions make every
+    estimate — collisions included — replay exactly in the oracle, so
+    the row hash-certifies build, merge, and estimate end to end."""
+    from karna_spark.operators.countmin import cm_build, cm_estimate, cm_merge
+
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    cells = cm_build(ev, "user_id", ["day"], width=_CM_W)
+    merged = cm_merge(cells)
+    probes = spark.range(0, 20).select(F.col("id").alias("user_id"))
+    est = cm_estimate(merged, probes, "user_id", width=_CM_W)
+    exact = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            "cm_est",
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+            (F.col("cm_est") - F.coalesce(F.col("n_exact"), F.lit(0))).alias(
+                "overcount"
+            ),
+        )
+    )
