@@ -3066,7 +3066,11 @@ class SnapshotStore:
 
     # ------------------------------------------------------- clone
     def clone(
-        self, dest_root: str, version: int | None = None, clock=None
+        self,
+        dest_root: str,
+        version: int | None = None,
+        clock=None,
+        pin: bool = True,
     ) -> "SnapshotStore":
         """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
         a NEW independent table at ``dest_root`` whose first manifest
@@ -3100,8 +3104,13 @@ class SnapshotStore:
         - ``vacuum`` on the SOURCE does not know about clones; if it
           expires a version the clone still references, the clone's
           reads of those partitions fail loudly (dangling symlink).
-          Pin the cloned version with a source-side :meth:`tag` for
-          the clone's intended lifetime.
+          By default (``pin=True``) the clone therefore leaves a
+          source-side :meth:`tag` ``clone-<dest basename>`` pinning
+          the forked version through source vacuums — delete the tag
+          (or pass ``pin=False``, Delta's untracked-clone behavior)
+          when the clone no longer needs the shared files. A source
+          REDACT still rewrites shared dirs regardless of tags (the
+          right-to-be-forgotten contract outranks clone pins).
         """
         if self._branch_meta is not None:
             raise ValueError("clone the parent store, not a branch")
@@ -3173,6 +3182,10 @@ class SnapshotStore:
             if made_root:
                 shutil.rmtree(dest_root, ignore_errors=True)
             raise
+        if pin:
+            self.tag(
+                f"clone-{os.path.basename(os.path.normpath(dest_root))}", v
+            )
         return cl
 
     # ------------------------------------------------------ vacuum

@@ -3425,15 +3425,36 @@ def test_clone_carries_mor_deletes_and_guards(spark, tmp_path):
 
 
 def test_clone_breaks_loudly_after_source_vacuum(spark, tmp_path):
-    """The documented Delta caveat: source-side vacuum does not know
-    about clones; expired shared dirs leave the clone's inherited
-    pointers dangling — reads fail loudly, never silently wrong."""
+    """The documented Delta caveat, for UNPINNED clones (pin=False):
+    source-side vacuum does not know about them; expired shared dirs
+    leave the clone's inherited pointers dangling — reads fail
+    loudly, never silently wrong."""
+    import pytest as _pytest
+
+    src = SnapshotStore(str(tmp_path / "src"), "p")
+    src.commit(_mk(spark, [(1, "a", 10)]))
+    cl = src.clone(str(tmp_path / "cl"), pin=False)
+    src.commit(_mk(spark, [(1, "a", 11)]))  # v2 rewrites partition a
+    src.vacuum(retain_last=1, orphan_grace_sec=0)  # expires v1 dirs
+    with _pytest.raises(Exception):
+        cl.read(spark).collect()
+
+
+def test_clone_pin_tag_survives_source_vacuum(spark, tmp_path):
+    """Default pin=True: the clone leaves a source-side tag pinning
+    the forked version, so source vacuums keep the shared dirs; the
+    clone reads fine until the tag is deleted, after which the next
+    vacuum collects and the clone breaks loudly."""
     import pytest as _pytest
 
     src = SnapshotStore(str(tmp_path / "src"), "p")
     src.commit(_mk(spark, [(1, "a", 10)]))
     cl = src.clone(str(tmp_path / "cl"))
-    src.commit(_mk(spark, [(1, "a", 11)]))  # v2 rewrites partition a
-    src.vacuum(retain_last=1, orphan_grace_sec=0)  # expires v1 dirs
+    assert src.tags() == {"clone-cl": 1}
+    src.commit(_mk(spark, [(1, "a", 11)]))
+    src.vacuum(retain_last=1, orphan_grace_sec=0)
+    assert _rows(cl.read(spark)) == [(1, "a", 10)]  # pinned → intact
+    src.delete_tag("clone-cl")
+    src.vacuum(retain_last=1, orphan_grace_sec=0)
     with _pytest.raises(Exception):
         cl.read(spark).collect()
