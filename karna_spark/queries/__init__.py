@@ -83,7 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     # rows lead r13's (c) head with the r8 cohort):
     "dedup_bloom_decontaminate", "text_unigram_tokenize",
     "snapshot_clone_divergence", "frontend_nl_decontaminate",
-    "agg_countmin_merge_estimate",
+    "agg_countmin_merge_estimate", "text_unigram_em_round",
     "snapshot_multifield_spec", "snapshot_branch_wap",
     "snapshot_rollback_read", "snapshot_history_audit",
     "source_avro_roundtrip", "frontend_nl_boolean_search",
@@ -108,11 +108,12 @@ _PRIORITY: tuple[str, ...] = (
     "timeseries_ohlc", "events_rfm_segmentation",
     "basket_affinity_lift", "profile_table_stats",
     "events_longest_streak", "events_attribution_last_touch",
-    "events_path_mining", "agg_yoy_growth", "agg_abc_pareto",
-    # the 19 r12-born + 4 changed + 27 r7 rows fill all 50 slots;
-    # the displaced r7 tail (orders_backlog_timeline, events_dau_wau,
-    # dq_referential_integrity, events_winsorized_stats,
-    # dq_k_anonymity) + the whole r8 cohort lead r13's (c) head:
+    "events_path_mining", "agg_yoy_growth",
+    # the 20 r12-born + 4 changed + 26 r7 rows fill all 50 slots;
+    # the displaced r7 tail (agg_abc_pareto, orders_backlog_timeline,
+    # events_dau_wau, dq_referential_integrity,
+    # events_winsorized_stats, dq_k_anonymity) + the whole r8 cohort
+    # lead r13's (c) head:
 )
 
 # r12 CONSOLIDATION (policy rule 4, pre-emptive — N was 226/240 with

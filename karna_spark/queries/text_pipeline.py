@@ -3433,3 +3433,208 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("cos").desc(), F.col("chunk_id")))
         .cast("int"),
     )
+
+
+def _unigram_em_oracle() -> str:
+    """DuckDB replay of the hard-EM round: the choice-packed DP (16
+    two-step levels), the unrolled argmax backtrack (16 levels of a
+    position CASE), path-count aggregation, the prune/floor re-score,
+    and the second plain DP — every CTE level MATERIALIZED so the
+    engine cannot inline the unrolled chain into an exponential
+    expression (the same hazard the Spark side cuts with a
+    localCheckpoint)."""
+    from karna_spark.operators.unigram_tok import (
+        _CHOICE_OFF,
+        _SENTINEL,
+        MAX_PIECE,
+        MAX_WORD,
+        TOP_MULTI,
+    )
+
+    def lookup(expr: str) -> str:
+        return f"list_extract(map_extract(m, {expr}), 1)"
+
+    def choice_chain(src: str, prefix: str) -> list[str]:
+        out = []
+        for i in range(1, MAX_WORD + 1):
+            cands = []
+            for j in range(max(0, i - MAX_PIECE), i):
+                vj = "0" if j == 0 else f"v{j}"
+                cand = (
+                    f"coalesce({vj} + "
+                    f"{lookup(f'substr(w, {j + 1}, {i - j})')} * 128 - 1, "
+                    f"{_SENTINEL})"
+                )
+                cands.append(f"(({cand}) + {_CHOICE_OFF}) * 32 + {j}")
+            best = (
+                f"greatest({', '.join(cands)})" if len(cands) > 1 else cands[0]
+            )
+            prevsrc = src if i == 1 else f"{prefix}{i - 1}b"
+            out.append(
+                f"{prefix}{i}a AS MATERIALIZED "
+                f"(SELECT *, {best} AS p{i} FROM {prevsrc})"
+            )
+            prevv = "CAST(0 AS BIGINT)" if i == 1 else f"v{i - 1}"
+            out.append(
+                f"{prefix}{i}b AS MATERIALIZED (SELECT *, "
+                f"CASE WHEN length(w) >= {i} THEN "
+                f"CAST((p{i} - p{i} % 32) / 32 AS BIGINT) - {_CHOICE_OFF} "
+                f"ELSE {prevv} END AS v{i}, "
+                f"CASE WHEN length(w) >= {i} THEN CAST(p{i} % 32 AS INT) "
+                f"ELSE 0 END AS b{i} FROM {prefix}{i}a)"
+            )
+        return out
+
+    def plain_chain(src: str, prefix: str, var: str) -> list[str]:
+        out = []
+        for i in range(1, MAX_WORD + 1):
+            cands = []
+            for j in range(max(0, i - MAX_PIECE), i):
+                vj = "0" if j == 0 else f"{var}{j}"
+                cands.append(
+                    f"coalesce({vj} + "
+                    f"{lookup(f'substr(w, {j + 1}, {i - j})')} * 128 - 1, "
+                    f"{_SENTINEL})"
+                )
+            best = (
+                f"greatest({', '.join(cands)})" if len(cands) > 1 else cands[0]
+            )
+            prev = "CAST(0 AS BIGINT)" if i == 1 else f"{var}{i - 1}"
+            prevsrc = src if i == 1 else f"{prefix}{i - 1}"
+            out.append(
+                f"{prefix}{i} AS MATERIALIZED (SELECT *, "
+                f"CASE WHEN length(w) >= {i} THEN {best} ELSE {prev} END "
+                f"AS {var}{i} FROM {prevsrc})"
+            )
+        return out
+
+    def recon_chain(src: str, prefix: str) -> list[str]:
+        out = []
+        for t in range(1, MAX_WORD + 1):
+            pos_prev = "CAST(length(w) AS INT)" if t == 1 else f"pos{t - 1}"
+            jcase = (
+                "CASE "
+                + " ".join(
+                    f"WHEN {pos_prev} = {i} THEN b{i}"
+                    for i in range(1, MAX_WORD + 1)
+                )
+                + " ELSE 0 END"
+            )
+            prevsrc = src if t == 1 else f"{prefix}{t - 1}"
+            out.append(
+                f"{prefix}{t} AS MATERIALIZED (SELECT *, "
+                f"CASE WHEN {pos_prev} > 0 THEN "
+                f"substr(w, ({jcase}) + 1, {pos_prev} - ({jcase})) END "
+                f"AS piece{t}, "
+                f"CASE WHEN {pos_prev} > 0 THEN CAST({jcase} AS INT) "
+                f"ELSE 0 END AS pos{t} FROM {prevsrc})"
+            )
+        return out
+
+    base = f"""
+occ AS (
+  SELECT doc_id, substr(w, 1, {MAX_WORD}) AS w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents) t
+  WHERE w <> ''
+),
+wf0 AS (SELECT w, count(*)::BIGINT AS cnt FROM occ GROUP BY w),
+pieces AS (
+  SELECT substr(w, s, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM wf0,
+       LATERAL (SELECT unnest(range(1, length(w) + 1)) AS s) ts,
+       LATERAL (SELECT unnest(range(1, least({MAX_PIECE}, length(w) - s + 1) + 1)) AS l) tl
+  GROUP BY piece
+),
+vocab0 AS (
+  SELECT piece, cnt FROM pieces WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM pieces WHERE length(piece) >= 2) q
+  WHERE rk <= {TOP_MULTI}
+),
+vocab1 AS (
+  SELECT piece, CAST(round(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM vocab0)) * 1000000) AS BIGINT) AS s
+  FROM vocab0
+),
+vm1 AS (SELECT map(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM vocab1),
+w0 AS (SELECT DISTINCT w FROM occ),
+c0 AS (SELECT w, m FROM w0 CROSS JOIN vm1)
+""".strip()
+    parts = [base]
+    parts += choice_chain("c0", "c")
+    parts += recon_chain(f"c{MAX_WORD}b", "r")
+    used = " UNION ALL ".join(
+        f"SELECT w, piece{t} AS piece FROM r{MAX_WORD}"
+        for t in range(1, MAX_WORD + 1)
+    )
+    parts.append(
+        f"used AS (SELECT w, piece FROM ({used}) WHERE piece IS NOT NULL)"
+    )
+    parts.append(
+        "c2 AS (SELECT u.piece, CAST(SUM(wf0.cnt) AS BIGINT) AS c "
+        "FROM used u JOIN wf0 USING (w) GROUP BY u.piece)"
+    )
+    parts.append(
+        """v2c AS (
+  SELECT v.piece,
+         CASE WHEN length(v.piece) = 1 THEN greatest(COALESCE(c.c, 0), 1)
+              ELSE COALESCE(c.c, 0) END AS cnt
+  FROM vocab1 v LEFT JOIN c2 c ON c.piece = v.piece
+  WHERE length(v.piece) = 1 OR COALESCE(c.c, 0) >= 1
+)"""
+    )
+    parts.append(
+        "vocab2 AS (SELECT piece, CAST(round(ln(cnt::DOUBLE / "
+        "(SELECT sum(cnt) FROM v2c)) * 1000000) AS BIGINT) AS s FROM v2c)"
+    )
+    parts.append(
+        "vm2 AS (SELECT map(list(piece ORDER BY piece), "
+        "list(s ORDER BY piece)) AS m FROM vocab2)"
+    )
+    parts.append("g0 AS (SELECT w, m FROM w0 CROSS JOIN vm2)")
+    parts += plain_chain("g0", "g", "u")
+    parts.append(
+        f"""wd AS (
+  SELECT w, (-u{MAX_WORD}) % 128 AS n_pieces,
+         CAST(-(((-u{MAX_WORD}) - ((-u{MAX_WORD}) % 128)) / 128) AS BIGINT) AS s_e6
+  FROM g{MAX_WORD}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT occ.doc_id,
+       CAST(sum(n_pieces) AS BIGINT) AS n_tokens_em,
+       CAST(sum(s_e6) AS BIGINT) AS score_em_e6
+FROM occ JOIN wd USING (w)
+GROUP BY occ.doc_id
+"""
+    )
+
+
+@register_query(
+    "text_unigram_em_round",
+    oracle=_unigram_em_oracle(),
+    tags="F38",
+)
+def text_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F38 (train half): one hard-EM (Viterbi-EM) round of the unigram
+    tokenizer — the documented SentencePiece training variant with the
+    E-step's expectations replaced by argmax-path counts. Seed vocab →
+    choice-packed DP (the argmax predecessor rides INSIDE the packed
+    integer: ((cand+OFF)·32+j), exact because cand gaps ≥ 1) → unrolled
+    backtrack reconstructs each distinct word's best segmentation →
+    piece usage re-counts (weighted by word frequency) → PRUNE unused
+    multi-char pieces, floor single chars at 1 (coverage), re-score →
+    re-encode the corpus. Joins BPE merge-learning (F22), the quality
+    LR (U1), and k-means (F28) in the certified-iterative-trainer
+    family. The oracle replays the whole round as MATERIALIZED CTE
+    chains; per-doc round-2 token counts and micro-nat scores are
+    hash-exact."""
+    from karna_spark.operators.unigram_tok import unigram_em_tokenize_docs
+
+    docs = table(spark, sf_dir, "documents")
+    return unigram_em_tokenize_docs(docs, "doc_id", "text")

@@ -675,3 +675,30 @@ def test_unigram_tokenize_matches_reference(spark, docs):
         for r in unigram_tokenize_docs(df, "doc_id", "text").collect()
     }
     assert got == reference_unigram_tokenize(rows)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_UNI_WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_unigram_em_round_matches_reference(spark, docs):
+    """F38 train half: the hard-EM round (choice-packed DP → argmax
+    backtrack → prune/floor re-score → re-encode) must agree exactly
+    with the pure-Python reference — including the larger-j tie-break
+    the packing encodes and the single-char count floor."""
+    from karna_spark.operators.unigram_tok import (
+        reference_unigram_em,
+        unigram_em_tokenize_docs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens_em, r.score_em_e6)
+        for r in unigram_em_tokenize_docs(df, "doc_id", "text").collect()
+    }
+    assert got == reference_unigram_em(rows)
