@@ -164,9 +164,45 @@ class SnapshotStore:
     # ~16B/row, so 64 MB ≈ 4M deleted rows still broadcast.
     BROADCAST_DELETES_MAX_BYTES = 64 << 20
 
-    def __init__(self, root: str, partition_col: str, clock=None):
+    def __init__(
+        self,
+        root: str,
+        partition_col: str,
+        clock=None,
+        distribution: str | None = None,
+    ):
         self.root = root
         self.pc = partition_col
+        # Write distribution mode (Iceberg's write.distribution-mode):
+        # 'hash' REBALANCEs rows by the partition value right before
+        # every incremental write, so each partition directory gets a
+        # few well-sized files instead of one tiny file per upstream
+        # task — without it, an N-task delta touching P partition
+        # values writes up to N×P files, each paying writer setup on
+        # the way out and open/footer costs on every read back. AQE
+        # both coalesces the small rebalance partitions and splits
+        # skewed ones (optimizeSkewsInRebalancePartitions), so 'hash'
+        # holds from a hot-partition 100 TB table down to fixtures.
+        # Default 'none' (preserve input partitioning): measured at
+        # local fixture scale (OPTIMIZATION_r12.md) the per-write
+        # rebalance exchange costs more than the file fan-out it
+        # avoids — writes there are a handful of KB-scale files on a
+        # local FS — while read-heavy tables (e.g. an incrementally
+        # maintained MV re-read on every refresh) already win locally
+        # and pass distribution='hash' explicitly. On a real cluster,
+        # where a delta write is hundreds of tasks and file counts are
+        # an object-store bill, pin KARNA_SNAPSHOT_DISTRIBUTION=hash
+        # (or pass it per table, Iceberg-style).
+        self.distribution = (
+            distribution
+            if distribution is not None
+            else os.environ.get("KARNA_SNAPSHOT_DISTRIBUTION", "none")
+        )
+        if self.distribution not in ("hash", "none"):
+            raise ValueError(
+                f"unknown write distribution {self.distribution!r}; "
+                "expected 'hash' or 'none'"
+            )
         # Injectable commit clock (tests pass a deterministic fake):
         # every published manifest is stamped ``committed_at`` so
         # ``read(as_of=<ts>)`` — the time-travel form humans actually
@@ -687,6 +723,7 @@ class SnapshotStore:
         v: int,
         order_by: list[str] | None = None,
         spec_col: str | None = None,
+        cluster: bool | None = None,
     ) -> list[str]:
         """Write ``df`` under v=<v> subdirs; return the partition
         values actually WRITTEN (computed from the materialized result
@@ -752,6 +789,16 @@ class SnapshotStore:
             .withColumn("_rv", F.lit(v).cast("long"))
             .withColumn("_rid", F.monotonically_increasing_id())
         )
+        if cluster if cluster is not None else self.distribution == "hash":
+            # Cluster the write by the partition value (the 'hash'
+            # distribution mode — see __init__): one AQE-rebalanced
+            # exchange replaces the task×partition-value file fan-out
+            # with ~one file per partition value, which is both the
+            # write-side fixed-cost fix at fixture scale and the
+            # small-files fix at 100 TB (guide: coalesce on write via
+            # the REBALANCE hint; skewed values are split by AQE so a
+            # hot partition still parallelizes).
+            out = out.hint("rebalance", F.col(pc))
         if order_by:
             # The dynamic-partition writer requires rows sorted by the
             # partition columns and would insert its own (UNSTABLE)
@@ -1825,7 +1872,13 @@ class SnapshotStore:
         packed = self._to_physical(
             rdf.repartition(len(vals), F.col(pcn)), cm
         )
-        written = self._write(packed, v, order_by=order_by, spec_col=cur)
+        # cluster=False: the explicit repartition above already placed
+        # every partition's rows in a single task (the ONE-file-per-
+        # compacted-directory contract); a rebalance on top would just
+        # re-shuffle the same rows a second time.
+        written = self._write(
+            packed, v, order_by=order_by, spec_col=cur, cluster=False
+        )
         manifest = {k: pv for k, pv in prev.items() if k not in set(vals)}
         manifest.update({self._mk_key(prev_doc, cur, a): v for a in written})
         specs = prev_doc.get("specs")
@@ -2946,7 +2999,7 @@ class SnapshotStore:
         bdir = self._bdir(name)
         with open(os.path.join(bdir, "meta.json")) as fh:
             meta = json.load(fh)
-        br = SnapshotStore(bdir, self.pc)
+        br = SnapshotStore(bdir, self.pc, distribution=self.distribution)
         br.data = self.data          # shared physical storage (CoW)
         br.cdir = self.cdir          # store-global version claims
         br._branch_meta = meta
@@ -3140,7 +3193,10 @@ class SnapshotStore:
         )
         made_root = not os.path.exists(dest_root)
         try:
-            cl = SnapshotStore(dest_root, self.pc, clock=clock)
+            cl = SnapshotStore(
+                dest_root, self.pc, clock=clock,
+                distribution=self.distribution,
+            )
             os.makedirs(cl.data, exist_ok=True)
             for key, pv in doc["partitions"].items():
                 src = os.path.abspath(self._kdir(doc, key, pv))

@@ -136,7 +136,10 @@ def kmeans_lloyd_exact(
         cents = _updated_centroids(cents, sums)
 
     # Final iteration in-engine: update + population from one aggregate.
-    prev_df = spark.createDataFrame(
+    from karna_spark.queries.parity import literal_frame
+
+    prev_df = literal_frame(
+        spark,
         [(cid, dim, int(c)) for cid, vec in cents for dim, c in enumerate(vec)],
         "cid int, dim int, c long",
     )

@@ -61,17 +61,25 @@ def _p_expr(z):
 
 def _z_frame(feats: DataFrame, w: dict[str, int]) -> DataFrame:
     """Per-doc logit z = sum_b w_b * x_b (micro-units). The weight
-    table is metadata-scale — it rides a broadcast join; buckets
-    absent from ``w`` score 0 (left join + coalesce)."""
-    spark = feats.sparkSession
-    wdf = spark.createDataFrame(
-        [(b, int(v)) for b, v in sorted(w.items())], "b string, w long"
+    vector is metadata-scale (FIXED bucket count), so it rides the
+    plan as ONE map literal — the constant-folded form the tokenizer
+    vocab uses — instead of a per-iteration broadcast join: a local
+    17-row ``createDataFrame`` costs a Python-RDD scan (one Python
+    worker round-trip per core, measured ~200 ms × cores per
+    iteration) plus a BroadcastExchange job, every iteration, for
+    data that never leaves the driver. Buckets absent from ``w``
+    score 0 (map miss → null → coalesce)."""
+    wmap = F.create_map(
+        *[
+            c
+            for b, v in sorted(w.items())
+            for c in (F.lit(b), F.lit(int(v)).cast("long"))
+        ]
     )
     return (
-        feats.join(F.broadcast(wdf), "b", "left")
-        .groupBy("doc_id", "y")
+        feats.groupBy("doc_id", "y")
         .agg(
-            F.sum(F.coalesce(F.col("w"), F.lit(0)) * F.col("x"))
+            F.sum(F.coalesce(wmap[F.col("b")], F.lit(0)) * F.col("x"))
             .cast("bigint")
             .alias("z")
         )
@@ -87,7 +95,16 @@ def train_hard_sigmoid_logreg(
     p the hard-sigmoid of the current logit. Returns (weights in
     micro-units, n_train_docs). Deterministic and integer-exact by
     construction — see the module docstring."""
-    feats = feats.persist()
+    # Persist the feature frame HASH-PARTITIONED ON doc_id: every
+    # iteration groups by (doc_id, y) for the logit and joins the
+    # per-doc probabilities back on doc_id — both requirements are
+    # satisfied by the cached partitioning (partitioning exprs ⊆
+    # clustering exprs), so the per-iteration plans carry ZERO
+    # exchanges of the data-scale frame. One shuffle up front replaces
+    # 2·iters shuffles (guide §2.4: operations keyed the same way
+    # share one exchange); at 100 TB that is 12 fewer corpus-scale
+    # exchanges for the default 6 iterations.
+    feats = feats.repartition("doc_id").persist()
     n = feats.select("doc_id").distinct().count()
     w = {
         r["b"]: 0

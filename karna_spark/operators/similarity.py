@@ -556,7 +556,10 @@ def ann_pq_topk(
     # UUID-as-string, …) — no int() cast, so non-integer ids survive.
     spark = corpus.sparkSession
     id_type = queries.schema[query_id].dataType
-    qmap = spark.createDataFrame(
+    from karna_spark.queries.parity import literal_frame
+
+    qmap = literal_frame(
+        spark,
         [(i, q) for i, q in enumerate(qids)],
         T.StructType(
             [

@@ -17,7 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from karna_spark.queries.parity import davg, dec, dsum, sql_davg, sql_dsum
+from karna_spark.queries.parity import (
+    davg, dec, dsum, literal_frame, sql_davg, sql_dsum,
+)
 from karna_spark.queries.registry import register_query, table
 
 
@@ -268,8 +270,8 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Counts computed as Spark actions feed a one-row DataFrame: the
     # set-ops themselves are distributed; only the two scalars land on
     # the driver (same as any scalar subquery result).
-    return spark.createDataFrame(
-        [(n_both, n_only)], "n_both bigint, n_only_open bigint"
+    return literal_frame(
+        spark, [(n_both, n_only)], "n_both bigint, n_only_open bigint"
     )
 
 

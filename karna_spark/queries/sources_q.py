@@ -1007,7 +1007,14 @@ def snapshot_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _export_dir(sf_dir, "customer_incremental_mv")
     shutil.rmtree(root, ignore_errors=True)
-    store = SnapshotStore(root, "c_nationkey")
+    # distribution='hash' (Iceberg write.distribution-mode): this table
+    # is READ-heavy — every refresh re-reads touched partitions and two
+    # change feeds scan the written files — so clustering each write by
+    # partition value (few files per dir instead of one per task×value)
+    # pays for its exchange. Measured: ~-0.5 s on this anchor at sf0.1
+    # (OPTIMIZATION_r12.md), and at 100 TB it is the file-count posture
+    # every governed table wants on its serving path.
+    store = SnapshotStore(root, "c_nationkey", distribution="hash")
     store.commit(base)  # v1
     k = F.col("c_custkey")
     feed_a = (

@@ -26,6 +26,7 @@ from karna_spark.operators.text import (
     quality_features,
     token_counts,
 )
+from karna_spark.queries.parity import literal_frame
 from karna_spark.queries.registry import register_query, table
 
 
@@ -1275,7 +1276,8 @@ def text_bpe_merges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, syms = learn_bpe(
         wf, num_merges=_BPE_EXACT_K, return_symbols=True
     )
-    mdf = spark.createDataFrame(
+    mdf = literal_frame(
+        spark,
         merges,
         "merge_idx int, left_sym string, right_sym string, "
         "merged string, pair_freq bigint",
@@ -1312,7 +1314,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wf = word_frequencies(table(spark, sf_dir, "documents"))
     merges = learn_bpe(wf, num_merges=_bpe_merge_count())
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         merges,
         "merge_idx int, left_sym string, right_sym string, "
         "merged string, pair_freq bigint",
@@ -3077,7 +3080,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = feat.filter(F.col("doc_id") % 2 == 0)
     test = feat.filter(F.col("doc_id") % 2 == 1)
     w, _n = train_hard_sigmoid_logreg(train, iters=6, inv_lr=64)
-    wrows = spark.createDataFrame(
+    wrows = literal_frame(
+        spark,
         [(f"w:{b}", int(v)) for b, v in sorted(w.items())],
         "item string, v1 long",
     ).select("item", "v1", F.lit(None).cast("bigint").alias("v2"))

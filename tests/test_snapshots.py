@@ -782,7 +782,10 @@ def test_compact_collapses_files_content_identical(spark, tmp_path):
     """S23: a fragmented latest version compacts to ONE file per
     partition in a new commit with byte-identical logical content;
     prior versions keep reading their own (uncompacted) directories."""
-    store = SnapshotStore(str(tmp_path / "t"), "p")
+    # distribution='none': the default 'hash' mode clusters every
+    # write by partition value, which would defeat the deliberate
+    # fragmentation this test compacts away.
+    store = SnapshotStore(str(tmp_path / "t"), "p", distribution="none")
     # Fragment on purpose: an 8-task write fans each partition's rows
     # across up to 8 files.
     base = _mk(
@@ -803,6 +806,35 @@ def test_compact_collapses_files_content_identical(spark, tmp_path):
     doc = store._manifest_doc(2)
     assert doc["partitions"] == {"a": 2, "b": 2}
     assert "val" in doc["stats"]["a"]
+
+
+def test_hash_distribution_clusters_write_files(spark, tmp_path):
+    """The 'hash' write distribution (Iceberg's
+    write.distribution-mode) rebalances rows by partition value before
+    the dynamic-partition write, so a many-task input lands as ~one
+    file per partition instead of one file per (task × value);
+    distribution='none' (the local default) preserves the input
+    fan-out. Content is identical either way."""
+    data = [(k, "a" if k % 2 else "b", k * 10) for k in range(1, 17)]
+    frag = _mk(spark, data).repartition(8)
+
+    hash_store = SnapshotStore(str(tmp_path / "h"), "p", distribution="hash")
+    hash_store.commit(frag)
+    for val in ("a", "b"):
+        assert len(_files_in(hash_store, val, 1)) == 1, val
+
+    none_store = SnapshotStore(
+        str(tmp_path / "n"), "p", distribution="none"
+    )
+    none_store.commit(frag)
+    assert len(_files_in(none_store, "a", 1)) > 1
+
+    assert _rows(hash_store.read(spark)) == _rows(none_store.read(spark))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="distribution"):
+        SnapshotStore(str(tmp_path / "x"), "p", distribution="range")
 
 
 def test_compact_partition_subset_inherits_pointers(spark, tmp_path):
@@ -834,8 +866,8 @@ def test_compact_cas_detects_racing_commit(spark, tmp_path):
 
     real_write = store._write
 
-    def write_then_race(df, v, order_by=None, spec_col=None):
-        written = real_write(df, v, order_by=order_by, spec_col=spec_col)
+    def write_then_race(df, v, order_by=None, spec_col=None, **kw):
+        written = real_write(df, v, order_by=order_by, spec_col=spec_col, **kw)
         # interleave a commit AFTER compact derived its manifest
         SnapshotStore(store.root, "p").upsert(
             spark, _mk(spark, [(9, "a", 90)]), ["k"]
