@@ -41,6 +41,7 @@ from pyspark.storagelevel import StorageLevel
 END = "</w>"  # end-of-word marker symbol
 
 
+
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One corpus pass → (word, freq). Lower-cased whitespace words —
     the same normalization the text operators use."""
@@ -70,7 +71,16 @@ def _initial_symbols(wf: DataFrame) -> DataFrame:
 def _merge_expr(a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) into a+b inside a
     symbol array — a single JVM-side fold, overlapping occurrences
-    resolved left-first exactly like the reference implementation."""
+    resolved left-first exactly like the reference implementation.
+
+    Measured and rejected (r12 optimization round): guarding the fold
+    with a linear ``exists`` over the adjacent pairs so non-matching
+    words skip the O(n²)-allocation fold — identical output, but the
+    doubled expression tree costs more in per-iteration analysis and
+    codegen than the skipped per-row work saves at fixture vocab sizes
+    (80-merge ABBA medians: 12.5 s guarded vs 10.9 s plain). Worth
+    re-measuring on a vocabulary where per-row work dominates the
+    per-iteration fixed cost (≥10M distinct words)."""
     merged = a + b
     return F.aggregate(
         F.col("syms"),
@@ -145,6 +155,20 @@ def learn_bpe(
             a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
             merges.append((it, a, b, a + b, cnt))
             new_syms = syms.select("w", _merge_expr(a, b).alias("syms"), "freq")
+            if it == 0:
+                # Size-adaptive parallelism for the remaining merges:
+                # the first argmax materialized the cache, so its real
+                # in-memory size is known — coalesce (narrow, no
+                # shuffle) to size-derived partitions; at fixture
+                # scale that is ONE partition, making each later merge
+                # a single exchange-free single-task job (a
+                # SinglePartition child satisfies the pair-count
+                # aggregate's clustering requirement). The count
+                # propagates through every later iteration's narrow
+                # select. See operators/sizing.py.
+                from karna_spark.operators.sizing import coalesce_to_size
+
+                new_syms = coalesce_to_size(new_syms, syms)
             if (it + 1) % checkpoint_every == 0:
                 new_syms = new_syms.localCheckpoint(eager=False)
             new_syms = new_syms.persist(StorageLevel.MEMORY_AND_DISK)

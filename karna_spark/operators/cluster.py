@@ -93,6 +93,20 @@ def connected_components(
     # frame persist() was called on, or it is a silent no-op and every
     # round's cache leaks).
     cached = labels
+    # Size-adaptive parallelism for the propagation rounds (see
+    # operators/sizing.py): both caches are materialized, so their
+    # real sizes are known. Near-dup label/edge frames are
+    # vertex-scale, orders of magnitude below the corpus — at fixture
+    # scale both collapse to ONE partition and every round's
+    # join+aggregate runs as a single exchange-free task; web-scale
+    # graphs keep size-proportional parallelism. ``edges_pinned``
+    # stays the unpersist handle (coalesce returns a derived frame —
+    # unpersisting that would be a silent no-op).
+    from karna_spark.operators.sizing import coalesce_to_size
+
+    edges_pinned = edges
+    edges = coalesce_to_size(edges, edges)
+    labels = coalesce_to_size(labels, labels)
     try:
         changed = -1
         for it in range(max_iter):
@@ -114,6 +128,11 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             )
+            # Keep the round's output at the size-derived partition
+            # count — the aggregate would otherwise re-expand to the
+            # session shuffle parallelism when persisted (AQE does not
+            # re-coalesce plans that feed a cache).
+            new_labels = coalesce_to_size(new_labels, cached)
             # Truncate lineage periodically: without a barrier the plan
             # grows two joins per round and re-planning cost compounds.
             if (it + 1) % checkpoint_every == 0:
@@ -141,7 +160,7 @@ def connected_components(
         cached.unpersist()
         return out
     finally:
-        edges.unpersist()
+        edges_pinned.unpersist()
 
 
 def cluster_representatives(

@@ -103,13 +103,26 @@ def train_hard_sigmoid_logreg(
     # exchanges of the data-scale frame. One shuffle up front replaces
     # 2·iters shuffles (guide §2.4: operations keyed the same way
     # share one exchange); at 100 TB that is 12 fewer corpus-scale
-    # exchanges for the default 6 iterations.
-    feats = feats.repartition("doc_id").persist()
-    n = feats.select("doc_id").distinct().count()
+    # exchanges for the default 6 iterations. The partition COUNT is
+    # size-derived (operators/sizing.py): the input is persisted once
+    # to measure it, then re-persisted hash(doc_id) at the measured
+    # count — one partition at fixture scale (every iteration becomes
+    # a single exchange-free stage), ~32 MB partitions at corpus
+    # scale with the co-partitioning kept.
+    from karna_spark.operators.sizing import cached_partition_target
+
+    raw = feats.persist()
+    n = raw.select("doc_id").distinct().count()
     w = {
         r["b"]: 0
-        for r in feats.select("b").distinct().collect()
+        for r in raw.select("b").distinct().collect()
     }
+    target = cached_partition_target(raw)
+    feats = (
+        raw.repartition(target, "doc_id")
+        if target is not None
+        else raw.repartition("doc_id")
+    ).persist()
     for _ in range(iters):
         z = _z_frame(feats, w)
         p = z.select("doc_id", "y", _p_expr("z").alias("p"))
@@ -133,6 +146,7 @@ def train_hard_sigmoid_logreg(
     # rather than riding the _karna_persisted contract (nothing
     # downstream re-reads the TRAIN slice; scoring uses its own)
     feats.unpersist()
+    raw.unpersist()
     return w, n
 
 
