@@ -58,3 +58,29 @@ def coalesce_to_size(df: DataFrame, materialized: DataFrame) -> DataFrame:
     except Exception:
         return df
     return df.coalesce(target) if target < cur else df
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition a COMPUTE-HEAVY scan whose input layout
+    under-parallelizes the session — the guide's remedy for
+    unsplittable input (§2.5: "one huge unsplittable file … repartition
+    immediately after the read").
+
+    The fixture tables are single-row-group parquet, which Spark cannot
+    split below one task no matter the split-size confs — so every
+    corpus map pass (Arrow UDF signatures, md5 probes, explode+agg
+    featurizers) runs single-threaded while the rest of the box idles.
+    Conditional: a no-op whenever the scan already has at least half as
+    many partitions as the session has cores (any real multi-file
+    table), so at 100 TB — thousands of splits — no shuffle is added;
+    the exchange only fires where the layout starves the compute, and
+    it moves exactly one pass of the (by construction small) input.
+    """
+    try:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur * 2 >= cores:
+        return df
+    return df.repartition(cores)

@@ -26,6 +26,7 @@ from karna_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_near_dup_pairs,
 )
+from karna_spark.operators.sizing import spread_scan
 from karna_spark.operators.text import fingerprint_md5
 from karna_spark.queries.registry import register_query, table
 
@@ -124,6 +125,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta); agreement holds for the same S-curve reasons as
     `dedup_minhash_lsh` (true pairs at s ≥ 0.9, banded recall
     1-(1-s⁴)¹⁶ ≥ 1-4e-8)."""
+    # spread_scan measured a REGRESSION here (3.0 → 4.3 s at sf0.1) —
+    # the incremental pair path re-reads the scan through several
+    # persisted branches and the extra exchange + per-task Arrow/UDF
+    # init outweigh the parallelized signature pass; left unspread.
     docs = table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
@@ -407,7 +412,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_drop_ids,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_scan(table(spark, sf_dir, "embeddings"))
     # The assignment fans out to three consumers (both self-join sides
     # of the pair stage and the final keep join) — materialize it once;
     # an eager localCheckpoint also truncates lineage so no consumer
@@ -504,7 +509,12 @@ def _posting_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from karna_spark.operators.text import word_ngrams
 
-    docs = table(spark, sf_dir, "documents")
+    from karna_spark.operators.sizing import spread_scan
+
+    # spread_scan: the fixture file is single-row-group (unsplittable),
+    # so the n-gram explosion would otherwise run single-task while the
+    # box idles; no-op on any real multi-split table.
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(word_ngrams(F.col("text"), 5))).alias("g"),

@@ -26,6 +26,7 @@ from karna_spark.operators.text import (
     quality_features,
     token_counts,
 )
+from karna_spark.operators.sizing import spread_scan
 from karna_spark.queries.parity import literal_frame
 from karna_spark.queries.registry import register_query, table
 
@@ -423,6 +424,9 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     front-end's 'top k documents matching <terms>' intent)."""
     from karna_spark.operators.retrieval import bm25_scores
 
+    # spread_scan measured flat-to-slightly-worse here (0.9-1.2 →
+    # 1.3 s at sf0.1: the two-scan BM25 already overlaps its work);
+    # left unspread.
     return bm25_scores(
         table(spark, sf_dir, "documents"),
         "doc_id",
@@ -969,7 +973,10 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karna_spark.operators.contamination import contaminated_docs
     from karna_spark.operators.text import words
 
-    docs = table(spark, sf_dir, "documents").select(
+    # spread_scan: single-row-group fixture file — the quality/fp/
+    # n-gram passes would run single-task otherwise (no-op on any
+    # multi-split table).
+    docs = spread_scan(table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", F.trim("text").alias("t")
     ).withColumn("wc", F.size(words(F.col("t"))))
     quality = docs.filter(F.col("wc") >= 20)
@@ -1514,7 +1521,7 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from karna_spark.operators.text import words
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     ws = words(F.lower(F.trim(F.col("text"))))
     segs = F.transform(
         F.sequence(
@@ -1659,7 +1666,7 @@ def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karna_spark.operators.text import words
 
     K = 8
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     ws = words(F.lower(F.trim(F.col("text"))))
     base = docs.select("doc_id", "text", ws.alias("ws"))
     n = F.size(F.col("ws"))
@@ -2429,7 +2436,7 @@ def text_stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, V) totals ride a scalar broadcast (BNLJ_OK)."""
     from karna_spark.operators.text import words
 
-    d0 = table(spark, sf_dir, "documents").select(
+    d0 = spread_scan(table(spark, sf_dir, "documents")).select(
         "doc_id", words(F.trim(F.col("text"))).alias("arr")
     )
     train = d0.filter(F.col("doc_id") % 2 == 0)
@@ -3044,7 +3051,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from karna_spark.operators.lr import predict, train_hard_sigmoid_logreg
     from karna_spark.operators.text import words
 
-    d = table(spark, sf_dir, "documents")
+    d = spread_scan(table(spark, sf_dir, "documents"))
     y = (F.col("doc_id") % 4 < 2).cast("int")
     markers = (
         F.when(
@@ -3274,7 +3281,7 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-certifies the full train+encode lifecycle."""
     from karna_spark.operators.unigram_tok import unigram_tokenize_docs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     return unigram_tokenize_docs(docs, "doc_id", "text")
 
 
@@ -3640,5 +3647,5 @@ def text_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact."""
     from karna_spark.operators.unigram_tok import unigram_em_tokenize_docs
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_scan(table(spark, sf_dir, "documents"))
     return unigram_em_tokenize_docs(docs, "doc_id", "text")

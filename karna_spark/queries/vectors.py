@@ -12,6 +12,7 @@ from karna_spark.operators.similarity import (
     ann_bruteforce_topk,
     ann_lsh_topk,
 )
+from karna_spark.operators.sizing import spread_scan
 from karna_spark.queries.registry import register_query, table
 
 # Fixture embedding dimensionality (TESTDATA.md: embeddings.embedding is
@@ -468,7 +469,7 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assignment_table,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_scan(table(spark, sf_dir, "embeddings"))
     base = emb.filter(F.col("vec_id") % 50 != 0)
     delta = emb.filter(F.col("vec_id") % 50 == 0)
     cents = (

@@ -1,0 +1,75 @@
+"""operators/sizing.py: size-adaptive parallelism helpers.
+
+The iterative-trainer loops (BPE / CC / LR) and the corpus-pass
+builders lean on two contracts:
+
+- ``coalesce_to_size``: a materialized cached frame's measured bytes
+  pick the iterated partition count (fixture-scale frames collapse to
+  one partition; larger frames keep size-proportional parallelism),
+  and the helper degrades to identity when stats are unavailable.
+- ``spread_scan``: repartitions only a scan whose input layout
+  under-parallelizes the session (the single-row-group fixture files);
+  a scan that already has at least half as many partitions as cores
+  passes through UNTOUCHED — the 100 TB no-op guarantee.
+"""
+
+from __future__ import annotations
+
+from karna_spark.operators.sizing import (
+    TARGET_PARTITION_BYTES,
+    cached_partition_target,
+    coalesce_to_size,
+    spread_scan,
+)
+
+
+def test_coalesce_to_size_collapses_tiny_cached_frame(spark):
+    df = spark.range(0, 10_000, 1, 16).selectExpr("id", "id % 7 AS k")
+    cached = df.persist()
+    try:
+        cached.count()  # materialize so stats are real
+        target = cached_partition_target(cached)
+        assert target == 1  # ~80 KB cached, far under one target chunk
+        out = coalesce_to_size(cached, cached)
+        assert out.rdd.getNumPartitions() == 1
+        # identical rows, just fewer partitions
+        assert out.count() == 10_000
+    finally:
+        cached.unpersist()
+
+
+def test_cached_partition_target_scales_with_bytes(spark):
+    # ~24 MB of longs (3M rows × 8B) cached deserialized lands above
+    # one 32 MB chunk only with object overhead — just assert the
+    # target is finite, >= 1, and grows monotonically with the frame.
+    small = spark.range(0, 1000, 1, 4).persist()
+    big = spark.range(0, 3_000_000, 1, 8).persist()
+    try:
+        small.count()
+        big.count()
+        ts = cached_partition_target(small)
+        tb = cached_partition_target(big)
+        assert ts is not None and tb is not None
+        assert 1 <= ts <= tb
+    finally:
+        small.unpersist()
+        big.unpersist()
+    assert TARGET_PARTITION_BYTES == 32 << 20
+
+
+def test_spread_scan_noop_when_parallel_enough(spark):
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, cores)
+    assert spread_scan(wide) is wide  # untouched object — zero plan change
+
+
+def test_spread_scan_repartitions_starved_input(spark):
+    cores = spark.sparkContext.defaultParallelism
+    if cores < 4:
+        import pytest
+
+        pytest.skip("needs a multi-core session to observe spreading")
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread_scan(narrow)
+    assert out.rdd.getNumPartitions() == cores
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
