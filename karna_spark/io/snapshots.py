@@ -3511,13 +3511,23 @@ class SnapshotStore:
                 self._pdir(val, pv) for val, pv in sorted(manifest.items())
             ]
             reader = spark.read.option("basePath", self.data)
-            if cm is not None:
-                # evolved table: files span schema epochs (pre-add
-                # files lack new physical columns; pre-widen files
-                # carry narrower types). An EXPLICIT physical schema
-                # reads them all — absent columns fill NULL, narrow
-                # types promote losslessly (S29) — with zero footer
-                # reads and none of mergeSchema's int/bigint refusal.
+            if doc.get("schema") is not None:
+                # EXPLICIT physical schema, evolved or not. Evolved
+                # tables need it for correctness: files span schema
+                # epochs (pre-add files lack new physical columns;
+                # pre-widen files carry narrower types) and the
+                # explicit schema reads them all — absent columns fill
+                # NULL, narrow types promote losslessly (S29) — with
+                # none of mergeSchema's int/bigint refusal. Un-evolved
+                # tables take it for PLANNING cost: schema inference
+                # reads parquet footers driver-side on every read, and
+                # the lifecycle verbs (upsert/CDC/compact) re-read the
+                # store many times per commit — measured ~0.2 s per
+                # read at 25 partitions (r12 optimization round). The
+                # manifest is the schema authority either way. Field
+                # order matches inference exactly (manifest order IS
+                # the written frame's order, minus the dir-parsed
+                # partition columns).
                 reader = reader.schema(self._physical_read_schema([doc]))
             # inference OFF: the partition column comes back as the
             # RAW directory string and is cast to its DECLARED type —
