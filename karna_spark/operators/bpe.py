@@ -126,18 +126,20 @@ def learn_bpe(
     cached = syms    # persisted frame backing `syms`
     pending = None   # predecessor frame awaiting safe release
     merges: list[tuple[int, str, str, str, int]] = []
+    # The adjacent-pair expression is loop-INVARIANT (it only names
+    # columns); Column objects are immutable, so build it once —
+    # rebuilding it per merge paid ~20 py4j round-trips × iterations
+    # of pure driver chatter.
+    pair_expr = F.explode(
+        F.zip_with(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+    ).alias("p")
     try:
         for it in range(num_merges):
-            pairs = syms.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("p"),
-            )
+            pairs = syms.select("freq", pair_expr)
             best = (
                 pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("freq").alias("cnt"))
