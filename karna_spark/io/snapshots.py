@@ -789,7 +789,10 @@ class SnapshotStore:
             .withColumn("_rv", F.lit(v).cast("long"))
             .withColumn("_rid", F.monotonically_increasing_id())
         )
-        if cluster if cluster is not None else self.distribution == "hash":
+        do_cluster = (
+            cluster if cluster is not None else self.distribution == "hash"
+        )
+        if do_cluster:
             # Cluster the write by the partition value (the 'hash'
             # distribution mode — see __init__): one AQE-rebalanced
             # exchange replaces the task×partition-value file fan-out

@@ -136,7 +136,7 @@ def kmeans_lloyd_exact(
         cents = _updated_centroids(cents, sums)
 
     # Final iteration in-engine: update + population from one aggregate.
-    from karna_spark.queries.parity import literal_frame
+    from karna_spark.functions.local_frame import literal_frame
 
     prev_df = literal_frame(
         spark,

@@ -69,6 +69,16 @@ def _z_frame(feats: DataFrame, w: dict[str, int]) -> DataFrame:
     iteration) plus a BroadcastExchange job, every iteration, for
     data that never leaves the driver. Buckets absent from ``w``
     score 0 (map miss → null → coalesce)."""
+    if not w:
+        # Degenerate train slice with zero feature rows: an argless
+        # create_map types as map<string,string> and the coalesce
+        # below would fail analysis — the logit of an all-zero
+        # weight vector is simply 0 (r12 ADVICE).
+        return feats.groupBy("doc_id", "y").agg(
+            F.sum(F.lit(0).cast("long") * F.col("x"))
+            .cast("bigint")
+            .alias("z")
+        )
     wmap = F.create_map(
         *[
             c

@@ -556,7 +556,7 @@ def ann_pq_topk(
     # UUID-as-string, …) — no int() cast, so non-integer ids survive.
     spark = corpus.sparkSession
     id_type = queries.schema[query_id].dataType
-    from karna_spark.queries.parity import literal_frame
+    from karna_spark.functions.local_frame import literal_frame
 
     qmap = literal_frame(
         spark,

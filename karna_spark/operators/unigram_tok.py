@@ -112,16 +112,28 @@ def viterbi_word_frame(
 ) -> DataFrame:
     """(w, n_pieces, score_e6): best unigram segmentation per distinct
     word via the packed 16-level DP. ``vocab`` is the collected
-    piece→score map (bounded; constant-folded into the plan)."""
+    piece→score map (bounded; constant-folded into the plan).
+
+    The map literal is hoisted into ONE column (``_vm``) instead of
+    being inlined at each of the 16 levels × ≤4 candidates: the
+    ~750-entry map is a ~1500-node expression tree, and every
+    ``withColumn`` EAGERLY re-analyzes the whole accumulated plan, so
+    64 inlined copies made Catalyst re-walk ~100k shared-subtree nodes
+    per level (measured r13: the DP's cost was driver-side analysis,
+    not execution). As a single attribute reference the analyzer
+    visits it once per pass; the optimizer still constant-folds it to
+    one map literal, so the executed plan is unchanged."""
     m = F.map_from_arrays(
         F.lit(list(vocab.keys())), F.lit([int(v) for v in vocab.values()])
     )
-    df = occ.select("w").distinct()
+    df = occ.select("w").distinct().withColumn("_vm", m)
     v: dict[int, Column] = {0: F.lit(0).cast("long")}
     for i in range(1, MAX_WORD + 1):
         cands = []
         for j in range(max(0, i - MAX_PIECE), i):
-            s = F.element_at(m, F.col("w").substr(F.lit(j + 1), F.lit(i - j)))
+            s = F.element_at(
+                F.col("_vm"), F.col("w").substr(F.lit(j + 1), F.lit(i - j))
+            )
             cands.append(
                 F.coalesce(v[j] + s * 128 - 1, F.lit(_SENTINEL))
             )
@@ -228,16 +240,21 @@ _CHOICE_OFF = 2 * 10**15
 
 def viterbi_choice_frame(occ: DataFrame, vocab: dict[str, int]) -> DataFrame:
     """(w, v1..v16, b1..b16): the packed DP plus per-position argmax
-    predecessor, over distinct words."""
+    predecessor, over distinct words. The vocab map literal rides as
+    ONE hoisted column — see :func:`viterbi_word_frame` (the analyzer
+    otherwise re-walks 64 inlined ~1500-node copies per eager
+    withColumns analysis)."""
     m = F.map_from_arrays(
         F.lit(list(vocab.keys())), F.lit([int(v) for v in vocab.values()])
     )
-    df = occ.select("w").distinct()
+    df = occ.select("w").distinct().withColumn("_vm", m)
     v: dict[int, Column] = {0: F.lit(0).cast("long")}
     for i in range(1, MAX_WORD + 1):
         cands = []
         for j in range(max(0, i - MAX_PIECE), i):
-            s = F.element_at(m, F.col("w").substr(F.lit(j + 1), F.lit(i - j)))
+            s = F.element_at(
+                F.col("_vm"), F.col("w").substr(F.lit(j + 1), F.lit(i - j))
+            )
             cand = F.coalesce(v[j] + s * 128 - 1, F.lit(_SENTINEL))
             cands.append((cand + _CHOICE_OFF) * 32 + j)
         packed = F.greatest(*cands) if len(cands) > 1 else cands[0]
@@ -262,7 +279,7 @@ def viterbi_choice_frame(occ: DataFrame, vocab: dict[str, int]) -> DataFrame:
             }
         )
         v[i] = F.col(f"v{i}")
-    return df.drop(*[f"p{i}" for i in range(1, MAX_WORD + 1)])
+    return df.drop("_vm", *[f"p{i}" for i in range(1, MAX_WORD + 1)])
 
 
 def path_pieces(choice_df: DataFrame) -> DataFrame:

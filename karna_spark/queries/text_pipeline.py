@@ -2612,8 +2612,16 @@ def text_lang_id_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the only data-scale shuffle is the per-doc bag groupBy
     — unchanged at 100 TB."""
     from karna_spark.operators.langid import classify, train_bigram_model
+    from karna_spark.operators.sizing import spread_scan
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # r13 (closes the r12 verdict's lang_id claim): BOTH corpus passes
+    # — the training bigram explode and the scoring bag explode — are
+    # compute-heavy maps over the single-row-group fixture file;
+    # spread once, upstream of the train/test split, so each pass
+    # parallelizes (no-op on any real multi-split input).
+    d = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
     train = d.filter(F.col("doc_id") % 2 == 0)
     test = d.filter(F.col("doc_id") % 2 == 1)
     model, floors = train_bigram_model(train, "text", "lang")

@@ -1354,3 +1354,133 @@ def test_sign_sketch_words_bit_exact(spark):
     w0 = sum(1 << i for i in range(32) if i % 3 == 0)
     w1 = sum(1 << i for i in range(32) if (i + 32) % 3 == 0)
     assert (row.w0, row.w1) == (w0, w1)
+
+
+def test_bpe_batched_merges_replay_sequential_reference():
+    """r13 optimization: learn_bpe applies a BATCH of provably-
+    commuting merges per distributed count (see _accept_batch). This
+    pure-Python twin of the batched loop — same counts, same top-K,
+    same _accept_batch, same greedy application — must reproduce
+    reference_bpe EXACTLY on adversarial random corpora: tiny
+    alphabets force overlapping/chained/self-pairs ((a,a)), count
+    ties exercise the lexicographic tie-break, and string-colliding
+    merges (('a','bc') vs ('ab','c')) exercise the touched-symbol
+    guard. No Spark involved: this certifies the batching MATH; the
+    Spark differentials above certify the fold application."""
+    import random
+
+    from karna_spark.operators.bpe import (
+        _BATCH_TOP,
+        END,
+        _accept_batch,
+        reference_bpe,
+    )
+
+    def py_batched(freqs, num_merges, min_pair_freq=2):
+        vocab = {tuple(list(w) + [END]): f for w, f in freqs.items()}
+        merges = []
+        done = False
+        while len(merges) < num_merges and not done:
+            counts: dict[tuple[str, str], int] = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            ranked = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:_BATCH_TOP]
+            top = [{"a": a, "b": b, "cnt": c} for (a, b), c in ranked]
+            if top[0]["cnt"] < min_pair_freq:
+                break
+            cutoff = top[-1]["cnt"] if len(top) == _BATCH_TOP else 0
+            accepted, done = _accept_batch(
+                top, cutoff, min_pair_freq, num_merges - len(merges)
+            )
+            if not accepted:
+                break
+            for a, b, c in accepted:
+                merges.append((len(merges), a, b, a + b, c))
+                new_vocab: dict[tuple[str, ...], int] = {}
+                for syms, f in vocab.items():
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == a and x == b:
+                            out[-1] = a + b
+                        else:
+                            out.append(x)
+                    key = tuple(out)
+                    new_vocab[key] = new_vocab.get(key, 0) + f
+                vocab = new_vocab
+        return merges
+
+    rng = random.Random(20260818)
+    n_batched_gt1 = 0
+    for trial in range(150):
+        alpha = "abcde"[: rng.randint(2, 5)]
+        words = {
+            "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 8))
+            ): rng.randint(1, 9)
+            for _ in range(rng.randint(10, 80))
+        }
+        want = reference_bpe(words, num_merges=30)
+        got = py_batched(words, num_merges=30)
+        assert got == want, f"trial {trial} diverged: {got} != {want}"
+        if len(got) > 1:
+            n_batched_gt1 += 1
+    # the generator must actually exercise multi-merge learning
+    assert n_batched_gt1 > 100
+
+
+def test_bpe_accept_batch_budget_and_done():
+    """_accept_batch caps accepted merges at the remaining budget and
+    reports done=True only when a VALIDATED argmax falls below
+    min_pair_freq."""
+    from karna_spark.operators.bpe import _accept_batch
+
+    # two independent pairs, far apart, no interaction
+    top = [
+        {"a": "a", "b": "b", "cnt": 100},
+        {"a": "c", "b": "d", "cnt": 50},
+        {"a": "e", "b": "f", "cnt": 1},
+    ]
+    acc, done = _accept_batch(top, 0, 2, budget=1)
+    assert acc == [("a", "b", 100)] and not done
+    acc, done = _accept_batch(top, 0, 2, budget=10)
+    # ('e','f') is disjoint and beats the (·,a)/(b,·)/(·,c)/(d,·)
+    # bounds (none collected, cutoff 0) — a validated argmax below
+    # min_pair_freq, so learning is DONE
+    assert acc == [("a", "b", 100), ("c", "d", 50)] and done
+    # an interacting second pair stops the batch without done
+    top2 = [
+        {"a": "a", "b": "b", "cnt": 100},
+        {"a": "ab", "b": "c", "cnt": 90},
+    ]
+    acc, done = _accept_batch(top2, 0, 2, budget=10)
+    assert acc == [("a", "b", 100)] and not done
+
+
+def test_bpe_sql_fold_escapes_symbols(spark):
+    """learn_bpe builds its merge fold as a SQL string (r13 —
+    _merge_sql, one py4j call per batch instead of ~40 Column calls);
+    symbols carrying SQL-literal metacharacters (quotes, backslashes)
+    must round-trip the escaping exactly. Differential vs the pure-
+    Python reference on a corpus built from exactly those words."""
+    from karna_spark.operators.bpe import (
+        learn_bpe,
+        reference_bpe,
+        word_frequencies,
+    )
+
+    words = ["don't", "don't", "it's", "a\\b", "a\\b", "a\\b", "''", "o'er"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    wf = word_frequencies(docs)
+    freqs = {r["w"]: r["freq"] for r in wf.collect()}
+    expected = reference_bpe(freqs, num_merges=10, min_pair_freq=1)
+    got = learn_bpe(wf, num_merges=10, min_pair_freq=1)
+    assert got == expected
+    assert any("'" in a + b or "\\" in a + b for _, a, b, _, _ in got)

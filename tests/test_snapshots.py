@@ -782,8 +782,9 @@ def test_compact_collapses_files_content_identical(spark, tmp_path):
     """S23: a fragmented latest version compacts to ONE file per
     partition in a new commit with byte-identical logical content;
     prior versions keep reading their own (uncompacted) directories."""
-    # distribution='none': the default 'hash' mode clusters every
-    # write by partition value, which would defeat the deliberate
+    # distribution='none' pinned explicitly: the shipped default is
+    # 'none', but an ambient KARNA_SNAPSHOT_DISTRIBUTION=hash would
+    # cluster every write by partition value and defeat the deliberate
     # fragmentation this test compacts away.
     store = SnapshotStore(str(tmp_path / "t"), "p", distribution="none")
     # Fragment on purpose: an 8-task write fans each partition's rows
