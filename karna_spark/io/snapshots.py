@@ -964,6 +964,29 @@ class SnapshotStore:
         )
 
     @staticmethod
+    def _pin(df: DataFrame):
+        """Persist a multi-consumer verb input for the verb's duration
+        (r13, guide §5): an upsert/CDC delta is consumed 3-4 times per
+        commit — the affected-values collect, the anti-join key set,
+        the union into the write, and (spec-evolved) the merge-on-read
+        key probe — and without a cache every consumer re-runs the
+        caller's upstream plan, a per-commit fixed cost locally and
+        3 extra delta-source passes at 100 TB. Returns
+        ``(df, release)``; ``release()`` unpersists only what this
+        call persisted (an already-persisted caller frame is left
+        alone, storage decisions stay with the caller)."""
+        from pyspark.storagelevel import StorageLevel
+
+        try:
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk:
+                return df, (lambda: None)
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:
+            return df, (lambda: None)
+        return df, (lambda: df.unpersist())
+
+    @staticmethod
     def _affected_values(delta: DataFrame, pc: str) -> list[str]:
         vals = [r[0] for r in delta.select(pc).distinct().collect()]
         if any(v is None for v in vals):
@@ -1084,6 +1107,20 @@ class SnapshotStore:
         prev = prev_doc["partitions"]
         cur_spec = self._doc_specs(prev_doc)[-1]
         cur = cur_spec["col"]
+        # the delta feeds 3-4 consumers below — pin it (see _pin)
+        delta, _release = self._pin(delta)
+        try:
+            return self._upsert_pinned(
+                spark, delta, key_cols, validate_keys,
+                prev_v, prev_doc, v, prev, cur_spec, cur,
+            )
+        finally:
+            _release()
+
+    def _upsert_pinned(
+        self, spark, delta, key_cols, validate_keys,
+        prev_v, prev_doc, v, prev, cur_spec, cur,
+    ) -> int:
         # S30b: under a composite spec the partition value is DERIVED
         # (one string column computed from the spec's source fields) —
         # the delta gains it here for affected-value discovery, and
@@ -1204,20 +1241,26 @@ class SnapshotStore:
             .join(F.broadcast(keys), key_cols, "left_semi")
             .select(F.col("_pkey").alias("_pval"), "_rv", "_rid")
         )
-        ddir = self._ddir(v)
-        matched.coalesce(1).write.mode("overwrite").parquet(ddir)
-        touched = sorted(
-            r["_pval"]
-            for r in spark.read.parquet(ddir)
-            .select("_pval")
-            .distinct()
-            .collect()
-        )
-        if not touched:
-            import shutil
+        # r13: pin the matched set and take the touched-partition list
+        # from the CACHE, then write the delete file from the same
+        # cache — the old shape wrote first and re-read the parquet for
+        # the distinct, paying the old-spec scan twice plus a
+        # write+read round-trip even when NOTHING matched (the common
+        # steady-state on a mostly-migrated table).
+        from pyspark.storagelevel import StorageLevel
 
-            shutil.rmtree(ddir, ignore_errors=True)
-            return None
+        matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            touched = sorted(
+                r["_pval"]
+                for r in matched.select("_pval").distinct().collect()
+            )
+            if not touched:
+                return None
+            ddir = self._ddir(v)
+            matched.coalesce(1).write.mode("overwrite").parquet(ddir)
+        finally:
+            matched.unpersist()
         return {
             "id": v,
             "partitions": touched,
@@ -1278,6 +1321,20 @@ class SnapshotStore:
         prev = prev_doc["partitions"]
         cur_spec = self._doc_specs(prev_doc)[-1]
         cur = cur_spec["col"]
+        # the change feed feeds 3-4 consumers below — pin it (_pin)
+        changes, _release = self._pin(changes)
+        try:
+            return self._apply_changes_pinned(
+                spark, changes, key_cols, op_col, _op,
+                prev_v, prev_doc, v, prev, cur_spec, cur,
+            )
+        finally:
+            _release()
+
+    def _apply_changes_pinned(
+        self, spark, changes, key_cols, op_col, _op,
+        prev_v, prev_doc, v, prev, cur_spec, cur,
+    ) -> int:
         # S30b: composite specs derive the partition value (see upsert)
         ch, pc_l = self._with_spec_col(changes, prev_doc, logical=True)
         affected = self._affected_values(ch, pc_l)
@@ -3539,11 +3596,13 @@ class SnapshotStore:
             # one logical partition into two keys on the next upsert
             with _no_partition_inference(spark):
                 out = reader.parquet(*dirs)
-            out = out.drop("v")
-            if _with_pkey:
-                out = out.withColumn(
-                    "_pkey", F.col(self.pc).cast("string")
-                )
+            # ONE fused projection for the post-scan fixups (drop the
+            # dir-parsed v, restore the partition column's declared
+            # type, append _pkey) — r13: every Dataset op here is an
+            # EAGER analysis pass plus py4j round-trips, and the
+            # lifecycle verbs call read() many times per commit
+            # (profiled ~150 ms per read, mostly this chain).
+            pt = None
             if cm is None and doc.get("schema") is not None:
                 # un-evolved table: no logical projection runs below,
                 # so restore the partition column's declared type here
@@ -3557,10 +3616,16 @@ class SnapshotStore:
                     ),
                     None,
                 )
-                if pt is not None:
-                    out = out.withColumn(
-                        self.pc, F.col(self.pc).cast(pt)
-                    )
+            proj = [
+                F.col(c).cast(pt).alias(c)
+                if (c == self.pc and pt is not None)
+                else F.col(c)
+                for c in out.columns
+                if c != "v"
+            ]
+            if _with_pkey:
+                proj.append(F.col(self.pc).cast("string").alias("_pkey"))
+            out = out.select(*proj)
         else:
             # S30 spec-evolved table: pointers span partition specs,
             # so the dirs do NOT share one layout. Scan each spec
@@ -3601,23 +3666,28 @@ class SnapshotStore:
                         )
                         .parquet(*gdirs)
                     )
+                # ONE fused projection per group (r13 — same reasoning
+                # as the un-evolved branch above): _pkey is the
+                # qualified manifest key of the physical partition this
+                # row lives in (raw directory string — the caller
+                # disables partition-type inference); a synthetic
+                # composite column is dropped, a real one is cast to
+                # its declared physical type so the union agrees.
+                gproj = []
+                for c in g.columns:
+                    if c == "v" or (c == col and col in synth):
+                        continue
+                    if c == col:
+                        gproj.append(F.col(c).cast(ptypes[c]).alias(c))
+                    else:
+                        gproj.append(F.col(c))
                 if _with_pkey:
-                    # qualified manifest key of the physical partition
-                    # this row lives in (raw directory string — the
-                    # caller disables partition-type inference)
-                    g = g.withColumn(
-                        "_pkey",
+                    gproj.append(
                         F.concat(
                             F.lit(f"{col}="), F.col(col).cast("string")
-                        ),
+                        ).alias("_pkey")
                     )
-                if col in synth:
-                    g = g.drop(col, "v")
-                else:
-                    g = g.withColumn(
-                        col, F.col(col).cast(ptypes[col])
-                    ).drop("v")
-                frames.append(g)
+                frames.append(g.select(*gproj))
             out = frames[0]
             for g in frames[1:]:
                 out = out.unionByName(g)

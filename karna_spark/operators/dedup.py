@@ -364,12 +364,19 @@ def minhash_lsh_pairs(
     # The banded explode multiplies row count by ``bands``; it must
     # carry ONLY (id, band, band_hash) — 24 bytes — never the shingle
     # arrays (that would shuffle bands× the whole corpus text).
+    # PERSISTED (r13): the self-join's two sides are both this frame,
+    # and without a cache each shuffle stage re-runs the WHOLE
+    # signature pipeline — profiled as two identical ~26 task-second
+    # Arrow-UDF jobs, the anchor's single dominant cost, paid twice.
+    # The cache is (id, band, band_hash) — 24 bytes × bands × docs —
+    # scale-safe by the same argument as the candidate cache below;
+    # at 100 TB this halves the signature compute outright.
     banded = sig.select(
         "id",
         F.posexplode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
             "band", "band_hash"
         ),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.select("band", "band_hash", F.col("id").alias("id_a"))
     right = banded.select("band", "band_hash", F.col("id").alias("id_b"))
     cands = (
@@ -397,10 +404,14 @@ def minhash_lsh_pairs(
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # PERSISTED (r13): both verify joins (sh_a, sh_b) consume this
+    # frame — uncached, the shingle fold over the candidate docs ran
+    # twice (profiled as two ~20 task-second jobs). Bounded by
+    # |candidate docs|, never the corpus.
     sh = (
         src.join(need, "id", "left_semi")
         .select("id", word_ngrams(F.col("text"), shingle_n).alias("shingles"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = (
         cands.join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
@@ -414,7 +425,7 @@ def minhash_lsh_pairs(
     # the cached blocks once the result is materialized; Spark's
     # ContextCleaner only reclaims them on GC. Handles ride on the
     # result; see release_intermediates().
-    out._karna_persisted = [cands_persisted, src]  # type: ignore[attr-defined]
+    out._karna_persisted = [cands_persisted, src, banded, sh]  # type: ignore[attr-defined]
     return out
 
 
@@ -560,9 +571,12 @@ def minhash_lsh_incremental_pairs(
         .union(cands.select(F.col("match_id").alias("id")))
         .distinct()
     )
+    # PERSISTED (r13): both verify joins consume sh — uncached, the
+    # candidate-doc shingle fold ran twice (same double-compute the
+    # batch pipeline had; bounded by |candidate docs|).
     sh = verify_text.join(need, "id", "left_semi").select(
         "id", word_ngrams(F.col("text"), shingle_n).alias("shingles")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     verified = (
         cands.join(
             sh.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
@@ -578,7 +592,7 @@ def minhash_lsh_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "match_id", "jaccard")
     )
-    verified._karna_persisted = [cands_persisted, src]  # type: ignore[attr-defined]
+    verified._karna_persisted = [cands_persisted, src, sh]  # type: ignore[attr-defined]
     return verified
 
 

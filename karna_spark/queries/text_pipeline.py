@@ -613,9 +613,15 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical way (unnest → count → row_number). Cross-row sums are
     integer (round(x*1e4) BIGINT) so the hash is partition-order
     independent."""
+    from karna_spark.operators.sizing import spread_scan
     from karna_spark.operators.text import repetition_features
 
-    d = table(spark, sf_dir, "documents")
+    # r13 (verdict item 8): the per-doc sorted-word fold is the
+    # compute; a single-row-group fixture scan ran it on one core
+    # (8-core/32-core ratio was 1.28 — no parallelism at all).
+    # Project to the two used columns first so the spread exchange
+    # moves only what the fold needs (guide §2.3).
+    d = spread_scan(table(spark, sf_dir, "documents").select("lang", "text"))
     f = repetition_features(F.col("text"))
     feat = d.select(
         "lang",
@@ -1668,7 +1674,14 @@ def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 8
     docs = spread_scan(table(spark, sf_dir, "documents"))
     ws = words(F.lower(F.trim(F.col("text"))))
-    base = docs.select("doc_id", "text", ws.alias("ws"))
+    # PERSISTED (r13): base feeds the gram explosion AND the final
+    # reassembly join — uncached, the spread exchange plus the word
+    # split ran twice per run (once per consumer). The cache holds
+    # (doc_id, text, ws) — one corpus pass's projection, the same
+    # MEMORY_AND_DISK posture as minhash's src cache.
+    base = docs.select("doc_id", "text", ws.alias("ws")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n = F.size(F.col("ws"))
     # (doc_id, s 1-based, g) for every K-token window; persisted once
     # (dup detection + hit projection consume it; the _posting_grams
@@ -1727,7 +1740,7 @@ def text_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_removed"),
     )
-    out._karna_persisted = [grams]  # type: ignore[attr-defined]
+    out._karna_persisted = [grams, base]  # type: ignore[attr-defined]
     return out
 
 
@@ -2327,6 +2340,12 @@ def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_alt = F.concat(
         F.lit("HTTPS://"), host_raw, F.lit(":443/ALT/"), doc.cast("string")
     )
+    # r13: spread_scan on the shared base scan MEASURED AND REVERTED
+    # (verdict item 8 protocol) — the URL synthesis is cheap string
+    # concat and the two branches pay the round-robin exchange twice
+    # (no shared cache), ABBA medians 0.91 s plain vs 1.15 s spread.
+    # The heavy part (domain_stats agg + broadcast join) already
+    # parallelizes off the union's shuffle.
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", raw.alias("url")
     )
@@ -2813,9 +2832,14 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<aside><a href="/r1">Rel 1</a> <a href="/r2">Rel 2</a></aside>'),
         F.lit("<footer>&copy; 2026 Web Corpus</footer></body></html>"),
     )
-    pages = table(spark, sf_dir, "documents").select(
-        "doc_id", html.alias("html")
-    )
+    # r13 (verdict item 8): the block-regex extraction is the compute;
+    # spread the single-row-group fixture scan so it uses every core
+    # (no-op on real multi-split input).
+    from karna_spark.operators.sizing import spread_scan
+
+    pages = spread_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", html.alias("html"))
     return extract_main_content(pages, "html").select(
         "doc_id", "main_text", "blocks_kept", "blocks_dropped",
         "html_chars", "text_chars", "chrome_ratio",

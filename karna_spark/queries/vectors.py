@@ -469,7 +469,14 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assignment_table,
     )
 
-    emb = spread_scan(table(spark, sf_dir, "embeddings"))
+    # PERSISTED (r13): emb feeds five consumers (stored-index build,
+    # delta slice, centroid seed rows, the probed search, and the
+    # brute-force recall referee) — uncached, each re-ran the spread
+    # exchange plus the scan. One pass's projection, released via
+    # _karna_persisted.
+    emb = spread_scan(table(spark, sf_dir, "embeddings")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     base = emb.filter(F.col("vec_id") % 50 != 0)
     delta = emb.filter(F.col("vec_id") % 50 == 0)
     cents = (
@@ -501,7 +508,7 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_assignments=idx.unionByName(delta_asg),
     )
     out = _recall_vs_bruteforce(emb, delta, ann, k=10)
-    out._karna_persisted = [idx]  # type: ignore[attr-defined]
+    out._karna_persisted = [idx, emb]  # type: ignore[attr-defined]
     return out
 
 

